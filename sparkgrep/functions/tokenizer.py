@@ -1,0 +1,200 @@
+"""Tokenization — the engine's analyzers.
+
+The reference delegates tokenization to FTS5 ``tokenize='porter'``
+(unicode61 word-split + case-fold + diacritic-strip, then Porter stem;
+``message_manager.py:101-110``). The engine implements three analyzers,
+all applied identically at index *and* query time (the FTS5 contract —
+"stems the words before indexing and querying"):
+
+- ``simple``   — lowercase, split on ``[^a-z0-9]+``. Expressible as a
+  native Spark Column (JVM-side, whole-stage codegen — no UDF at all)
+  and replicable in ANSI SQL, so it is the analyzer used for the DuckDB
+  correctness oracle.
+- ``fts5``     — unicode61 + Porter: rank-identity mode against the
+  reference's actual SQLite FTS5 behavior (parity-tested in
+  tests/test_fts5_parity.py).
+- ``code``     — code-aware (north star): splits identifiers on
+  camelCase / snake_case boundaries, lowercases, drops language-specific
+  stopwords (keywords like ``def``/``import`` that would dominate the
+  index), optional Porter stemming off by default.
+
+Python-side batch implementations are vectorized over pandas Series with
+a per-batch vocabulary cache (stemming cost is O(unique tokens), not
+O(tokens)); exposed to Spark as Arrow ``pandas_udf`` — no per-row Python
+at the plan level (BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from functools import lru_cache
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+from sparkgrep.functions.porter import porter_stem
+
+SIMPLE_SPLIT_RE = "[^a-z0-9]+"  # shared with the DuckDB oracle SQL
+
+# unicode61-ish: token chars are unicode letters/digits (L*, N*)
+_UNICODE_WORD_RE = re.compile(r"[^\W_]+", re.UNICODE)
+# camelCase boundaries: lower/digit→Upper, and ACRONYMWord splits
+_CAMEL_RE = re.compile(r"(?<=[a-z0-9])(?=[A-Z])|(?<=[A-Z])(?=[A-Z][a-z])")
+
+# Language keywords excluded by the `code` analyzer (the north star's
+# "lang-specific stoplists" — hot tokens like def/import carry no signal
+# and create merge skew).
+CODE_STOPLISTS: dict[str, frozenset[str]] = {
+    "python": frozenset(
+        "def import from return class self if else elif for while in not and "
+        "or none true false pass with as try except raise lambda yield is "
+        "del global nonlocal assert break continue finally".split()
+    ),
+    "java": frozenset(
+        "public private protected static void class import return new final "
+        "if else for while int long boolean string this null true false try "
+        "catch throws throw extends implements package interface".split()
+    ),
+    "go": frozenset(
+        "func package import return var type struct interface if else for "
+        "range map chan go defer nil true false const switch case break "
+        "continue select".split()
+    ),
+    "js": frozenset(
+        "function const let var return import export if else for while new "
+        "this null undefined true false class extends async await try catch "
+        "throw typeof instanceof".split()
+    ),
+    "rust": frozenset(
+        "fn let mut pub use impl struct enum trait return if else for while "
+        "loop match mod crate self super true false const static ref where "
+        "async await dyn box".split()
+    ),
+}
+
+ANALYZERS = ("simple", "fts5", "code")
+
+
+# ---------------------------------------------------------------------------
+# native-Column analyzer (simple): stays entirely JVM-side
+
+
+def simple_tokens_col(text: Column) -> Column:
+    """`simple` analyzer as a native Spark expression (WholeStageCodegen;
+    DuckDB oracle: ``list_filter(regexp_split_to_array(lower(text),
+    '[^a-z0-9]+'), x -> x <> '')``)."""
+    return F.array_remove(F.split(F.lower(text), SIMPLE_SPLIT_RE), "")
+
+
+# ---------------------------------------------------------------------------
+# python-side analyzers (vectorized over pandas batches)
+
+
+def _simple_py(text: str) -> list[str]:
+    return [t for t in re.split(SIMPLE_SPLIT_RE, text.lower()) if t]
+
+
+@lru_cache(maxsize=1 << 20)
+def _fts5_token(raw: str) -> str:
+    # unicode61 remove_diacritics + casefold, then porter
+    t = unicodedata.normalize("NFKD", raw)
+    t = "".join(c for c in t if not unicodedata.combining(c)).lower()
+    return porter_stem(t)
+
+
+def _fts5_py(text: str) -> list[str]:
+    return [s for s in (_fts5_token(m) for m in _UNICODE_WORD_RE.findall(text)) if s]
+
+
+@lru_cache(maxsize=1 << 20)
+def _code_subtokens(raw: str) -> tuple[str, ...]:
+    return tuple(p.lower() for p in _CAMEL_RE.split(raw) if p)
+
+
+def _code_py(text: str, lang: str | None = None, stem: bool = False) -> list[str]:
+    stop = CODE_STOPLISTS.get((lang or "").lower(), frozenset())
+    out: list[str] = []
+    for m in _UNICODE_WORD_RE.findall(text):
+        for sub in _code_subtokens(m):
+            if sub in stop:
+                continue
+            out.append(porter_stem(sub) if stem else sub)
+    return out
+
+
+def tokenize_py(text: str, analyzer: str = "simple", lang: str | None = None) -> list[str]:
+    """Single-string tokenization (query side — same function the UDFs
+    apply per batch, so index and query agree by construction)."""
+    if text is None:
+        return []
+    if analyzer == "simple":
+        return _simple_py(text)
+    if analyzer == "fts5":
+        return _fts5_py(text)
+    if analyzer == "code":
+        return _code_py(text, lang)
+    raise ValueError(f"unknown analyzer {analyzer!r} (choose from {ANALYZERS})")
+
+
+def tokenize_series(texts: pd.Series, analyzer: str, langs: pd.Series | None = None) -> pd.Series:
+    """Batch tokenization over a pandas Series (Arrow batch inside UDFs)."""
+    if analyzer == "simple":
+        # pure-pandas vectorized path
+        return (
+            texts.fillna("")
+            .str.lower()
+            .str.split(SIMPLE_SPLIT_RE, regex=True)
+            .map(lambda toks: [t for t in toks if t])
+        )
+    if analyzer == "fts5":
+        return texts.fillna("").map(_fts5_py)
+    if analyzer == "code":
+        if langs is None:
+            return texts.fillna("").map(_code_py)
+        return pd.Series(
+            [_code_py(t, lg) for t, lg in zip(texts.fillna(""), langs)],
+            index=texts.index,
+        )
+    raise ValueError(f"unknown analyzer {analyzer!r} (choose from {ANALYZERS})")
+
+
+# ---------------------------------------------------------------------------
+# Spark surface
+
+
+def tokens_col(text: Column, analyzer: str = "simple", lang: Column | None = None) -> Column:
+    """Tokenize a text column → array<string> under the given analyzer.
+
+    `simple` compiles to a native expression; `fts5`/`code` are Arrow
+    pandas UDFs (the only place Python touches row data).
+    """
+    if analyzer == "simple":
+        return simple_tokens_col(text)
+
+    if analyzer == "fts5":
+
+        @F.pandas_udf(ArrayType(StringType()))
+        def _fts5_udf(s: pd.Series) -> pd.Series:
+            return tokenize_series(s, "fts5")
+
+        return _fts5_udf(text)
+
+    if analyzer == "code":
+        if lang is None:
+
+            @F.pandas_udf(ArrayType(StringType()))
+            def _code_udf(s: pd.Series) -> pd.Series:
+                return tokenize_series(s, "code")
+
+            return _code_udf(text)
+
+        @F.pandas_udf(ArrayType(StringType()))
+        def _code_lang_udf(s: pd.Series, lg: pd.Series) -> pd.Series:
+            return tokenize_series(s, "code", lg)
+
+        return _code_lang_udf(text, lang)
+
+    raise ValueError(f"unknown analyzer {analyzer!r} (choose from {ANALYZERS})")

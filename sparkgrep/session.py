@@ -1,0 +1,46 @@
+"""SparkSession factory with engine-tuned defaults.
+
+Local mode here, but every conf is chosen for cluster scale:
+
+- AQE on (runtime coalescing + skew-join splitting),
+- Arrow on (all engine UDFs are vectorized pandas UDFs),
+- shuffle partitions sized to the local core count (on a real cluster
+  this is set to ~2-3x total cores by the submitter),
+- parquet pushdown left at defaults (on — the postings table relies on
+  partition pruning + min/max row-group stats).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "sparkgrep",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local[N] → N; local[*] → machine cores
+        inner = master.split("[")[-1].rstrip("]")
+        shuffle_partitions = cpus if inner == "*" else int(inner)
+
+    return (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARKGREP_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )

@@ -1,0 +1,139 @@
+"""Corpus sources: the engine's ingest path.
+
+Reference analogue: JSONL ingestion (``ingestion/ingestion.py:131-164``)
+followed by ``save_messages`` (``message_manager.py:159-187``). The
+engine's primary input is the Iceberg-shaped source-code table
+(BASELINE.json input_hint):
+
+    corpus(repo, path, commit, lang, content)
+
+Ingest derives:
+
+- ``doc_id``   — deterministic, dense, total-ordered. NEVER
+  ``monotonically_increasing_id`` (partitioning-dependent → breaks
+  rank-identity and the two-parallelism determinism gate). Either the
+  fixture's preassigned id, or ``row_number() over (order by repo, path,
+  commit)`` — one global sort, paid once at ingest.
+- ``content_sha256`` — the per-row invariant asserted before indexing
+  (input_hint; reference's closest analogue is PK identity,
+  ``message_manager.py:89``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw driver table: documents(doc_id, text, lang, source, n_chars)."""
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def documents_as_corpus(docs: DataFrame) -> DataFrame:
+    """Map the driver's documents table onto the corpus shape
+    (FIXTURES.md §5: source→repo, text→content, doc_id preassigned,
+    path/commit synthesized deterministically from doc_id)."""
+    return docs.select(
+        F.col("source").alias("repo"),
+        F.format_string("src/file_%d.py", F.col("doc_id")).alias("path"),
+        F.sha2(F.col("doc_id").cast("string"), 256).substr(1, 40).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+    )
+
+
+def with_ingest_columns(corpus: DataFrame) -> DataFrame:
+    """Derive doc_id (if absent) and content_sha256.
+
+    sha256 is `F.sha2` — JVM-side, no UDF (SURVEY F11)."""
+    out = corpus
+    if "doc_id" not in out.columns:
+        w = Window.orderBy("repo", "path", "commit")
+        out = out.withColumn("doc_id", F.row_number().over(w).cast("long") - 1)
+    return out.withColumn("content_sha256", F.sha2(F.col("content"), 256))
+
+
+def assert_content_hashes(ingested: DataFrame, expected: DataFrame) -> None:
+    """The input_hint's per-row invariant: content sha256 equality against
+    the reference corpus, asserted BEFORE indexing. `expected` carries
+    (doc_id, content_sha256)."""
+    mismatches = (
+        ingested.select("doc_id", "content_sha256")
+        .join(expected.withColumnRenamed("content_sha256", "expected_sha256"), "doc_id")
+        .filter(F.col("content_sha256") != F.col("expected_sha256"))
+        .limit(1)
+        .count()
+    )
+    if mismatches:
+        raise AssertionError("corpus content sha256 mismatch vs reference hashes")
+
+
+def load_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet → ingested corpus with doc_id + sha256."""
+    return with_ingest_columns(documents_as_corpus(load_documents(spark, sf_dir)))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic synthetic source-code corpus (FIXTURES.md §1) — used by
+# unit tests and by bench scale-up. Seeded, no external data.
+
+_KEYWORDS = ["def", "import", "return", "class", "self", "for", "if", "in"]
+_IDENT_STEMS = [
+    "parse", "config", "hash", "join", "build", "side", "index", "merge",
+    "token", "stream", "buffer", "cache", "query", "plan", "shard", "batch",
+    "row", "column", "scan", "filter", "sort", "spill", "codec", "varint",
+]
+_LANGS = ["python", "java", "go", "js", "rust"]
+
+
+def _lcg(seed: int):
+    state = seed & 0xFFFFFFFFFFFF
+    while True:
+        state = (state * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+        yield state >> 16
+
+
+def synth_corpus_pdf(n_docs: int, seed: int = 42, words_per_doc: int = 120) -> pd.DataFrame:
+    """Deterministic synthetic code corpus: Zipf-hot keywords (def/import
+    dominate → exercises the salted merge), camelCase + snake_case
+    identifiers, per-doc language."""
+    rng = _lcg(seed)
+    rows = []
+    for i in range(n_docs):
+        lang = _LANGS[next(rng) % len(_LANGS)]
+        n = words_per_doc // 2 + next(rng) % words_per_doc
+        words = []
+        for _ in range(n):
+            r = next(rng) % 100
+            if r < 35:  # Zipf head: keywords are ~35% of tokens
+                words.append(_KEYWORDS[next(rng) % len(_KEYWORDS)])
+            elif r < 60:  # snake_case identifier
+                a, b = _IDENT_STEMS[next(rng) % 24], _IDENT_STEMS[next(rng) % 24]
+                words.append(f"{a}_{b}")
+            elif r < 85:  # camelCase identifier
+                a, b = _IDENT_STEMS[next(rng) % 24], _IDENT_STEMS[next(rng) % 24]
+                words.append(a + b.capitalize())
+            else:
+                words.append(_IDENT_STEMS[next(rng) % 24])
+        content = " ".join(words)
+        rows.append(
+            {
+                "repo": f"org{i % 7}/proj{i % 13}",
+                "path": f"src/module_{i % 31}/file_{i}.{lang[:2]}",
+                "commit": hashlib.sha1(str(i).encode()).hexdigest(),
+                "lang": lang,
+                "content": content,
+                "doc_id": i,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def synth_corpus(spark: SparkSession, n_docs: int, seed: int = 42, **kw) -> DataFrame:
+    pdf = synth_corpus_pdf(n_docs, seed, **kw)
+    return with_ingest_columns(spark.createDataFrame(pdf))

@@ -1,0 +1,58 @@
+"""Slow, obviously-correct pure-pandas BM25 oracle (SURVEY §5.2).
+
+Same tokenizer functions as the engine (tokenize_py), Okapi BM25
+k1=1.2 b=0.75, contributions summed in sorted term order, ties broken by
+ascending doc_id. The Spark engine must match docIDs exactly
+(rank-identical) and scores to 1e-9.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pandas as pd
+
+from sparkgrep import BM25_B, BM25_K1
+from sparkgrep.functions.tokenizer import tokenize_py
+
+
+def bm25_oracle(
+    docs: pd.DataFrame,  # columns: doc_id, content
+    query_text: str,
+    k: int = 10,
+    analyzer: str = "simple",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    idf_variant: str = "okapi",
+) -> pd.DataFrame:
+    toks = {int(r.doc_id): tokenize_py(r.content, analyzer) for r in docs.itertuples()}
+    dls = {d: len(t) for d, t in toks.items()}
+    n = len(toks)
+    avgdl = sum(dls.values()) / n if n else 0.0
+    tfs = {d: Counter(t) for d, t in toks.items()}
+
+    qterms = sorted(set(tokenize_py(query_text, analyzer)))
+    dfs = {t: sum(1 for c in tfs.values() if t in c) for t in qterms}
+
+    def idf(df_):
+        x = (n - df_ + 0.5) / (df_ + 0.5)
+        return math.log(x) if idf_variant == "okapi" else math.log1p(x)
+
+    rows = []
+    for d, c in tfs.items():
+        score = 0.0
+        matched = False
+        for t in qterms:  # sorted term order == engine's array_sort fold
+            tf = c.get(t, 0)
+            if tf == 0 or dfs[t] == 0:
+                continue
+            matched = True
+            denom = tf + k1 * (1 - b + b * dls[d] / avgdl)
+            score += idf(dfs[t]) * tf * (k1 + 1) / denom
+        if matched:
+            rows.append((d, score))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    out = pd.DataFrame(rows[:k], columns=["doc_id", "score"])
+    out.insert(0, "rank", range(1, len(out) + 1))
+    return out
