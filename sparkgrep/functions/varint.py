@@ -1,0 +1,71 @@
+"""Vectorized varint + delta(gap) codec for posting lists.
+
+The reference's index stores doclists as delta-encoded varints inside
+SQLite FTS5 (public file format; fed row-at-a-time by triggers,
+``message_manager.py:113-137``). The engine re-derives the same encoding
+as numpy batch kernels that run inside Arrow UDF workers — no per-row
+Python loops (BASELINE.json input_hint).
+
+Encoding: little-endian base-128, 7 payload bits per byte, high bit =
+continuation (the protobuf/SQLite varint). docID streams are
+gap-encoded first (sorted unique ids → first id, then deltas).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_SHIFTS = (7 * np.arange(10, dtype=np.uint64)).astype(np.uint64)  # uint64 → ≤10 bytes
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """Encode a non-negative int array to a varint byte stream."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # 7-bit groups: (n, 10)
+    groups = (v[:, None] >> _SHIFTS) & np.uint64(0x7F)
+    # bytes needed per value: index of highest nonzero group + 1 (min 1)
+    nz = groups != 0
+    nbytes = np.where(nz.any(axis=1), 10 - np.argmax(nz[:, ::-1], axis=1), 1)
+    keep = np.arange(10)[None, :] < nbytes[:, None]
+    cont = np.arange(10)[None, :] < (nbytes - 1)[:, None]
+    out = (groups | (cont.astype(np.uint64) << np.uint64(7))).astype(np.uint8)
+    return out[keep].tobytes()
+
+
+def varint_decode(buf: bytes) -> np.ndarray:
+    """Decode a varint byte stream → uint64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_end = (b & 0x80) == 0
+    n = int(is_end.sum())
+    # group index per byte: 0-based id of the value each byte belongs to
+    gid = np.zeros(b.size, dtype=np.int64)
+    gid[1:] = np.cumsum(is_end[:-1])
+    # byte position within its group
+    starts = np.zeros(n, dtype=np.int64)
+    ends = np.flatnonzero(is_end)
+    starts[1:] = ends[:-1] + 1
+    pos = np.arange(b.size, dtype=np.int64) - starts[gid]
+    vals = np.zeros(n, dtype=np.uint64)
+    payload = (b & 0x7F).astype(np.uint64) << (np.uint64(7) * pos.astype(np.uint64))
+    np.add.at(vals, gid, payload)
+    return vals
+
+
+def gap_encode(sorted_ids: np.ndarray) -> bytes:
+    """Sorted strictly-increasing ids → first value + deltas, varint'd."""
+    ids = np.asarray(sorted_ids, dtype=np.int64)
+    if ids.size == 0:
+        return b""
+    gaps = np.empty_like(ids)
+    gaps[0] = ids[0]
+    np.subtract(ids[1:], ids[:-1], out=gaps[1:])
+    return varint_encode(gaps.astype(np.uint64))
+
+
+def gap_decode(buf: bytes) -> np.ndarray:
+    gaps = varint_decode(buf).astype(np.int64)
+    return np.cumsum(gaps)

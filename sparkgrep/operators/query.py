@@ -1,0 +1,141 @@
+"""Index-backed BM25 top-k serving (reference ``search_by_keywords``,
+``message_manager.py:225-264``, rebuilt over the engine's postings table).
+
+Query lifecycle (SURVEY §3.3): tokenize the query with the index's own
+analyzer → prune the postings scan to the query terms' hash buckets
+(partition pruning on the ``bucket=`` directory column, then row-group
+min/max on ``term``) → decode varint postings and score in one numpy
+pass (`mapInPandas`) → deterministic ordered-fold aggregation per doc →
+distributed top-k. No join against a doc-length table: dl is stored in
+the posting payload, so a query touches ONLY its terms' shards.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparkgrep.functions.tokenizer import tokenize_py
+from sparkgrep.functions.varint import gap_decode, varint_decode
+from sparkgrep.operators.index_build import IndexMeta, load_meta
+
+
+def _decode_score_gen(meta: IndexMeta):
+    k1, b, avgdl, n_docs = meta.k1, meta.b, meta.avgdl, meta.n_docs
+    variant = meta.idf_variant
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for r in pdf.itertuples():
+                ids = gap_decode(r.doc_ids)
+                tfs = varint_decode(r.tfs).astype(np.int64)
+                dls = varint_decode(r.dls).astype(np.int64)
+                x = (n_docs - r.df + 0.5) / (r.df + 0.5)
+                idf = math.log(x) if variant == "okapi" else math.log1p(x)
+                contrib = idf * (tfs * (k1 + 1.0)) / (
+                    tfs + (k1 * ((1.0 - b) + ((b * dls) / avgdl)))
+                )
+                outs.append(
+                    pd.DataFrame(
+                        {"term": r.term, "doc_id": ids.astype(np.int64), "contrib": contrib}
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return gen
+
+
+class InvertedIndex:
+    """Handle over a built index directory."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.meta = load_meta(index_dir)
+        self.postings = spark.read.parquet(f"{index_dir}/postings")
+
+    # -- internals ----------------------------------------------------------
+
+    def _buckets_for(self, terms: list[str]) -> list[int]:
+        # xxhash64 parity with the build side: evaluate the same Spark
+        # expression on a tiny local relation (one row per query term).
+        tdf = self.spark.createDataFrame([(t,) for t in terms], "term string")
+        rows = tdf.select(
+            F.pmod(F.xxhash64("term"), F.lit(self.meta.n_buckets)).cast("int").alias("b")
+        ).collect()
+        return sorted({r["b"] for r in rows})
+
+    def _matched(self, terms: list[str]) -> DataFrame:
+        buckets = self._buckets_for(terms)
+        return self.postings.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+        )
+
+    def _contribs(self, terms: list[str]) -> DataFrame:
+        return self._matched(terms).mapInPandas(
+            _decode_score_gen(self.meta), "term string, doc_id long, contrib double"
+        )
+
+    @staticmethod
+    def _fold_scores(contribs: DataFrame, extra_keys: list[str] | None = None) -> DataFrame:
+        keys = (extra_keys or []) + ["doc_id"]
+        # deterministic float sum: fold contributions in sorted term order
+        return contribs.groupBy(*keys).agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "contrib"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["contrib"],
+            ).alias("score")
+        )
+
+    # -- public API ---------------------------------------------------------
+
+    def search(self, query_text: str, k: int = 10) -> DataFrame:
+        """One query → (rank, doc_id, score); match-or-drop, ties by doc_id."""
+        terms = sorted(set(tokenize_py(query_text, self.meta.analyzer)))
+        if not terms:
+            return self.spark.createDataFrame([], "rank int, doc_id long, score double")
+        scored = self._fold_scores(self._contribs(terms))
+        top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+            "rank", "doc_id", "score"
+        )
+
+    def search_batch(self, queries: list[tuple[str, str, int]]) -> DataFrame:
+        """[(query_id, query_text, k)] → (query_id, rank, doc_id, score).
+
+        One postings scan serves all queries: decode each matched term
+        once, then fan contributions out to the queries that contain the
+        term via a broadcast join.
+        """
+        qterm_rows = []
+        kmap = {}
+        for qid, text, k in queries:
+            kmap[qid] = k
+            for t in sorted(set(tokenize_py(text, self.meta.analyzer))):
+                qterm_rows.append((qid, t))
+        if not qterm_rows:
+            return self.spark.createDataFrame(
+                [], "query_id string, rank int, doc_id long, score double"
+            )
+        qterms = self.spark.createDataFrame(qterm_rows, "query_id string, term string")
+        kdf = self.spark.createDataFrame(list(kmap.items()), "query_id string, k int")
+
+        all_terms = sorted({t for _, t in qterm_rows})
+        contribs = self._contribs(all_terms).join(F.broadcast(qterms), "term")
+        scored = self._fold_scores(contribs, ["query_id"])
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .join(F.broadcast(kdf), "query_id")
+            .filter(F.col("rank") <= F.col("k"))
+            .select("query_id", "rank", "doc_id", "score")
+        )

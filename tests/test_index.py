@@ -1,0 +1,139 @@
+"""Index build + index-backed query: must be rank- AND score-identical
+to the exact scorer path (which is itself oracle-verified), deterministic
+across parallelism, and correctly sharded/compressed."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sparkgrep.functions.varint import gap_decode, varint_decode
+from sparkgrep.operators import score as S
+from sparkgrep.operators import stats as ST
+from sparkgrep.operators.index_build import build_index, spimi_term_freqs
+from sparkgrep.operators.query import InvertedIndex
+
+QUERIES = ["hash join table", "spark query filter sort", "the", "window merge small"]
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idx") / "sf0001")
+    build_index(corpus, out, analyzer="simple", n_buckets=8)
+    return InvertedIndex(spark, out)
+
+
+@pytest.fixture(scope="module")
+def exact(corpus):
+    tf = ST.term_freqs(corpus, "simple").cache()
+    stats = ST.corpus_stats(ST.doc_lengths(corpus, "simple"))
+    return tf, stats
+
+
+def test_spimi_matches_native_term_freqs(corpus):
+    a = spimi_term_freqs(corpus, "simple").toPandas().sort_values(["term", "doc_id"])
+    b = ST.term_freqs(corpus, "simple").toPandas().sort_values(["term", "doc_id"])
+    assert a.reset_index(drop=True).equals(
+        b[["term", "doc_id", "tf", "dl"]].reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_index_path_matches_exact_path(index, exact, query):
+    tf, stats = exact
+    got = index.search(query, k=10).toPandas()
+    want = S.search(tf, stats, query, k=10).toPandas()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert (got["score"].to_numpy() == want["score"].to_numpy()).all()
+
+
+def test_no_match_and_empty(index):
+    assert index.search("zqzqzq", k=5).count() == 0
+    assert index.search("  !! ", k=5).count() == 0
+
+
+def test_batch_matches_single(index):
+    qs = [("q1", "hash join table", 5), ("q2", "the", 3), ("q0", "zqzq", 4)]
+    batch = index.search_batch(qs).toPandas()
+    assert set(batch["query_id"]) == {"q1", "q2"}
+    for qid, text, k in qs:
+        single = index.search(text, k).toPandas()
+        got = batch[batch["query_id"] == qid].sort_values("rank")
+        assert got["doc_id"].tolist() == single["doc_id"].tolist()
+        assert (got["score"].to_numpy() == single["score"].to_numpy()).all()
+
+
+def test_postings_roundtrip(index, exact):
+    tf, _ = exact
+    rows = index._matched(["table"]).collect()
+    assert rows, "term 'table' must exist"
+    decoded_ids = np.concatenate([gap_decode(bytes(r["doc_ids"])) for r in rows])
+    decoded_tfs = np.concatenate([varint_decode(bytes(r["tfs"])) for r in rows])
+    want = (
+        tf.filter(F.col("term") == "table")
+        .orderBy("doc_id")
+        .select("doc_id", "tf")
+        .toPandas()
+    )
+    order = np.argsort(decoded_ids)
+    assert (decoded_ids[order] == want["doc_id"].to_numpy()).all()
+    assert (decoded_tfs[order] == want["tf"].to_numpy()).all()
+    assert rows[0]["df"] == len(want)
+
+
+def test_sharding_bounds_group_size(spark, code_corpus, tmp_path):
+    """Hot terms (Zipf head) must split across shards when df exceeds
+    postings_per_shard — the skew-defusing property."""
+    out = str(tmp_path / "sharded")
+    build_index(code_corpus, out, analyzer="code", postings_per_shard=50, n_buckets=4)
+    idx = InvertedIndex(spark, out)
+    per_shard = (
+        idx.postings.groupBy("term")
+        .agg(F.countDistinct("shard").alias("ns"), F.first("df").alias("df"), F.max("n").alias("maxn"))
+        .collect()
+    )
+    hot = [r for r in per_shard if r["df"] > 50]
+    assert hot, "synthetic corpus must contain hot terms"
+    for r in hot:
+        assert r["ns"] > 1, f"hot term {r} not sharded"
+    # expected shard fill ≈ df/ns; generous bound for hash imbalance
+    for r in per_shard:
+        assert r["maxn"] <= 3 * 50 + 10
+
+
+def test_index_determinism_across_parallelism(spark, corpus, tmp_path):
+    """Same corpus, different partitioning → identical postings bytes
+    (the N vs 4N determinism gate at the artifact level)."""
+    outs = []
+    for i, nparts in enumerate((2, 13)):
+        out = str(tmp_path / f"det{i}")
+        build_index(corpus.repartition(nparts), out, analyzer="simple", n_buckets=4)
+        pdf = (
+            InvertedIndex(spark, out)
+            .postings.select("term", "shard", "df", "cf", "n", "doc_ids", "tfs", "dls")
+            .toPandas()
+            .sort_values(["term", "shard"])
+            .reset_index(drop=True)
+        )
+        outs.append(pdf)
+    a, b = outs
+    assert a.equals(b)
+
+
+def test_block_max_is_upper_bound(index, exact):
+    tf, stats = exact
+    rows = index._matched(["table", "the"]).collect()
+    for r in rows:
+        ids = gap_decode(bytes(r["doc_ids"]))
+        tfs = varint_decode(bytes(r["tfs"])).astype(float)
+        dls = varint_decode(bytes(r["dls"])).astype(float)
+        import math
+
+        idf = math.log((index.meta.n_docs - r["df"] + 0.5) / (r["df"] + 0.5))
+        contrib = idf * (tfs * 2.2) / (tfs + 1.2 * (0.25 + 0.75 * dls / index.meta.avgdl))
+        bm = np.asarray(r["block_max"])
+        blk = index.meta.block_size
+        for i in range(len(bm)):
+            seg = contrib[i * blk : (i + 1) * blk]
+            assert seg.max() <= bm[i] + 1e-6
