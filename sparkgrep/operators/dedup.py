@@ -1,0 +1,218 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All variants operate on a documents DataFrame ``(doc_id, text)`` and are
+expressed with native Spark SQL functions wherever possible so Catalyst
+keeps them JVM-side; hash primitives are md5/sha2 **string** digests so
+the DuckDB correctness oracle can reproduce every value bit-for-bit
+(engine-neutral, unlike xxhash64).
+
+- exact:        hash-groupBy on the full text digest
+- minhash+LSH:  token-shingle → per-seed min(md5(seed:shingle)) signature
+                → banded LSH bucket join → candidate pairs
+- simhash:      32-bit md5-derived simhash + hamming-distance pairs
+- n-gram Jaccard: exact shingle-set Jaccard via shingle self-join
+
+Scale notes (100 TB): every op here is shuffle-bounded by design —
+exact dedup shuffles one 32-byte digest per doc; minhash shuffles
+n_hashes values per doc and joins on (band, signature) buckets whose
+expected size is tiny under any real corpus; the exact-Jaccard join is
+quadratic per shingle bucket and is the *verification* tool for pairs
+already proposed by LSH, not a corpus-wide sweep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sparkgrep.functions.tokenizer import simple_tokens_col
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical docs: (content_md5, n_dups, keeper).
+    keeper = min doc_id (deterministic last-write-wins analogue of the
+    reference's INSERT OR REPLACE dedup, message_manager.py:180)."""
+    return (
+        docs.select("doc_id", F.md5(F.col(text_col)).alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep one row per distinct text (min doc_id wins)."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy("doc_id")
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def token_positions(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, pos, term), pos 1-based — shared basis for shingling."""
+    toks = docs.select("doc_id", simple_tokens_col(F.col(text_col)).alias("toks"))
+    return toks.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "term")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+
+
+def shingles(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, pos, shingle): k-token shingles via lead() windows — the
+    same construction the DuckDB oracle uses, so values match exactly."""
+    pos = token_positions(docs, text_col)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("term")] + [F.lead("term", i).over(w) for i in range(1, k)]
+    joined = parts[0]
+    for p in parts[1:]:
+        joined = F.concat(joined, F.lit(" "), p)
+    return pos.select("doc_id", "pos", joined.alias("shingle")).filter(
+        F.col("shingle").isNotNull()
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, n_hashes: int = 16, k: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, seed, mh): per-seed minhash where the 'hash' is the md5
+    hex digest of 'seed:shingle' and min is the lexicographic string min
+    — deterministic and engine-neutral."""
+    sh = shingles(docs, k, text_col).select("doc_id", "shingle").distinct()
+    seeds = docs.sparkSession.range(n_hashes).select(F.col("id").cast("int").alias("seed"))
+    return (
+        sh.crossJoin(F.broadcast(seeds))
+        .select(
+            "doc_id",
+            "seed",
+            F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("mh"))
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id_a, doc_id_b, est_jaccard): pairs sharing ≥1 LSH band,
+    with the estimated Jaccard = fraction of matching minhashes.
+
+    Band signature = md5 of the band's minhashes joined in seed order;
+    the bucket join is an equi-join on (band, sig) — broadcast-free,
+    shuffle keyed on the band signature, skew-safe because identical
+    signatures imply near-identical docs."""
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signatures(docs, n_hashes, k, text_col)
+    band_sigs = (
+        sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                        lambda s: s["mh"],
+                    ),
+                    ",",
+                )
+            ).alias("sig")
+        )
+    )
+    a, b2 = band_sigs.alias("a"), band_sigs.alias("b")
+    pairs = (
+        a.join(b2, (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .distinct()
+    )
+    # estimated jaccard from full signatures for the candidate pairs
+    sa = sigs.select(F.col("doc_id").alias("doc_id_a"), "seed", F.col("mh").alias("mh_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_id_b"), "seed", F.col("mh").alias("mh_b"))
+    return (
+        pairs.join(sa, "doc_id_a")
+        .join(sb, ["doc_id_b", "seed"])
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(
+            (F.sum(F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0)) / F.lit(n_hashes))
+            .alias("est_jaccard")
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, k: int = 3, threshold: float = 0.5, text_col: str = "text"
+) -> DataFrame:
+    """Exact Jaccard over distinct k-token shingle sets:
+    (doc_id_a, doc_id_b, jaccard ≥ threshold). Inverted self-join on the
+    shingle — at corpus scale this runs on LSH candidates, not all docs."""
+    sh = shingles(docs, k, text_col).select("doc_id", "shingle").distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(na, "doc_id_a")
+        .join(nb, "doc_id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+    )
+
+
+def _hex_digit_val(c):
+    return F.instr(F.lit("0123456789abcdef"), c) - 1
+
+
+def simhash32(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash): 32-bit simhash over tokens, bits drawn from the
+    first 8 hex digits of md5(term), weighted by tf. Engine-neutral: the
+    identical arithmetic runs in the DuckDB oracle."""
+    spark = docs.sparkSession
+    tf = (
+        token_positions(docs, text_col)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", F.md5("term"))
+    )
+    bits = spark.range(32).select(F.col("id").cast("int").alias("bit"))
+    bitvals = (
+        tf.crossJoin(F.broadcast(bits))
+        .withColumn("digit", _hex_digit_val(F.expr("substring(h, cast(bit / 4 as int) + 1, 1)")))
+        .withColumn("bitval", F.expr("shiftright(digit, 3 - cast(bit % 4 as int)) & 1"))
+        .withColumn("w", F.col("tf") * (F.col("bitval") * 2 - 1))
+    )
+    return (
+        bitvals.groupBy("doc_id", "bit")
+        .agg(F.sum("w").alias("v"))
+        .withColumn("on", (F.col("v") > 0).cast("long"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.expr("`on` * shiftleft(cast(1 as bigint), bit)")).alias("simhash"))
+    )
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id_a, doc_id_b, hamming ≤ max_hamming). Pairwise here (test
+    scale); the scale path blocks on simhash bands (4×8-bit chunks) so
+    only same-chunk pairs are compared — same trick as LSH."""
+    s = simhash32(docs, text_col)
+    a = s.select(F.col("doc_id").alias("doc_id_a"), F.col("simhash").alias("ha"))
+    b = s.select(F.col("doc_id").alias("doc_id_b"), F.col("simhash").alias("hb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_id_a", "doc_id_b", "hamming")
+    )

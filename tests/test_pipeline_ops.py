@@ -1,0 +1,152 @@
+"""Training-data pipeline operators: dedup, similarity, text analysis,
+multimodal plumbing — invariants + small numpy/pandas oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sparkgrep.operators import dedup as D
+from sparkgrep.operators import multimodal as M
+from sparkgrep.operators import similarity as SIM
+from sparkgrep.operators import textstats as T
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
+        (2, "the quick brown fox leaps over the lazy dog"),          # near dup
+        (3, "spark shuffles data between stages for the join"),
+        (4, "совершенно другой текст на русском языке"),
+        (5, "le chat est sur la table et il dort"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(docs):
+    groups = D.exact_dup_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_dups"] == 2 and groups[0]["keeper"] == 0
+    kept = D.dedup_exact(docs)
+    assert kept.count() == 5
+    assert kept.filter(F.col("doc_id") == 1).count() == 0
+
+
+def test_shingles(docs):
+    sh = D.shingles(docs.filter("doc_id = 3"), k=3).orderBy("pos").collect()
+    assert sh[0]["shingle"] == "spark shuffles data"
+    assert sh[-1]["shingle"] == "for the join"
+    assert len(sh) == 8 - 2  # n_tokens - k + 1
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {
+        (r["doc_id_a"], r["doc_id_b"]): r["est_jaccard"]
+        for r in D.lsh_candidate_pairs(docs, n_hashes=16, bands=4).collect()
+    }
+    assert pairs.get((0, 1)) == 1.0          # identical docs always collide
+    assert (0, 3) not in pairs and (0, 4) not in pairs
+
+
+def test_ngram_jaccard(docs):
+    rows = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, k=3, threshold=0.1).collect()
+    }
+    assert rows[(0, 1)] == 1.0
+    # doc 2 differs in 1 token of 9 → shares 4 of its 7 shingles with doc 0
+    got = rows[(0, 2)]
+    assert 0.3 < got < 0.7
+
+
+def test_simhash(docs):
+    s = {r["doc_id"]: r["simhash"] for r in D.simhash32(docs).collect()}
+    assert s[0] == s[1]
+    assert all(0 <= v < 2**32 for v in s.values())
+    pairs = {(r["doc_id_a"], r["doc_id_b"]): r["hamming"] for r in D.simhash_pairs(docs, 5).collect()}
+    assert pairs[(0, 1)] == 0
+    near = D.simhash_pairs(docs, max_hamming=8).collect()
+    assert any({r["doc_id_a"], r["doc_id_b"]} == {0, 2} for r in near)
+
+
+def test_cosine_topk_matches_numpy(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pdf = emb.toPandas()
+    q = list(map(float, pdf.loc[pdf.vec_id == 0, "embedding"].iloc[0]))
+    got = SIM.cosine_topk(emb, q, k=5).toPandas()
+    mat = np.stack(pdf["embedding"].map(np.asarray))
+    qv = np.asarray(q)
+    cos = mat @ qv / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qv))
+    order = sorted(range(len(cos)), key=lambda i: (-cos[i], pdf["vec_id"][i]))[:5]
+    assert got["vec_id"].tolist() == [int(pdf["vec_id"][i]) for i in order]
+    assert got["vec_id"].iloc[0] == 0 and got["cosine"].iloc[0] == pytest.approx(1.0)
+    np.testing.assert_allclose(
+        got["cosine"].to_numpy(), [cos[i] for i in order], atol=1e-6
+    )
+
+
+def test_lsh_cosine_is_subset_of_bruteforce(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = list(map(float, emb.filter("vec_id = 7").collect()[0]["embedding"]))
+    approx = SIM.lsh_cosine_topk(emb, q, k=5, n_planes=4)
+    rows = approx.collect()
+    assert rows and rows[0]["vec_id"] == 7  # query's own vector shares its bucket
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(0, "Hello, world! 42 times")], "doc_id long, text string")
+    r = T.token_counts(df).collect()[0]
+    assert r["n_ws"] == 4
+    # hello , world ! 42 times
+    assert r["n_bpe"] == 6
+
+
+def test_quality_scores(docs):
+    rows = {r["doc_id"]: r for r in T.quality_scores(docs).collect()}
+    assert rows[0]["stop_ratio"] == pytest.approx(2 / 9)
+    assert 0.0 <= rows[4]["score"] <= 1.0
+    assert rows[0]["score"] > rows[4]["score"]  # english prose beats foreign short text
+
+
+def test_lang_id(docs):
+    preds = {r["doc_id"]: r["pred_lang"] for r in T.lang_id(docs).collect()}
+    assert preds[0] == "en"
+    assert preds[5] == "fr"
+
+
+def test_winnow_fingerprints(docs):
+    fps = T.winnow_fingerprints(docs, k=3, w=4)
+    a = set(r["fp"] for r in fps.filter("doc_id = 0").collect())
+    b = set(r["fp"] for r in fps.filter("doc_id = 1").collect())
+    c = set(r["fp"] for r in fps.filter("doc_id = 2").collect())
+    assert a and a == b           # identical docs → identical fingerprints
+    assert a != c and a & c       # near dup → overlapping but not equal
+
+
+def test_multimodal_features(spark):
+    media = M.synth_media(spark, 24)
+    feats = M.extract_features(media).toPandas()
+    assert len(feats) == 24
+    assert all(len(f) == M.FEATURE_DIM for f in feats["feature"])
+    # deterministic: same payload → same feature
+    again = M.extract_features(media).toPandas().sort_values("media_id")
+    assert (
+        np.stack(feats.sort_values("media_id")["feature"].map(np.asarray))
+        == np.stack(again["feature"].map(np.asarray))
+    ).all()
+
+
+def test_multimodal_frame_sampling(spark):
+    media = M.synth_media(spark, 9)
+    frames = M.sample_frames(media, every_ms=500).toPandas()
+    vids = media.filter("kind = 'video'").toPandas()
+    want = int(sum(v // 500 + 1 for v in vids["duration_ms"]))
+    assert len(frames) == want
+
+
+def test_resize_is_stubbed(spark):
+    with pytest.raises(NotImplementedError):
+        M.resize_images(M.synth_media(spark, 3), 32, 32)
