@@ -1,38 +1,618 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator from SURVEY.md §2 as a
+(spark, sf_dir) -> DataFrame callable; ``oracle_sql()`` carries the
+DuckDB-dialect ANSI SQL that reproduces each result bit-for-bit (modulo
+documented rounding of libm-derived floats). Column names and dtypes are
+aligned on both sides because the driver's compare hashes values after
+sorting columns by name.
+
+Engine: :mod:`sparkgrep` (see SURVEY.md for the blueprint, README for
+the architecture).
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkgrep import BM25_B, BM25_K1
+
+# ---------------------------------------------------------------------------
+# flagship inputs
+
+FLAGSHIP_QUERY = "hash join table window"
+MULTI_QUERIES = [
+    ("q_hot", "the", 5),                      # hot token, df ≈ N
+    ("q_mid", "spark query filter sort", 10),
+    ("q_none", "zqzqzq nothing", 10),         # no-match → no rows
+    ("q_two", "merge batch", 7),
+]
+
+# shared DuckDB CTE prelude: tokenize `documents` exactly like the
+# engine's `simple` analyzer
+_TOK_CTES = """
+tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, u.pos AS pos, u.term AS term
+  FROM tok,
+       unnest(list_transform(toks, (t, i) -> struct_pack(pos := i, term := t))) AS v(u)
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM pos GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tok),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl, sum(dl) AS tot FROM dl)
+"""
+
+
+def _bm25_sql(terms: list[str], k: int, with_qid: str | None = None) -> str:
+    """DuckDB BM25 (okapi idf, k1=1.2 b=0.75) for one query, mirroring the
+    engine's exact operation order (score.py:bm25_contrib_col)."""
+    tlist = ", ".join(f"('{t}')" for t in sorted(set(terms)))
+    qid_col = f"'{with_qid}' AS query_id, " if with_qid else ""
+    return f"""
+WITH {_TOK_CTES},
+qt(term) AS (VALUES {tlist}),
+dfq AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN (SELECT term FROM qt) GROUP BY term
+),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5))
+           * (tf.tf * {BM25_K1 + 1.0})
+           / (tf.tf + ({BM25_K1} * ({1.0 - BM25_B} + (({BM25_B} * dl.dl) / stats.avgdl)))) AS c
+  FROM tf
+  JOIN dfq USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+),
+scored AS (SELECT doc_id, sum(c ORDER BY term) AS score FROM contrib GROUP BY doc_id)
+SELECT {qid_col}CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, round(score, 4) AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def _tokenize(text: str) -> list[str]:
+    from sparkgrep.functions.tokenizer import tokenize_py
+
+    return sorted(set(tokenize_py(text, "simple")))
+
+
+# ---------------------------------------------------------------------------
+# Spark-side query callables
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkgrep.sources.corpus import load_corpus
+
+    return load_corpus(spark, sf_dir)
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkgrep.operators.stats import doc_lengths
+
+    dls = doc_lengths(_corpus(spark, sf_dir), "simple")
+    return dls.agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("dl"), 6).alias("avgdl"),
+        F.sum("dl").cast("long").alias("total_tokens"),
+    )
+
+
+def q_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkgrep.operators.stats import doc_lengths
+
+    return doc_lengths(_corpus(spark, sf_dir), "simple").select(
+        "doc_id", F.col("dl").cast("long").alias("dl")
+    )
+
+
+def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkgrep.operators.stats import doc_freqs, term_freqs
+
+    return doc_freqs(term_freqs(_corpus(spark, sf_dir), "simple")).select(
+        "term", F.col("df").cast("long").alias("df"), "cf"
+    )
+
+
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkgrep.operators.stats import doc_freqs, term_freqs
+
+    return (
+        doc_freqs(term_freqs(_corpus(spark, sf_dir), "simple"))
+        .orderBy(F.desc("cf"), F.asc("term"))
+        .limit(20)
+        .select("term", F.col("df").cast("long").alias("df"), "cf")
+    )
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-path BM25 top-10 (SURVEY R1, R3, R5-R7)."""
+    from sparkgrep.operators.score import search
+    from sparkgrep.operators.stats import corpus_stats, doc_lengths, term_freqs
+
+    corpus = _corpus(spark, sf_dir)
+    tf = term_freqs(corpus, "simple")
+    stats = corpus_stats(doc_lengths(corpus, "simple"))
+    res = search(tf, stats, FLAGSHIP_QUERY, k=10, analyzer="simple")
+    return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
+
+
+def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-backed BM25: SPIMI build → sharded merge → varint postings →
+    pruned scan + decode + score (SURVEY R2, R4-R6). Same oracle as the
+    exact path — the index must change nothing."""
+    from sparkgrep.operators.index_build import build_index
+    from sparkgrep.operators.query import InvertedIndex
+
+    out = tempfile.mkdtemp(prefix="sparkgrep_idx_") + "/idx"
+    build_index(_corpus(spark, sf_dir), out, analyzer="simple", n_buckets=8)
+    res = InvertedIndex(spark, out).search(FLAGSHIP_QUERY, k=10)
+    return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
+
+
+def q_bm25_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multi-query serving over one index scan."""
+    from sparkgrep.operators.index_build import build_index
+    from sparkgrep.operators.query import InvertedIndex
+
+    out = tempfile.mkdtemp(prefix="sparkgrep_idx_") + "/idx"
+    build_index(_corpus(spark, sf_dir), out, analyzer="simple", n_buckets=8)
+    res = InvertedIndex(spark, out).search_batch(MULTI_QUERIES)
+    return res.select("query_id", "rank", "doc_id", F.round("score", 4).alias("score"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkgrep.operators.dedup import exact_dup_groups
+
+    return exact_dup_groups(_docs(spark, sf_dir))
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkgrep.operators.dedup import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(
+        _docs(spark, sf_dir), n_hashes=16, bands=4, k=3
+    ).select("doc_id_a", "doc_id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkgrep.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.2).select(
+        "doc_id_a", "doc_id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkgrep.operators.dedup import simhash32
+
+    return simhash32(_docs(spark, sf_dir))
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkgrep.operators.similarity import cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    qvec = [float(x) for x in emb.filter("vec_id = 0").collect()[0]["embedding"]]
+    return cosine_topk(emb, qvec, k=10).select(
+        "vec_id", F.round("cosine", 4).alias("cosine")
+    )
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkgrep.operators.textstats import token_counts
+
+    tc = token_counts(_docs(spark, sf_dir))
+    return tc.select(
+        "doc_id",
+        F.col("n_ws").cast("long").alias("n_ws"),
+        F.col("n_bpe").cast("long").alias("n_bpe"),
+    )
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkgrep.operators.textstats import quality_scores
+
+    return quality_scores(_docs(spark, sf_dir)).select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("stop_ratio", 6).alias("stop_ratio"),
+        F.round("mean_tok_len", 6).alias("mean_tok_len"),
+        "score",
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkgrep.operators.textstats import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkgrep.operators.textstats import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir), k=3, w=4)
+
+
+# -- generic relational operators over the TPC-H-ish tables (SURVEY §2.1-2.8)
+
+
+def q_events_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A4-style conditional aggregation in one pass."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("value_cents"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: IN-list point lookup."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.filter(F.col("event_id").isin([1, 5, 11, 99, 123])).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+def q_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/O2: full scan ordered by time desc, top-15."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.orderBy(F.desc("ts"), F.asc("event_id"))
+        .limit(15)
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+def q_last_write_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: last-write-wins upsert semantics via row_number window."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+def q_percentile_sigmoid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 + F6: sigmoid(clip(value)) then exact 85th/15th percentiles
+    (reference fixed_threshold_partitioner.py:50-86)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sig = ev.select(
+        F.expr(
+            "1.0 / (1.0 + exp(-greatest(-500.0, least(500.0, value / 100.0))))"
+        ).alias("s")
+    )
+    return sig.agg(
+        F.round(F.expr("percentile(s, 0.85)"), 6).alias("p85"),
+        F.round(F.expr("percentile(s, 0.15)"), 6).alias("p15"),
+    )
+
+
+def q_slugify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: slug generation chain (reference category_manager.py:347-362)."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    slug = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("p_name")), "[ _]+", "-"),
+            "[^a-z0-9-]",
+            "",
+        ),
+        "-+",
+        "-",
+    )
+    return part.select(F.col("p_partkey").alias("partkey"), slug.alias("slug"))
+
+
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3/A1: dedup + count."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select("user_id").distinct().orderBy("user_id")
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "corpus_stats": q_corpus_stats,
+    "doc_lengths": q_doc_lengths,
+    "term_stats": q_term_stats,
+    "top_terms": q_top_terms,
+    "bm25_topk": q_bm25_topk,
+    "bm25_indexed": q_bm25_indexed,
+    "bm25_multi": q_bm25_multi,
+    "dedup_exact": q_dedup_exact,
+    "minhash_lsh": q_minhash_lsh,
+    "ngram_jaccard": q_ngram_jaccard,
+    "simhash": q_simhash,
+    "cosine_topk": q_cosine_topk,
+    "token_counts": q_token_counts,
+    "quality": q_quality,
+    "lang_id": q_lang_id,
+    "winnow": q_winnow,
+    "events_summary": q_events_summary,
+    "point_lookup": q_point_lookup,
+    "recent_events": q_recent_events,
+    "last_write_wins": q_last_write_wins,
+    "percentile_sigmoid": q_percentile_sigmoid,
+    "slugify": q_slugify,
+    "distinct_users": q_distinct_users,
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build the inverted index over sf0.001 and serve the
+    flagship query through it, joined back to full rows (SURVEY §7.5)."""
+    from sparkgrep.operators.index_build import build_index
+    from sparkgrep.operators.query import InvertedIndex
+    from sparkgrep.operators.score import join_back
+    from sparkgrep.sources.corpus import load_corpus
+
+    sf_dir = "/root/testdata/sf0.001"
+    corpus = load_corpus(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="sparkgrep_entry_") + "/idx"
+    build_index(corpus, out, analyzer="simple", n_buckets=8)
+    res = InvertedIndex(spark, out).search(FLAGSHIP_QUERY, k=10)
+    return join_back(res, corpus).select(
+        "rank", "doc_id", "score", "repo", "path", "lang", "content_sha256"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    flagship_terms = _tokenize(FLAGSHIP_QUERY)
+    multi_blocks = []
+    for qid, text, k in MULTI_QUERIES:
+        terms = _tokenize(text)
+        if terms:
+            multi_blocks.append(_bm25_sql(terms, k, with_qid=qid))
+    multi_sql = " UNION ALL ".join(f"SELECT * FROM ({b})" for b in multi_blocks)
+
+    lang_profiles_sql = {
+        "de": "['der','die','das','und','ein','eine','ist','dass','für','in']",
+        "en": "['the','a','of','and','to','in','is','that','for','it']",
+        "es": "['el','la','de','y','un','una','es','que','por','en']",
+        "fr": "['le','la','de','et','un','une','est','que','pour','dans']",
+        "zh": "['的','是','在','了','和','有','我','不','人','这']",
+    }
+    lang_counts = ", ".join(
+        f"len(list_filter(toks, x -> list_contains({arr}, x))) AS n_{lg}"
+        for lg, arr in lang_profiles_sql.items()
+    )
+    stop_arr = (
+        "['the','a','of','and','to','in','is','that','for','it',"
+        "'on','as','at','by','an','be','this','with']"
+    )
+
+    return {
+        "corpus_stats": f"""
+WITH {_TOK_CTES}
+SELECT n AS n_docs, round(avgdl, 6) AS avgdl, tot AS total_tokens FROM stats
+""",
+        "doc_lengths": f"WITH {_TOK_CTES} SELECT doc_id, dl FROM dl",
+        "term_stats": f"""
+WITH {_TOK_CTES}
+SELECT term, count(*) AS df, sum(tf) AS cf FROM tf GROUP BY term
+""",
+        "top_terms": f"""
+WITH {_TOK_CTES}
+SELECT term, count(*) AS df, sum(tf) AS cf FROM tf GROUP BY term
+ORDER BY cf DESC, term ASC LIMIT 20
+""",
+        "bm25_topk": _bm25_sql(flagship_terms, 10),
+        "bm25_indexed": _bm25_sql(flagship_terms, 10),
+        "bm25_multi": multi_sql,
+        "dedup_exact": """
+SELECT md5(text) AS content_md5, count(*) AS n_dups, min(doc_id) AS keeper
+FROM documents GROUP BY md5(text) HAVING count(*) > 1
+""",
+        "minhash_lsh": f"""
+WITH {_TOK_CTES},
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w AS shingle
+    FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ) WHERE shingle IS NOT NULL
+),
+seeds AS (SELECT CAST(unnest(range(0, 16)) AS INTEGER) AS seed),
+sig AS (
+  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS mh
+  FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
+),
+band AS (
+  SELECT doc_id, seed // 4 AS band,
+         md5(string_agg(mh, ',' ORDER BY seed)) AS bsig
+  FROM sig GROUP BY doc_id, seed // 4
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM band a JOIN band b ON a.band = b.band AND a.bsig = b.bsig
+  WHERE a.doc_id < b.doc_id
+)
+SELECT p.doc_id_a, p.doc_id_b,
+       round(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 16.0, 6) AS est_jaccard
+FROM pairs p
+JOIN sig sa ON sa.doc_id = p.doc_id_a
+JOIN sig sb ON sb.doc_id = p.doc_id_b AND sb.seed = sa.seed
+GROUP BY p.doc_id_a, p.doc_id_b
+""",
+        "ngram_jaccard": f"""
+WITH {_TOK_CTES},
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w AS shingle
+    FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ) WHERE shingle IS NOT NULL
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_id_a, doc_id_b,
+       round(inter / (na.n_sh + nb.n_sh - inter), 6) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = inter.doc_id_a
+JOIN sizes nb ON nb.doc_id = inter.doc_id_b
+WHERE inter / (na.n_sh + nb.n_sh - inter) >= 0.2
+""",
+        "simhash": f"""
+WITH {_TOK_CTES},
+tfh AS (SELECT doc_id, term, count(*) AS tf, md5(term) AS h FROM pos GROUP BY doc_id, term),
+bits AS (SELECT CAST(unnest(range(0, 32)) AS INTEGER) AS bit),
+bv AS (
+  SELECT doc_id, bit,
+         sum(tf * (2 * ((strpos('0123456789abcdef', substr(h, (bit // 4) + 1, 1)) - 1
+                         >> (3 - (bit % 4))) & 1) - 1)) AS v
+  FROM tfh CROSS JOIN bits GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS simhash
+FROM bv GROUP BY doc_id
+""",
+        "cosine_topk": """
+WITH q AS (
+  SELECT generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS qv
+  FROM embeddings WHERE vec_id = 0
+),
+e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS ev
+  FROM embeddings
+),
+dots AS (
+  SELECT vec_id, sum(ev * qv ORDER BY i) AS dot,
+         sum(ev * ev ORDER BY i) AS na, sum(qv * qv ORDER BY i) AS nq
+  FROM e JOIN q USING (i) GROUP BY vec_id
+)
+SELECT vec_id, round(dot / (sqrt(na) * sqrt(nq)), 4) AS cosine
+FROM dots ORDER BY dot / (sqrt(na) * sqrt(nq)) DESC, vec_id ASC LIMIT 10
+""",
+        "token_counts": r"""
+SELECT doc_id,
+       CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_ws,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe
+FROM documents
+""",
+        "quality": f"""
+WITH tok AS (
+  SELECT doc_id, length(text) AS n_chars,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         len(list_filter(toks, x -> list_contains({stop_arr}, x)))
+           / greatest(len(toks), 1) AS stop_ratio,
+         list_sum(list_transform(toks, x -> length(x))) / greatest(len(toks), 1) AS mean_tok_len
+  FROM tok
+)
+SELECT doc_id, n_chars, n_tokens,
+       round(stop_ratio, 6) AS stop_ratio,
+       round(coalesce(mean_tok_len, 0), 6) AS mean_tok_len,
+       round(least(n_tokens / 50.0, 1.0) * 0.4
+             + least(stop_ratio * 5.0, 1.0) * 0.3
+             + CASE WHEN mean_tok_len >= 3 AND mean_tok_len <= 10 THEN 0.3 ELSE 0.0 END,
+             6) AS score
+FROM feat
+""",
+        "lang_id": f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+),
+counts AS (SELECT doc_id, {lang_counts} FROM tok)
+SELECT doc_id,
+       CASE greatest(n_de, n_en, n_es, n_fr, n_zh)
+         WHEN n_de THEN 'de' WHEN n_en THEN 'en' WHEN n_es THEN 'es'
+         WHEN n_fr THEN 'fr' ELSE 'zh' END AS pred_lang
+FROM counts
+""",
+        "winnow": f"""
+WITH {_TOK_CTES},
+sh AS (
+  SELECT doc_id, pos,
+         term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w AS shingle
+  FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+hashed AS (
+  SELECT doc_id, pos, md5(shingle) AS h,
+         count(*) OVER (PARTITION BY doc_id) AS n_sh
+  FROM sh WHERE shingle IS NOT NULL
+)
+SELECT DISTINCT doc_id,
+       min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+FROM hashed
+QUALIFY pos <= n_sh - 3
+""",
+        "events_summary": """
+SELECT event_type, count(*) AS n,
+       sum(CAST(round(value * 100, 0) AS BIGINT)) AS value_cents,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+""",
+        "point_lookup": """
+SELECT event_id, user_id, event_type FROM events
+WHERE event_id IN (1, 5, 11, 99, 123)
+""",
+        "recent_events": """
+SELECT event_id, user_id, event_type FROM events
+ORDER BY ts DESC, event_id ASC LIMIT 15
+""",
+        "last_write_wins": """
+SELECT user_id, event_id, event_type FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+        "percentile_sigmoid": """
+WITH sig AS (
+  SELECT 1.0 / (1.0 + exp(-greatest(-500.0, least(500.0, value / 100.0)))) AS s
+  FROM events
+)
+SELECT round(quantile_cont(s, 0.85), 6) AS p85,
+       round(quantile_cont(s, 0.15), 6) AS p15
+FROM sig
+""",
+        "slugify": """
+SELECT p_partkey AS partkey,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(lower(p_name), '[ _]+', '-', 'g'),
+           '[^a-z0-9-]', '', 'g'),
+         '-+', '-', 'g') AS slug
+FROM part
+""",
+        "distinct_users": "SELECT DISTINCT user_id FROM events ORDER BY user_id",
+    }

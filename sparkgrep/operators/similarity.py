@@ -15,18 +15,21 @@ from pyspark.sql import functions as F
 
 
 def _dot(a: Column, b: Column) -> Column:
-    # fold in array order → deterministic float sum, same order as the
-    # DuckDB oracle's list_dot_product
+    # fold in array order → deterministic float sum; all arithmetic in
+    # float64 (elements cast before multiply), same order as the DuckDB
+    # oracle's ordered sum over positions
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
-        lambda acc, x: acc + x.cast("double"),
+        lambda acc, x: acc + x,
     )
 
 
 def _norm(a: Column) -> Column:
     return F.sqrt(
-        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + (x * x).cast("double"))
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
     )
 
 
