@@ -1,0 +1,170 @@
+"""sparkgrep benchmark harness.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-phase seconds...}, "sf": ...,
+   "index_build_docs_per_sec": ..., "scaling": {...}}
+
+Phases (on $SPARK_GRAFT_SF_DIR, default /root/testdata/sf0.1):
+- index_build      — full SPIMI → sharded merge → varint postings build
+                     over the documents corpus replicated ×MULT
+                     (deterministic doc_id offsets; no external data)
+- bm25_p95         — p95 single-query latency over QUERY_SET against the
+                     built index (serving path)
+- bm25_batch       — all queries in one batched scan
+- minhash_lsh      — LSH candidate-pair job
+- simhash          — corpus simhash job
+
+Scaling evidence (north rule's N vs 4N clusters, sandbox substitution
+per driver instruction): the SAME index-build job runs in two
+subprocesses at local[8] and local[32]; we report docs/sec at both and
+efficiency = (T8 / T32) / 4.
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
+SPARKGREP_BENCH_MULT (corpus replication, default 10),
+SPARKGREP_SKIP_SCALING=1 to skip the subprocess runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+MULT = int(os.environ.get("SPARKGREP_BENCH_MULT", "10"))
+
+QUERY_SET = [
+    "hash join table window",
+    "spark query filter sort",
+    "the fast scan",
+    "merge batch stream",
+    "customer order line part",
+    "group window agg",
+    "slow small value",
+    "data row column key",
+]
+
+
+def scaled_corpus(spark, sf_dir: str, mult: int):
+    """documents.parquet replicated ×mult with deterministic doc_id
+    offsets — same text distribution, mult× the rows."""
+    from pyspark.sql import functions as F
+
+    from sparkgrep.sources.corpus import documents_as_corpus, load_documents, with_ingest_columns
+
+    docs = load_documents(spark, sf_dir)
+    n = docs.count()
+    reps = spark.range(mult).select(F.col("id").alias("rep"))
+    big = (
+        docs.crossJoin(F.broadcast(reps))
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * n)
+        .drop("rep")
+    )
+    return with_ingest_columns(documents_as_corpus(big)), n * mult
+
+
+def run_build(cpus: int, out_dir: str) -> dict:
+    """One measured index build at local[cpus]. JVM startup excluded."""
+    from sparkgrep.operators.index_build import build_index
+    from sparkgrep.session import get_spark
+
+    spark = get_spark(f"sparkgrep-bench-{cpus}", master=f"local[{cpus}]")
+    corpus, n_docs = scaled_corpus(spark, SF_DIR, MULT)
+    corpus = corpus.repartition(cpus * 2)
+    t0 = time.time()
+    build_index(corpus, out_dir, analyzer="simple", n_buckets=32)
+    dt = time.time() - t0
+    spark.stop()
+    return {"cpus": cpus, "n_docs": n_docs, "sec": round(dt, 3),
+            "docs_per_sec": round(n_docs / dt, 1)}
+
+
+def main() -> None:
+    if "--build-only" in sys.argv:  # subprocess mode for scaling runs
+        cpus = int(sys.argv[sys.argv.index("--cpus") + 1])
+        out = tempfile.mkdtemp(prefix=f"sparkgrep_bench_{cpus}_") + "/idx"
+        print("RESULT " + json.dumps(run_build(cpus, out)))
+        return
+
+    from sparkgrep.operators.dedup import lsh_candidate_pairs, simhash32
+    from sparkgrep.operators.query import InvertedIndex
+    from sparkgrep.session import get_spark
+
+    t_start = time.time()
+    timings: dict[str, float] = {}
+
+    # --- index build at SPARK_GRAFT_CPUS
+    out = tempfile.mkdtemp(prefix="sparkgrep_bench_") + "/idx"
+    build = run_build(CPUS, out)
+    timings["index_build"] = build["sec"]
+
+    spark = get_spark("sparkgrep-bench", master=f"local[{CPUS}]")
+
+    # --- query latency (serving path, one query at a time)
+    idx = InvertedIndex(spark, out)
+    lat = []
+    for q in QUERY_SET:
+        t0 = time.time()
+        idx.search(q, k=10).collect()
+        lat.append(time.time() - t0)
+    lat_sorted = sorted(lat)
+    timings["bm25_p50"] = round(statistics.median(lat), 3)
+    timings["bm25_p95"] = round(lat_sorted[max(0, int(len(lat) * 0.95) - 1)], 3)
+
+    # --- batched serving
+    t0 = time.time()
+    idx.search_batch([(f"q{i}", q, 10) for i, q in enumerate(QUERY_SET)]).collect()
+    timings["bm25_batch"] = round(time.time() - t0, 3)
+
+    # --- pipeline ops on raw sf documents
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    t0 = time.time()
+    lsh_candidate_pairs(docs, n_hashes=16, bands=4).count()
+    timings["minhash_lsh"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    simhash32(docs).count()
+    timings["simhash"] = round(time.time() - t0, 3)
+    spark.stop()
+
+    # --- scaling runs: same build at local[8] and local[32]
+    scaling = {}
+    if os.environ.get("SPARKGREP_SKIP_SCALING") != "1":
+        runs = {}
+        for cpus in (8, 32):
+            proc = subprocess.run(
+                [sys.executable, __file__, "--build-only", "--cpus", str(cpus)],
+                capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            for line in proc.stdout.splitlines():
+                if line.startswith("RESULT "):
+                    runs[cpus] = json.loads(line[len("RESULT "):])
+        if 8 in runs and 32 in runs:
+            eff = (runs[8]["sec"] / runs[32]["sec"]) / 4.0
+            scaling = {
+                "local8": runs[8],
+                "local32": runs[32],
+                "efficiency_8_to_32": round(eff, 3),
+            }
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    result = {
+        "metric": "sparkgrep index-build + BM25 serving + pipeline ops",
+        "value": round(time.time() - t_start, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "index_build_docs": build["n_docs"],
+        "index_build_docs_per_sec": build["docs_per_sec"],
+        "scaling": scaling,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -107,7 +107,9 @@ def lsh_candidate_pairs(
     shuffle keyed on the band signature, skew-safe because identical
     signatures imply near-identical docs."""
     rows_per_band = n_hashes // bands
-    sigs = minhash_signatures(docs, n_hashes, k, text_col)
+    # sigs feeds three branches (band buckets + both sides of the
+    # estimate join) — persist to avoid recomputing the shingle/md5 tree
+    sigs = minhash_signatures(docs, n_hashes, k, text_col).persist()
     band_sigs = (
         sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
         .groupBy("doc_id", "band")

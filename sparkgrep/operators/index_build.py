@@ -155,11 +155,10 @@ def _make_encoder(meta: IndexMeta):
     return encode
 
 
-def build_index(
-    corpus: DataFrame,
+def merge_and_write(
+    tf: DataFrame,
     out_dir: str,
-    analyzer: str = "simple",
-    use_lang: bool = False,
+    analyzer: str,
     n_buckets: int = 64,
     postings_per_shard: int = 1 << 20,
     block_size: int = BLOCK_SIZE,
@@ -167,62 +166,74 @@ def build_index(
     b: float = BM25_B,
     idf_variant: str = "okapi",
     mode: str = "overwrite",
+    t0: float | None = None,
 ) -> IndexMeta:
-    """Full index build job. Exactly three wide stages: doc_lens groupBy,
-    df groupBy, and the sharded merge groupBy (plus the tf↔df join)."""
-    spark = corpus.sparkSession
-    t0 = time.time()
+    """Global merge phase over term-frequency runs (from a live SPIMI
+    pass or from checkpointed segments): stats, df, sharded salted merge,
+    varint encode, partitioned write. Three wide stages total."""
+    t0 = t0 or time.time()
+    doc_lens = tf.groupBy("doc_id").agg(F.max("dl").alias("dl"))
+    row = doc_lens.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl"), F.sum("dl").alias("tot")
+    ).collect()[0]
+    meta = IndexMeta(
+        n_docs=int(row["n"]),
+        avgdl=float(row["avgdl"] or 0.0),
+        total_tokens=int(row["tot"] or 0),
+        analyzer=analyzer,
+        n_buckets=n_buckets,
+        postings_per_shard=postings_per_shard,
+        block_size=block_size,
+        k1=k1,
+        b=b,
+        idf_variant=idf_variant,
+    )
 
-    tf = spimi_term_freqs(corpus, analyzer, use_lang)
-    # Re-deriving tf twice (doc_lens + merge) would re-run the tokenizer;
-    # persist the SPIMI runs for the duration of the build.
-    tf.persist()
-    try:
-        doc_lens = tf.groupBy("doc_id").agg(F.max("dl").alias("dl"))
-        row = doc_lens.agg(
-            F.count("*").alias("n"), F.avg("dl").alias("avgdl"), F.sum("dl").alias("tot")
-        ).collect()[0]
-        meta = IndexMeta(
-            n_docs=int(row["n"]),
-            avgdl=float(row["avgdl"] or 0.0),
-            total_tokens=int(row["tot"] or 0),
-            analyzer=analyzer,
-            n_buckets=n_buckets,
-            postings_per_shard=postings_per_shard,
-            block_size=block_size,
-            k1=k1,
-            b=b,
-            idf_variant=idf_variant,
+    dfs = tf.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").cast("long").alias("cf")
+    )
+    joined = (
+        tf.join(dfs, "term")  # AQE skew-join splits hot-term partitions
+        .withColumn(
+            "n_shards",
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.col("df") / F.lit(postings_per_shard)).cast("int"),
+            ),
         )
-
-        dfs = tf.groupBy("term").agg(
-            F.count("*").alias("df"), F.sum("tf").cast("long").alias("cf")
-        )
-        joined = (
-            tf.join(dfs, "term")  # AQE skew-join splits hot-term partitions
-            .withColumn(
-                "n_shards",
-                F.greatest(
-                    F.lit(1),
-                    F.ceil(F.col("df") / F.lit(postings_per_shard)).cast("int"),
-                ),
-            )
-            .withColumn("shard", F.pmod(F.xxhash64("doc_id"), F.col("n_shards")).cast("int"))
-            .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
-        )
-        postings = joined.groupBy("term", "shard").applyInPandas(
-            _make_encoder(meta), POSTINGS_OUT_SCHEMA
-        )
-        postings.write.partitionBy("bucket").mode(mode).parquet(f"{out_dir}/postings")
-        doc_lens.write.mode(mode).parquet(f"{out_dir}/doc_lens")
-    finally:
-        tf.unpersist()
+        .withColumn("shard", F.pmod(F.xxhash64("doc_id"), F.col("n_shards")).cast("int"))
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+    )
+    postings = joined.groupBy("term", "shard").applyInPandas(
+        _make_encoder(meta), POSTINGS_OUT_SCHEMA
+    )
+    postings.write.partitionBy("bucket").mode(mode).parquet(f"{out_dir}/postings")
+    doc_lens.write.mode(mode).parquet(f"{out_dir}/doc_lens")
 
     os.makedirs(out_dir, exist_ok=True)
     payload = asdict(meta) | {"build_wall_sec": round(time.time() - t0, 3)}
     with open(f"{out_dir}/stats.json", "w") as f:
         json.dump(payload, f, indent=2)
     return meta
+
+
+def build_index(
+    corpus: DataFrame,
+    out_dir: str,
+    analyzer: str = "simple",
+    use_lang: bool = False,
+    **merge_kw,
+) -> IndexMeta:
+    """One-shot index build: SPIMI pass + global merge."""
+    t0 = time.time()
+    tf = spimi_term_freqs(corpus, analyzer, use_lang)
+    # Re-deriving tf twice (doc_lens + merge) would re-run the tokenizer;
+    # persist the SPIMI runs for the duration of the build.
+    tf.persist()
+    try:
+        return merge_and_write(tf, out_dir, analyzer, t0=t0, **merge_kw)
+    finally:
+        tf.unpersist()
 
 
 def load_meta(index_dir: str) -> IndexMeta:

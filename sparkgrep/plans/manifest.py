@@ -1,0 +1,139 @@
+"""Checkpointed, resumable index builds with per-segment lineage
+(north rule; SURVEY §7.6).
+
+The reference can only rebuild from scratch (``force_recreate``,
+``ingestion.py:26-34``). The engine splits the expensive phase — the
+SPIMI tokenize pass — into S deterministic segments (doc_id hash
+ranges). Each segment writes its term-frequency runs atomically
+(parquet dir + manifest entry committed only after the write succeeds)
+with lineage metrics:
+
+    segment_id, n_docs, n_tokens, n_postings, content_hash, wall_time_sec
+
+Resume = read the manifest, skip completed segments, build only the
+missing ones, then re-run the (cheap, stateless) global merge over all
+segment runs. The resulting index is byte-identical to a one-shot build
+because segment assignment is a pure hash of doc_id and the merge sorts
+before encoding.
+
+``segment_metrics`` exposes the manifest as a DataFrame (SURVEY A7).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkgrep.operators.index_build import IndexMeta, merge_and_write, spimi_term_freqs
+from sparkgrep.schema import SEGMENT_MANIFEST_SCHEMA
+
+
+def _manifest_path(out_dir: str) -> str:
+    return f"{out_dir}/manifest.jsonl"
+
+
+def read_manifest(out_dir: str) -> list[dict]:
+    path = _manifest_path(out_dir)
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def completed_segments(out_dir: str) -> set[int]:
+    return {m["segment_id"] for m in read_manifest(out_dir)}
+
+
+def _append_manifest(out_dir: str, entry: dict) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    with open(_manifest_path(out_dir), "a") as f:
+        f.write(json.dumps(entry) + "\n")
+
+
+def segment_metrics(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Lineage manifest as a queryable DataFrame (SURVEY A7)."""
+    rows = read_manifest(out_dir)
+    return spark.createDataFrame(
+        [
+            (
+                m["segment_id"], m["n_docs"], m["n_tokens"], m["n_postings"],
+                m["content_hash"], m["wall_time_sec"],
+            )
+            for m in rows
+        ],
+        SEGMENT_MANIFEST_SCHEMA,
+    )
+
+
+def build_index_checkpointed(
+    corpus: DataFrame,
+    out_dir: str,
+    analyzer: str = "simple",
+    use_lang: bool = False,
+    n_segments: int = 8,
+    max_segments_this_run: int | None = None,
+    **merge_kw,
+) -> IndexMeta | None:
+    """Resumable build. Returns the IndexMeta, or None if interrupted
+    before all segments completed (``max_segments_this_run`` exists to
+    simulate a crash in tests; production passes None).
+
+    Segment s holds docs with ``pmod(xxhash64(doc_id), n_segments) == s``
+    — pure hash, so resume sees the identical slice regardless of input
+    partitioning.
+    """
+    t0 = time.time()
+    spark = corpus.sparkSession
+    done = completed_segments(out_dir)
+    built_this_run = 0
+
+    for seg in range(n_segments):
+        if seg in done:
+            continue
+        if max_segments_this_run is not None and built_this_run >= max_segments_this_run:
+            return None
+        t_seg = time.time()
+        sl = corpus.filter(
+            F.pmod(F.xxhash64("doc_id"), F.lit(n_segments)) == seg
+        )
+        tf = spimi_term_freqs(sl, analyzer, use_lang)
+        seg_dir = f"{out_dir}/segments/seg={seg}"
+        tf.write.mode("overwrite").parquet(seg_dir)
+
+        # lineage metrics from the segment's own runs + input slice
+        m = spark.read.parquet(seg_dir).agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("tf").alias("n_tokens"),
+            F.count("*").alias("n_postings"),
+        ).collect()[0]
+        # order-independent content lineage hash over the slice
+        h_col = (
+            F.sha2(F.col("content_sha256"), 256)
+            if "content_sha256" in corpus.columns
+            else F.sha2(F.col("content"), 256)
+        )
+        h = sl.select(
+            F.sum(
+                F.pmod(F.xxhash64(h_col), F.lit(1 << 61)).cast("decimal(38,0)")
+            ).alias("h")
+        ).collect()[0]["h"]
+        _append_manifest(
+            out_dir,
+            {
+                "segment_id": seg,
+                "n_docs": int(m["n_docs"] or 0),
+                "n_tokens": int(m["n_tokens"] or 0),
+                "n_postings": int(m["n_postings"] or 0),
+                "content_hash": format(int(h or 0), "x"),
+                "wall_time_sec": round(time.time() - t_seg, 3),
+            },
+        )
+        built_this_run += 1
+
+    # global merge over all checkpointed segment runs
+    tf_all = spark.read.parquet(f"{out_dir}/segments")
+    return merge_and_write(tf_all, out_dir, analyzer, t0=t0, **merge_kw)

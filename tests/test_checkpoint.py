@@ -1,0 +1,76 @@
+"""Resumable checkpointed builds: kill after N segments, resume, final
+index byte-identical to a one-shot build (SURVEY §5.2 resume tests)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkgrep.operators.index_build import build_index
+from sparkgrep.operators.query import InvertedIndex
+from sparkgrep.plans.manifest import (
+    build_index_checkpointed,
+    completed_segments,
+    read_manifest,
+    segment_metrics,
+)
+
+
+def _postings_pdf(spark, d):
+    return (
+        InvertedIndex(spark, d)
+        .postings.select("term", "shard", "df", "cf", "n", "doc_ids", "tfs", "dls")
+        .toPandas()
+        .sort_values(["term", "shard"])
+        .reset_index(drop=True)
+    )
+
+
+def test_resume_produces_identical_index(spark, corpus, tmp_path):
+    oneshot = str(tmp_path / "oneshot")
+    build_index(corpus, oneshot, analyzer="simple", n_buckets=4)
+
+    ckpt = str(tmp_path / "ckpt")
+    # crash after 3 of 6 segments
+    r = build_index_checkpointed(
+        corpus, ckpt, analyzer="simple", n_segments=6,
+        max_segments_this_run=3, n_buckets=4,
+    )
+    assert r is None
+    assert completed_segments(ckpt) == {0, 1, 2}
+
+    # resume: only missing segments run, then merge
+    meta = build_index_checkpointed(corpus, ckpt, analyzer="simple", n_segments=6, n_buckets=4)
+    assert meta is not None and meta.n_docs == 500
+    assert completed_segments(ckpt) == set(range(6))
+
+    assert _postings_pdf(spark, ckpt).equals(_postings_pdf(spark, oneshot))
+
+
+def test_resume_skips_completed_work(spark, corpus, tmp_path):
+    ckpt = str(tmp_path / "ckpt2")
+    build_index_checkpointed(corpus, ckpt, analyzer="simple", n_segments=4, n_buckets=4)
+    first = read_manifest(ckpt)
+    # second run must not rebuild any segment
+    build_index_checkpointed(corpus, ckpt, analyzer="simple", n_segments=4, n_buckets=4)
+    assert read_manifest(ckpt) == first
+
+
+def test_segment_metrics_lineage(spark, corpus, tmp_path):
+    ckpt = str(tmp_path / "ckpt3")
+    build_index_checkpointed(corpus, ckpt, analyzer="simple", n_segments=4, n_buckets=4)
+    m = segment_metrics(spark, ckpt).toPandas().sort_values("segment_id")
+    assert len(m) == 4
+    assert m["n_docs"].sum() == 500
+    assert (m["n_tokens"] > 0).all() and (m["n_postings"] > 0).all()
+    assert m["content_hash"].nunique() == 4
+    # queryable as a DataFrame (A7)
+    tot = segment_metrics(spark, ckpt).agg(F.sum("n_tokens")).collect()[0][0]
+    assert tot == 27939  # corpus total token count (matches corpus_stats)
+
+
+def test_query_on_checkpointed_index(spark, corpus, tmp_path):
+    ckpt = str(tmp_path / "ckpt4")
+    build_index_checkpointed(corpus, ckpt, analyzer="simple", n_segments=3, n_buckets=4)
+    res = InvertedIndex(spark, ckpt).search("hash join table", k=5).collect()
+    assert len(res) == 5 and res[0]["rank"] == 1
