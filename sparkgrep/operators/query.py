@@ -64,13 +64,11 @@ class InvertedIndex:
     # -- internals ----------------------------------------------------------
 
     def _buckets_for(self, terms: list[str]) -> list[int]:
-        # xxhash64 parity with the build side: evaluate the same Spark
-        # expression on a tiny local relation (one row per query term).
-        tdf = self.spark.createDataFrame([(t,) for t in terms], "term string")
-        rows = tdf.select(
-            F.pmod(F.xxhash64("term"), F.lit(self.meta.n_buckets)).cast("int").alias("b")
-        ).collect()
-        return sorted({r["b"] for r in rows})
+        # driver-side XXH64 (bit-compatible with the build side's
+        # F.xxhash64, pinned by tests/test_xxhash.py) — no Spark job
+        from sparkgrep.functions.xxhash import term_bucket
+
+        return sorted({term_bucket(t, self.meta.n_buckets) for t in terms})
 
     def _matched(self, terms: list[str]) -> DataFrame:
         buckets = self._buckets_for(terms)
@@ -84,16 +82,13 @@ class InvertedIndex:
         )
 
     @staticmethod
-    def _fold_scores(contribs: DataFrame, extra_keys: list[str] | None = None) -> DataFrame:
+    def _fold_scores(
+        contribs: DataFrame, terms_sorted: list[str], extra_keys: list[str] | None = None
+    ) -> DataFrame:
+        from sparkgrep.operators.score import fold_contribs
+
         keys = (extra_keys or []) + ["doc_id"]
-        # deterministic float sum: fold contributions in sorted term order
-        return contribs.groupBy(*keys).agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("term", "contrib"))),
-                F.lit(0.0),
-                lambda acc, s: acc + s["contrib"],
-            ).alias("score")
-        )
+        return fold_contribs(contribs, terms_sorted, keys=keys)
 
     # -- public API ---------------------------------------------------------
 
@@ -102,7 +97,7 @@ class InvertedIndex:
         terms = sorted(set(tokenize_py(query_text, self.meta.analyzer)))
         if not terms:
             return self.spark.createDataFrame([], "rank int, doc_id long, score double")
-        scored = self._fold_scores(self._contribs(terms))
+        scored = self._fold_scores(self._contribs(terms), terms)
         top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
         return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
@@ -131,7 +126,7 @@ class InvertedIndex:
 
         all_terms = sorted({t for _, t in qterm_rows})
         contribs = self._contribs(all_terms).join(F.broadcast(qterms), "term")
-        scored = self._fold_scores(contribs, ["query_id"])
+        scored = self._fold_scores(contribs, all_terms, ["query_id"])
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
         return (
             scored.withColumn("rank", F.row_number().over(w).cast("int"))

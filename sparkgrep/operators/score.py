@@ -44,6 +44,32 @@ def bm25_contrib_col(tf, dl, idf_col, avgdl: float, k1: float = BM25_K1, b: floa
     return idf_col * (tf * F.lit(k1 + 1.0)) / denom
 
 
+def fold_contribs(
+    contribs: DataFrame, terms_sorted: list[str], keys: list[str] | None = None
+) -> DataFrame:
+    """Sum per-term contributions into a score, deterministically.
+
+    One conditional-sum aggregate per query term (exactly one contrib row
+    exists per (doc, term), so ``sum(when(term=t, contrib))`` is that
+    value or NULL), then a left-associated add in sorted term order with
+    ``coalesce(_, 0.0)``. Bitwise-equal to folding the present terms in
+    sorted order (x + 0.0 == x for finite nonzero x), but stays in
+    whole-stage-codegen HashAggregate — no collect_list/ObjectHashAggregate
+    on the serving path.
+    """
+    keys = keys or ["doc_id"]
+    aggs = [
+        F.sum(F.when(F.col("term") == t, F.col("contrib"))).alias(f"_c{i}")
+        for i, t in enumerate(terms_sorted)
+    ]
+    g = contribs.groupBy(*keys).agg(*aggs)
+    expr = None
+    for i in range(len(terms_sorted)):
+        c = F.coalesce(F.col(f"_c{i}"), F.lit(0.0))
+        expr = c if expr is None else expr + c
+    return g.select(*keys, expr.alias("score"))
+
+
 def score_query(
     tf: DataFrame,
     stats: CorpusStats,
@@ -89,14 +115,7 @@ def score_query(
             bm25_contrib_col(F.col("tf"), F.col("dl"), F.col("idf"), stats.avgdl, k1, b),
         )
     )
-    # deterministic float summation: sort contributions by term, then fold
-    return contrib.groupBy("doc_id").agg(
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct("term", "contrib"))),
-            F.lit(0.0),
-            lambda acc, s: acc + s["contrib"],
-        ).alias("score")
-    )
+    return fold_contribs(contrib, [t for t, _ in idf_rows])
 
 
 def topk(scored: DataFrame, k: int) -> DataFrame:
