@@ -129,9 +129,10 @@ def _make_encoder(meta: IndexMeta):
         ids = pdf["doc_id"].to_numpy(dtype=np.int64)
         tfs = pdf["tf"].to_numpy(dtype=np.int64)
         dls = pdf["dl"].to_numpy(dtype=np.int64)
+        from sparkgrep.operators.score import idf as idf_fn
+
         df_ = int(pdf["df"].iloc[0])
-        x = (n_docs - df_ + 0.5) / (df_ + 0.5)
-        idf = math.log(x) if variant == "okapi" else math.log1p(x)
+        idf = idf_fn(n_docs, df_, variant)
         # same operation order as the exact scorer's Column expression
         contrib = idf * (tfs * (k1 + 1.0)) / (tfs + (k1 * ((1.0 - b) + ((b * dls) / avgdl))))
         nblocks = (len(ids) + block - 1) // block

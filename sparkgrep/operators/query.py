@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from sparkgrep.functions.tokenizer import tokenize_py
 from sparkgrep.functions.varint import gap_decode, varint_decode
 from sparkgrep.operators.index_build import IndexMeta, load_meta
+from sparkgrep.operators.score import idf as idf_fn
 
 
 def _decode_score_gen(meta: IndexMeta):
@@ -36,8 +37,7 @@ def _decode_score_gen(meta: IndexMeta):
                 ids = gap_decode(r.doc_ids)
                 tfs = varint_decode(r.tfs).astype(np.int64)
                 dls = varint_decode(r.dls).astype(np.int64)
-                x = (n_docs - r.df + 0.5) / (r.df + 0.5)
-                idf = math.log(x) if variant == "okapi" else math.log1p(x)
+                idf = idf_fn(n_docs, r.df, variant)
                 contrib = idf * (tfs * (k1 + 1.0)) / (
                     tfs + (k1 * ((1.0 - b) + ((b * dls) / avgdl)))
                 )

@@ -27,12 +27,17 @@ from sparkgrep.operators.stats import CorpusStats
 
 
 def idf(n_docs: int, df: int, variant: str = "okapi") -> float:
-    """okapi: ln((N-df+0.5)/(df+0.5)) — the FTS5/bm25() form (can go
-    negative for df>N/2, reference-parity mode). lucene: ln(1+same) —
-    non-negative, preferred at scale."""
+    """okapi: ln((N-df+0.5)/(df+0.5)) — raw Okapi (can go negative for
+    df>N/2). fts5: same but clamped to 1e-6 when ≤0, which is what
+    SQLite's bm25() actually computes (verified empirically in
+    tests/test_fts5_parity.py — reference message_manager.py:246 relies
+    on it). lucene: ln(1+x) — non-negative, preferred at scale."""
     x = (n_docs - df + 0.5) / (df + 0.5)
     if variant == "okapi":
         return math.log(x)
+    if variant == "fts5":
+        v = math.log(x)
+        return v if v > 0.0 else 1e-6
     if variant == "lucene":
         return math.log1p(x)
     raise ValueError(f"unknown idf variant {variant!r}")

@@ -37,7 +37,12 @@ def bm25_oracle(
 
     def idf(df_):
         x = (n - df_ + 0.5) / (df_ + 0.5)
-        return math.log(x) if idf_variant == "okapi" else math.log1p(x)
+        if idf_variant == "okapi":
+            return math.log(x)
+        if idf_variant == "fts5":
+            v = math.log(x)
+            return v if v > 0.0 else 1e-6
+        return math.log1p(x)
 
     rows = []
     for d, c in tfs.items():

@@ -1,0 +1,134 @@
+"""Rank-identity against the REFERENCE's actual retrieval engine.
+
+The reference's keyword search is SQLite FTS5 with porter tokenization
+and bm25() ranking over (subject, body_text, sender)
+(message_manager.py:101-110, 225-264). This test feeds the reference's
+own 80-email corpus (sample-messages.jsonl, base64 bodies decoded — the
+same bytes both engines see) to:
+
+  a) a real SQLite FTS5 table — the reference's engine verbatim, and
+  b) sparkgrep with analyzer='fts5' and idf_variant='fts5',
+
+and asserts top-k docIDs are rank-identical and scores equal (engine
+score = -bm25() score; FTS5 sorts ASC because more negative = better,
+message_manager.py:246). FTS5's bm25 with default column weights equals
+BM25 over the concatenated columns, with idf clamped to 1e-6 when ≤ 0 —
+both facts are pinned here against the real SQLite.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import sqlite3
+
+import pandas as pd
+import pytest
+
+from sparkgrep.operators import score as S
+from sparkgrep.operators import stats as ST
+
+SAMPLE = "/root/reference/sample-messages.jsonl"
+
+# disjunctive keyword queries (the engine's query model, SURVEY R8);
+# FTS5 gets the same terms joined with OR
+QUERIES = [
+    "receipt",
+    "order shipping discount",
+    "meeting calendar invite",
+    "flight travel confirmation",
+    "run running runner",       # stemming behavior
+    "newsletter unsubscribe weekly",
+    "the",                      # hot term → clamped idf path
+    "zqzqzq",                   # no match
+]
+
+
+@pytest.fixture(scope="module")
+def emails() -> pd.DataFrame:
+    rows = []
+    with open(SAMPLE) as f:
+        for i, line in enumerate(f):
+            if not line.strip():
+                continue
+            m = json.loads(line)
+            body = base64.b64decode(m["body"]).decode("utf-8", errors="replace")
+            rows.append(
+                {
+                    "doc_id": i,
+                    "subject": m["subject"],
+                    "body_text": body,
+                    "sender": m["from"],
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+@pytest.fixture(scope="module")
+def fts5(emails):
+    db = sqlite3.connect(":memory:")
+    db.execute(
+        "CREATE VIRTUAL TABLE msgs USING fts5"
+        "(subject, body_text, sender, tokenize='porter')"
+    )
+    db.executemany(
+        "INSERT INTO msgs(rowid, subject, body_text, sender) VALUES (?,?,?,?)",
+        list(emails.itertuples(index=False, name=None)),
+    )
+    return db
+
+
+@pytest.fixture(scope="module")
+def engine(spark, emails):
+    corpus = spark.createDataFrame(
+        emails.assign(
+            content=emails.subject + "\n" + emails.body_text + "\n" + emails.sender
+        )[["doc_id", "content"]]
+    )
+    tf = ST.term_freqs(corpus, "fts5").cache()
+    stats = ST.corpus_stats(ST.doc_lengths(corpus, "fts5"))
+    return tf, stats
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_rank_identical_to_reference_fts5(fts5, engine, query):
+    k = 20
+    match = " OR ".join(query.split())
+    ref = fts5.execute(
+        "SELECT rowid, bm25(msgs) FROM msgs WHERE msgs MATCH ? "
+        "ORDER BY bm25(msgs) ASC, rowid ASC LIMIT ?",
+        (match, k),
+    ).fetchall()
+
+    tf, stats = engine
+    got = (
+        S.search(tf, stats, query, k=k, analyzer="fts5", idf_variant="fts5")
+        .toPandas()
+    )
+
+    assert got["doc_id"].tolist() == [r[0] for r in ref], query
+    # engine positive-is-better == negated FTS5 lower-is-better
+    for (_, fts_score), eng_score in zip(ref, got["score"]):
+        assert abs(-fts_score - eng_score) <= 1e-9, (query, fts_score, eng_score)
+
+
+def test_stemming_matches_reference(fts5, engine):
+    """Reference behavioral spec (test_message_manager.py:681-704):
+    querying 'run' retrieves docs containing running/runs."""
+    tf, stats = engine
+    ref_ids = {r[0] for r in fts5.execute(
+        "SELECT rowid FROM msgs WHERE msgs MATCH 'run'").fetchall()}
+    got_ids = {
+        r["doc_id"]
+        for r in S.search(tf, stats, "run", k=100, analyzer="fts5",
+                          idf_variant="fts5").collect()
+    }
+    assert got_ids == ref_ids
+
+
+def test_case_insensitive(engine):
+    tf, stats = engine
+    a = S.search(tf, stats, "RECEIPT Delta", k=10, analyzer="fts5", idf_variant="fts5").toPandas()
+    b = S.search(tf, stats, "receipt delta", k=10, analyzer="fts5", idf_variant="fts5").toPandas()
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert (a["score"] == b["score"]).all()
