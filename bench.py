@@ -122,6 +122,29 @@ def main() -> None:
     idx.search_batch([(f"q{i}", q, 10) for i, q in enumerate(QUERY_SET)]).collect()
     timings["bm25_batch"] = round(time.time() - t0, 3)
 
+    # --- code-analyzer build (north-star workload: identifier splitting,
+    # lang stoplists, hot-token sharding) on the deterministic synthetic
+    # code corpus
+    from sparkgrep.operators.index_build import build_index
+    from sparkgrep.sources.corpus import synth_corpus
+
+    code_n = 20000
+    code_corpus = synth_corpus(spark, code_n, seed=3).repartition(CPUS * 2).cache()
+    code_corpus.count()  # materialize outside the timed window
+    t0 = time.time()
+    build_index(
+        code_corpus,
+        tempfile.mkdtemp(prefix="sparkgrep_code_") + "/idx",
+        analyzer="code",
+        idf_variant="lucene",
+        n_buckets=32,
+        postings_per_shard=4096,
+    )
+    dt = time.time() - t0
+    timings["code_index_build"] = round(dt, 3)
+    code_docs_per_sec = round(code_n / dt, 1)
+    code_corpus.unpersist()
+
     # --- pipeline ops on raw sf documents
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     t0 = time.time()
@@ -161,6 +184,8 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "index_build_docs": build["n_docs"],
         "index_build_docs_per_sec": build["docs_per_sec"],
+        "code_index_build_docs": code_n,
+        "code_index_build_docs_per_sec": code_docs_per_sec,
         "scaling": scaling,
     }
     print(json.dumps(result))

@@ -99,8 +99,10 @@ def _simple_py(text: str) -> list[str]:
 
 @lru_cache(maxsize=1 << 20)
 def _fts5_token(raw: str) -> str:
-    # unicode61 remove_diacritics + casefold, then porter
-    t = unicodedata.normalize("NFKD", raw)
+    # unicode61 remove_diacritics + casefold, then porter. NFD (canonical)
+    # not NFKD: unicode61 strips combining marks but does NOT apply
+    # compatibility decomposition ('¼' stays one token).
+    t = unicodedata.normalize("NFD", raw)
     t = "".join(c for c in t if not unicodedata.combining(c)).lower()
     return porter_stem(t)
 

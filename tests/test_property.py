@@ -1,0 +1,53 @@
+"""Property-based tests (hypothesis): varint/gap codec roundtrips and
+analyzer invariants hold for arbitrary inputs — no Spark session needed."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sparkgrep.functions.porter import porter_stem
+from sparkgrep.functions.tokenizer import tokenize_py
+from sparkgrep.functions.varint import gap_decode, gap_encode, varint_decode, varint_encode
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=500))
+def test_varint_roundtrip(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    assert varint_decode(varint_encode(arr)).tolist() == vals
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.sets(st.integers(min_value=0, max_value=2**40), max_size=500))
+def test_gap_roundtrip(ids):
+    arr = np.array(sorted(ids), dtype=np.int64)
+    assert gap_decode(gap_encode(arr)).tolist() == sorted(ids)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=200))
+def test_analyzers_total_and_idempotent_tokens(text):
+    for analyzer in ("simple", "fts5", "code"):
+        toks = tokenize_py(text, analyzer)
+        assert all(isinstance(t, str) and t for t in toks)
+        # re-analyzing a produced token yields itself (index/query
+        # agreement: query-side tokenization is a fixpoint)
+        for t in toks[:10]:
+            assert tokenize_py(t, analyzer) == [t], (analyzer, t)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=97, max_codepoint=122), min_size=1, max_size=30))
+def test_porter_total_and_shrinking(word):
+    s = porter_stem(word)
+    assert s and len(s) <= len(word) + 1  # step1ab can append 'e'
+    assert porter_stem(s + "s") in (s, s + "s", porter_stem(s + "s"))  # total
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=120), st.text(max_size=120))
+def test_simple_concat_token_additivity(a, b):
+    # splitting on a hard delimiter: tokens(a + ' ' + b) == tokens(a)+tokens(b)
+    assert tokenize_py(a + " " + b, "simple") == tokenize_py(a, "simple") + tokenize_py(b, "simple")
