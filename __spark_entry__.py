@@ -52,11 +52,18 @@ stats AS (SELECT count(*) AS n, avg(dl) AS avgdl, sum(dl) AS tot FROM dl)
 """
 
 
-def _bm25_sql(terms: list[str], k: int, with_qid: str | None = None) -> str:
-    """DuckDB BM25 (okapi idf, k1=1.2 b=0.75) for one query, mirroring the
-    engine's exact operation order (score.py:bm25_contrib_col)."""
+def _bm25_sql(
+    terms: list[str], k: int, with_qid: str | None = None, idf_variant: str = "okapi"
+) -> str:
+    """DuckDB BM25 (k1=1.2 b=0.75) for one query, mirroring the engine's
+    exact operation order (score.py:bm25_contrib_col)."""
     tlist = ", ".join(f"('{t}')" for t in sorted(set(terms)))
     qid_col = f"'{with_qid}' AS query_id, " if with_qid else ""
+    idf_expr = (
+        "ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5))"
+        if idf_variant == "okapi"
+        else "ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5))"
+    )
     return f"""
 WITH {_TOK_CTES},
 qt(term) AS (VALUES {tlist}),
@@ -66,7 +73,7 @@ dfq AS (
 ),
 contrib AS (
   SELECT tf.doc_id, tf.term,
-         ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5))
+         {idf_expr}
            * (tf.tf * {BM25_K1 + 1.0})
            / (tf.tf + ({BM25_K1} * ({1.0 - BM25_B} + (({BM25_B} * dl.dl) / stats.avgdl)))) AS c
   FROM tf
@@ -335,6 +342,114 @@ def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("user_id").distinct().orderBy("user_id")
 
 
+def q_validate_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: required-field validation — rows failing the contract are
+    routed to a rejects relation (reference ingestion.py:107-112)."""
+    docs = _docs(spark, sf_dir)
+    from sparkgrep.functions.tokenizer import simple_tokens_col
+
+    return docs.filter(
+        F.col("lang").isNull()
+        | F.col("text").isNull()
+        | (F.size(simple_tokens_col(F.col("text"))) < 5)
+    ).select("doc_id")
+
+
+def q_non_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2/P6: complement via left_anti join (reference
+    classification_service.py:122-131 not-in-candidates default)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    buyers = ev.filter("event_type = 'purchase'").select("user_id").distinct()
+    return (
+        ev.select("user_id")
+        .distinct()
+        .join(buyers, "user_id", "left_anti")
+        .orderBy("user_id")
+    )
+
+
+def q_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: base64 decode path (reference process_email_body.py:15-32).
+    Encode-then-decode the doc text; return digests of both sides."""
+    docs = _docs(spark, sf_dir)
+    enc = F.base64(F.col("text").cast("binary"))
+    dec = F.unbase64(enc).cast("string")
+    # Spark MIME-chunks base64 at 76 chars with \r\n; canonicalize before
+    # hashing so the digest is encoder-neutral
+    return docs.select(
+        "doc_id",
+        F.md5(F.regexp_replace(enc, "[\\r\\n]", "")).alias("b64_md5"),
+        (dec == F.col("text")).alias("roundtrip_ok"),
+    )
+
+
+def q_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: word-boundary truncation (reference utils/utils.py:6-27):
+    cut at max_chars=80; if a space exists past 0.8*max, back off to it."""
+    docs = _docs(spark, sf_dir)
+    max_chars, thresh = 80, 64
+    trunc = F.substring("text", 1, max_chars)
+    last_space = F.length(trunc) - F.instr(F.reverse(trunc), " ") + 1
+    cut = F.when(F.length("text") <= max_chars, F.col("text")).otherwise(
+        F.when(
+            (F.instr(F.reverse(trunc), " ") > 0) & (last_space > thresh),
+            F.concat(F.substring(trunc, 1, (last_space - 1).cast("int")), F.lit("…")),
+        ).otherwise(F.concat(trunc, F.lit("…")))
+    )
+    return docs.select("doc_id", cut.alias("preview"))
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: JSON field extraction (reference JSON-encodes arrays into
+    TEXT, message_manager.py:171; engine uses native JSON functions)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+def q_compact_repr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7/F8: compact text representation via concat/format
+    (reference utils/utils.py:62-96)."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.format_string(
+            "[%s] %s: %s", F.col("lang"), F.col("source"), F.substring("text", 1, 40)
+        ).alias("repr"),
+    )
+
+
+def q_segment_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 (rows-only check — non-SQL operator): per-segment lineage of a
+    checkpointed resumable build."""
+    from sparkgrep.plans.manifest import build_index_checkpointed, segment_metrics
+
+    out = tempfile.mkdtemp(prefix="sparkgrep_seg_") + "/idx"
+    build_index_checkpointed(_corpus(spark, sf_dir), out, n_segments=4, n_buckets=8)
+    return segment_metrics(spark, out).select(
+        "segment_id", "n_docs", "n_tokens", "n_postings"
+    )
+
+
+def q_bm25_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-max pruned serving (rows-only check vs its own oracle —
+    values must equal the exact path, which IS oracle-checked; also
+    pinned by tests/test_wand.py)."""
+    from sparkgrep.operators.index_build import build_index
+    from sparkgrep.operators.query import InvertedIndex
+    from sparkgrep.operators.wand import search_pruned
+
+    out = tempfile.mkdtemp(prefix="sparkgrep_wand_") + "/idx"
+    build_index(
+        _corpus(spark, sf_dir), out, analyzer="simple", n_buckets=8,
+        idf_variant="lucene",
+    )
+    res = search_pruned(InvertedIndex(spark, out), FLAGSHIP_QUERY, k=10)
+    return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_stats": q_corpus_stats,
     "doc_lengths": q_doc_lengths,
@@ -359,6 +474,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "percentile_sigmoid": q_percentile_sigmoid,
     "slugify": q_slugify,
     "distinct_users": q_distinct_users,
+    "validate_rejects": q_validate_rejects,
+    "non_purchasers": q_non_purchasers,
+    "base64_roundtrip": q_base64_roundtrip,
+    "truncate": q_truncate,
+    "json_extract": q_json_extract,
+    "compact_repr": q_compact_repr,
+    "segment_metrics": q_segment_metrics,
+    "bm25_pruned": q_bm25_pruned,
 }
 
 
@@ -615,4 +738,48 @@ SELECT p_partkey AS partkey,
 FROM part
 """,
         "distinct_users": "SELECT DISTINCT user_id FROM events ORDER BY user_id",
+        "validate_rejects": """
+SELECT doc_id FROM documents
+WHERE lang IS NULL OR text IS NULL
+   OR len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                      x -> x <> '')) < 5
+""",
+        "non_purchasers": """
+SELECT DISTINCT user_id FROM events
+WHERE user_id NOT IN (SELECT user_id FROM events WHERE event_type = 'purchase')
+ORDER BY user_id
+""",
+        "base64_roundtrip": """
+SELECT doc_id, md5(base64(encode(text))) AS b64_md5,
+       (decode(from_base64(base64(encode(text)))) = text) AS roundtrip_ok
+FROM documents
+""",
+        "truncate": """
+WITH t AS (
+  SELECT doc_id, text, substr(text, 1, 80) AS trunc FROM documents
+),
+ls AS (
+  SELECT doc_id, text, trunc,
+         strpos(reverse(trunc), ' ') AS rsp,
+         length(trunc) - strpos(reverse(trunc), ' ') + 1 AS last_space
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN length(text) <= 80 THEN text
+            WHEN rsp > 0 AND last_space > 64
+              THEN substr(trunc, 1, CAST(last_space - 1 AS INTEGER)) || '…'
+            ELSE trunc || '…' END AS preview
+FROM ls
+""",
+        "json_extract": """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+""",
+        "compact_repr": """
+SELECT doc_id, printf('[%s] %s: %s', lang, source, substr(text, 1, 40)) AS repr
+FROM documents
+""",
+        "bm25_pruned": _bm25_sql(flagship_terms, 10, idf_variant="lucene"),
+        # segment_metrics: intentionally no oracle (non-SQL checkpoint/
+        # lineage operator) → driver records the rows-only check
     }
