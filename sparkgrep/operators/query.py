@@ -121,16 +121,32 @@ class InvertedIndex:
             return self.spark.createDataFrame(
                 [], "query_id string, rank int, doc_id long, score double"
             )
-        qterms = self.spark.createDataFrame(qterm_rows, "query_id string, term string")
-        kdf = self.spark.createDataFrame(list(kmap.items()), "query_id string, k int")
+        by_query: dict[str, list[str]] = {}
+        for qid, t in qterm_rows:
+            by_query.setdefault(qid, []).append(t)
 
+        # decode each matched term once, share across queries
         all_terms = sorted({t for _, t in qterm_rows})
-        contribs = self._contribs(all_terms).join(F.broadcast(qterms), "term")
-        scored = self._fold_scores(contribs, all_terms, ["query_id"])
+        contribs = self._contribs(all_terms).persist()
+
+        # one fold + top-k per query (small agg width each); union children
+        # are independent subtrees, so Spark runs them concurrently in the
+        # single collect action — results bitwise-match search() per query
+        parts = []
+        for qid, terms in sorted(by_query.items()):
+            scored = self._fold_scores(
+                contribs.filter(F.col("term").isin(terms)), terms
+            )
+            top = (
+                scored.orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(kmap[qid])
+                .withColumn("query_id", F.lit(qid))
+            )
+            parts.append(top)
+        union = parts[0]
+        for p in parts[1:]:
+            union = union.unionByName(p)
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-        return (
-            scored.withColumn("rank", F.row_number().over(w).cast("int"))
-            .join(F.broadcast(kdf), "query_id")
-            .filter(F.col("rank") <= F.col("k"))
-            .select("query_id", "rank", "doc_id", "score")
+        return union.withColumn("rank", F.row_number().over(w).cast("int")).select(
+            "query_id", "rank", "doc_id", "score"
         )
