@@ -60,7 +60,7 @@ def segment_metrics(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [
             (
-                m["segment_id"], m["n_docs"], m["n_tokens"], m["n_postings"],
+                str(m["segment_id"]), m["n_docs"], m["n_tokens"], m["n_postings"],
                 m["content_hash"], m["wall_time_sec"],
             )
             for m in rows
@@ -137,3 +137,76 @@ def build_index_checkpointed(
     # global merge over all checkpointed segment runs
     tf_all = spark.read.parquet(f"{out_dir}/segments")
     return merge_and_write(tf_all, out_dir, analyzer, t0=t0, **merge_kw)
+
+
+def append_batch(
+    corpus_batch: DataFrame,
+    out_dir: str,
+    batch_id: str,
+    analyzer: str = "simple",
+    use_lang: bool = False,
+    n_segments: int = 1,
+    **merge_kw,
+) -> IndexMeta:
+    """Incremental index maintenance (SURVEY S6): the reference keeps its
+    FTS index fresh with per-row SQL triggers (message_manager.py:113-137);
+    the engine's analogue is partition-grain append + re-merge.
+
+    A new document batch is SPIMI-processed into its own segment
+    namespace (``segments/seg=<batch_id>-<i>``, keyed by the caller's
+    batch id so existing segment checkpoints stay valid), its lineage is
+    appended to the manifest, and the global merge — the cheap,
+    stateless phase — re-runs over ALL segments. Corpus statistics
+    (N, avgdl, df) are recomputed exactly, so results after append equal
+    a from-scratch build over the union (tested).
+
+    doc_ids across batches must be distinct (ingest-assigned); the merge
+    would otherwise double-count.
+    """
+    spark = corpus_batch.sparkSession
+    done = {m["segment_id"] for m in read_manifest(out_dir)}
+
+    for i in range(n_segments):
+        seg_id = f"{batch_id}-{i}"
+        if seg_id in done:
+            continue
+        t_seg = time.time()
+        sl = (
+            corpus_batch
+            if n_segments == 1
+            else corpus_batch.filter(
+                F.pmod(F.xxhash64("doc_id"), F.lit(n_segments)) == i
+            )
+        )
+        tf = spimi_term_freqs(sl, analyzer, use_lang)
+        seg_dir = f"{out_dir}/segments/seg={seg_id}"
+        tf.write.mode("overwrite").parquet(seg_dir)
+        m = spark.read.parquet(seg_dir).agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("tf").alias("n_tokens"),
+            F.count("*").alias("n_postings"),
+        ).collect()[0]
+        h_col = (
+            F.sha2(F.col("content_sha256"), 256)
+            if "content_sha256" in corpus_batch.columns
+            else F.sha2(F.col("content"), 256)
+        )
+        h = sl.select(
+            F.sum(
+                F.pmod(F.xxhash64(h_col), F.lit(1 << 61)).cast("decimal(38,0)")
+            ).alias("h")
+        ).collect()[0]["h"]
+        _append_manifest(
+            out_dir,
+            {
+                "segment_id": seg_id,
+                "n_docs": int(m["n_docs"] or 0),
+                "n_tokens": int(m["n_tokens"] or 0),
+                "n_postings": int(m["n_postings"] or 0),
+                "content_hash": format(int(h or 0), "x"),
+                "wall_time_sec": round(time.time() - t_seg, 3),
+            },
+        )
+
+    tf_all = spark.read.parquet(f"{out_dir}/segments")
+    return merge_and_write(tf_all, out_dir, analyzer, **merge_kw)

@@ -104,7 +104,7 @@ RESULT_SCHEMA = StructType(
 # checkpoint + lineage requirement; SURVEY §7.6).
 SEGMENT_MANIFEST_SCHEMA = StructType(
     [
-        StructField("segment_id", IntegerType(), False),
+        StructField("segment_id", StringType(), False),  # int for hash segments, "<batch>-<i>" for appends
         StructField("n_docs", LongType(), False),
         StructField("n_tokens", LongType(), False),
         StructField("n_postings", LongType(), False),

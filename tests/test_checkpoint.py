@@ -74,3 +74,28 @@ def test_query_on_checkpointed_index(spark, corpus, tmp_path):
     build_index_checkpointed(corpus, ckpt, analyzer="simple", n_segments=3, n_buckets=4)
     res = InvertedIndex(spark, ckpt).search("hash join table", k=5).collect()
     assert len(res) == 5 and res[0]["rank"] == 1
+
+
+def test_incremental_append_equals_full_rebuild(spark, tmp_path):
+    """S6: append a new batch → results equal a from-scratch build over
+    the union (stats, df, postings all refreshed exactly)."""
+    from sparkgrep.plans.manifest import append_batch
+    from sparkgrep.sources.corpus import synth_corpus
+
+    all_docs = synth_corpus(spark, 400, seed=11)
+    batch0 = all_docs.filter("doc_id < 300")
+    batch1 = all_docs.filter("doc_id >= 300")
+
+    inc = str(tmp_path / "inc")
+    append_batch(batch0, inc, "b0", analyzer="code", n_buckets=4)
+    meta = append_batch(batch1, inc, "b1", analyzer="code", n_buckets=4)
+    assert meta.n_docs == 400
+
+    full = str(tmp_path / "full")
+    build_index(all_docs, full, analyzer="code", n_buckets=4)
+
+    assert _postings_pdf(spark, inc).equals(_postings_pdf(spark, full))
+    # re-appending an already-applied batch is a no-op for segments
+    before = read_manifest(inc)
+    append_batch(batch1, inc, "b1", analyzer="code", n_buckets=4)
+    assert read_manifest(inc) == before
