@@ -39,6 +39,19 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 MULT = int(os.environ.get("SPARKGREP_BENCH_MULT", "10"))
 
+# Shuffle/spill scratch on tmpfs: this sandbox's /tmp is slow virtio ext4
+# and disk writeback (D-state kworkers) otherwise dominates and distorts
+# measurements. Subprocess scaling runs inherit this via the environment.
+if os.path.isdir("/dev/shm") and "SPARKGREP_LOCAL_DIR" not in os.environ:
+    os.environ["SPARKGREP_LOCAL_DIR"] = "/dev/shm/sparkgrep_scratch"
+
+
+def _load1() -> float:
+    try:
+        return float(open("/proc/loadavg").read().split()[0])
+    except OSError:
+        return -1.0
+
 QUERY_SET = [
     "hash join table window",
     "spark query filter sort",
@@ -69,27 +82,46 @@ def scaled_corpus(spark, sf_dir: str, mult: int):
     return with_ingest_columns(documents_as_corpus(big)), n * mult
 
 
-def run_build(cpus: int, out_dir: str) -> dict:
-    """One measured index build at local[cpus]. JVM startup excluded."""
+def prepare_input(spark, tmp_dir: str) -> tuple[str, int]:
+    """Materialize the scaled corpus to parquet ONCE (outside any timed
+    region) — the measured job is then a pure read→index build, like a
+    real pipeline reading from storage."""
+    corpus, n_docs = scaled_corpus(spark, SF_DIR, MULT)
+    path = f"{tmp_dir}/corpus"
+    corpus.repartition(64).write.mode("overwrite").parquet(path)
+    return path, n_docs
+
+
+def run_build(cpus: int, out_dir: str, corpus_path: str | None = None) -> dict:
+    """One measured index build at local[cpus]. JVM startup and input
+    materialization excluded."""
     from sparkgrep.operators.index_build import build_index
     from sparkgrep.session import get_spark
 
     spark = get_spark(f"sparkgrep-bench-{cpus}", master=f"local[{cpus}]")
-    corpus, n_docs = scaled_corpus(spark, SF_DIR, MULT)
-    corpus = corpus.repartition(cpus * 2)
+    if corpus_path is None:
+        corpus_path, n_docs = prepare_input(spark, tempfile.mkdtemp(prefix="sparkgrep_in_"))
+    else:
+        n_docs = spark.read.parquet(corpus_path).count()
+    corpus = spark.read.parquet(corpus_path)
+    load_before = _load1()
     t0 = time.time()
     build_index(corpus, out_dir, analyzer="simple", n_buckets=32)
     dt = time.time() - t0
     spark.stop()
     return {"cpus": cpus, "n_docs": n_docs, "sec": round(dt, 3),
-            "docs_per_sec": round(n_docs / dt, 1)}
+            "docs_per_sec": round(n_docs / dt, 1),
+            "loadavg_before": load_before, "loadavg_after": _load1()}
 
 
 def main() -> None:
     if "--build-only" in sys.argv:  # subprocess mode for scaling runs
         cpus = int(sys.argv[sys.argv.index("--cpus") + 1])
+        cpath = (
+            sys.argv[sys.argv.index("--corpus") + 1] if "--corpus" in sys.argv else None
+        )
         out = tempfile.mkdtemp(prefix=f"sparkgrep_bench_{cpus}_") + "/idx"
-        print("RESULT " + json.dumps(run_build(cpus, out)))
+        print("RESULT " + json.dumps(run_build(cpus, out, cpath)))
         return
 
     from sparkgrep.operators.dedup import lsh_candidate_pairs, simhash32
@@ -155,23 +187,41 @@ def main() -> None:
     timings["simhash"] = round(time.time() - t0, 3)
     spark.stop()
 
-    # --- scaling runs: same build at local[8] and local[32]
+    # --- scaling runs: same build at local[8] and local[32].
+    # This sandbox carries unrelated background load (loadavg ~8-17 at
+    # idle), so single runs are noisy; take the MINIMUM over reps per
+    # level (least-interference sample) before computing efficiency.
     scaling = {}
     if os.environ.get("SPARKGREP_SKIP_SCALING") != "1":
-        runs = {}
-        for cpus in (8, 32):
-            proc = subprocess.run(
-                [sys.executable, __file__, "--build-only", "--cpus", str(cpus)],
-                capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
-            )
-            for line in proc.stdout.splitlines():
-                if line.startswith("RESULT "):
-                    runs[cpus] = json.loads(line[len("RESULT "):])
+        reps = int(os.environ.get("SPARKGREP_SCALING_REPS", "3"))
+        runs: dict[int, dict] = {}
+        # materialize the input once; share across all scaling subprocesses
+        from sparkgrep.session import get_spark
+
+        prep = get_spark("sparkgrep-bench-prep", master=f"local[{CPUS}]")
+        shared_path, _ = prepare_input(prep, tempfile.mkdtemp(prefix="sparkgrep_in_"))
+        prep.stop()
+        # INTERLEAVE the two levels so slow-varying external load hits
+        # both roughly equally, then take the per-level minimum
+        for _ in range(reps):
+            for cpus in (8, 32):
+                proc = subprocess.run(
+                    [sys.executable, __file__, "--build-only", "--cpus", str(cpus),
+                     "--corpus", shared_path],
+                    capture_output=True, text=True,
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                )
+                for line in proc.stdout.splitlines():
+                    if line.startswith("RESULT "):
+                        r = json.loads(line[len("RESULT "):])
+                        if cpus not in runs or r["sec"] < runs[cpus]["sec"]:
+                            runs[cpus] = r
         if 8 in runs and 32 in runs:
             eff = (runs[8]["sec"] / runs[32]["sec"]) / 4.0
             scaling = {
                 "local8": runs[8],
                 "local32": runs[32],
+                "reps": reps,
                 "efficiency_8_to_32": round(eff, 3),
             }
 

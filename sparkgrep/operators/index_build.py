@@ -119,39 +119,89 @@ def spimi_term_freqs(
     return narrow.mapInPandas(gen, TERM_FREQ_SCHEMA)
 
 
-def _make_encoder(meta: IndexMeta):
-    """Per-(term, shard) group encoder for applyInPandas."""
-    k1, b, avgdl, n_docs = meta.k1, meta.b, meta.avgdl, meta.n_docs
-    variant, block = meta.idf_variant, meta.block_size
+def _encode_groups_frame(meta: IndexMeta, pdf: pd.DataFrame, starts, ends) -> pd.DataFrame:
+    """Encode the groups delimited by (starts, ends) in a sorted frame
+    into one columnar output frame (no per-group dict/DataFrame churn).
+    Input must be sorted by (term, shard, doc_id)."""
+    from sparkgrep.operators.score import idf as idf_fn
 
-    def encode(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")
-        ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-        tfs = pdf["tf"].to_numpy(dtype=np.int64)
-        dls = pdf["dl"].to_numpy(dtype=np.int64)
-        from sparkgrep.operators.score import idf as idf_fn
+    k1, b, avgdl, block = meta.k1, meta.b, meta.avgdl, meta.block_size
+    terms = pdf["term"].to_numpy()
+    shards = pdf["shard"].to_numpy()
+    buckets = pdf["bucket"].to_numpy()
+    dfs_ = pdf["df"].to_numpy(dtype=np.int64)
+    cfs = pdf["cf"].to_numpy(dtype=np.int64)
+    ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+    tfs = pdf["tf"].to_numpy(dtype=np.int64)
+    dls = pdf["dl"].to_numpy(dtype=np.int64)
+    # per-posting contributions for block_max, vectorized over the whole
+    # frame at once (idf multiplied in per group below)
+    tf_norm = (tfs * (k1 + 1.0)) / (tfs + (k1 * ((1.0 - b) + ((b * dls) / avgdl))))
 
-        df_ = int(pdf["df"].iloc[0])
-        idf = idf_fn(n_docs, df_, variant)
-        # same operation order as the exact scorer's Column expression
-        contrib = idf * (tfs * (k1 + 1.0)) / (tfs + (k1 * ((1.0 - b) + ((b * dls) / avgdl))))
-        nblocks = (len(ids) + block - 1) // block
-        pad = nblocks * block - len(ids)
+    n = len(starts)
+    out = {
+        "bucket": buckets[starts].astype("int32"),
+        "term": terms[starts],
+        "shard": shards[starts].astype("int32"),
+        "df": dfs_[starts],
+        "cf": cfs[starts],
+        "n": (np.asarray(ends) - np.asarray(starts)).astype("int32"),
+        "doc_ids": [None] * n,
+        "tfs": [None] * n,
+        "dls": [None] * n,
+        "block_max": [None] * n,
+    }
+    n_docs, variant = meta.n_docs, meta.idf_variant
+    for gi, (s, e) in enumerate(zip(starts, ends)):
+        g_ids = ids[s:e]
+        out["doc_ids"][gi] = gap_encode(g_ids)
+        out["tfs"][gi] = varint_encode(tfs[s:e].astype(np.uint64))
+        out["dls"][gi] = varint_encode(dls[s:e].astype(np.uint64))
+        idf = idf_fn(n_docs, int(dfs_[s]), variant)
+        contrib = idf * tf_norm[s:e]
+        nblocks = (len(g_ids) + block - 1) // block
+        pad = nblocks * block - len(g_ids)
         bm = np.pad(contrib, (0, pad), constant_values=-np.inf).reshape(nblocks, block)
-        return pd.DataFrame(
-            {
-                "bucket": [int(pdf["bucket"].iloc[0])],
-                "term": [pdf["term"].iloc[0]],
-                "shard": [int(pdf["shard"].iloc[0])],
-                "df": [df_],
-                "cf": [int(pdf["cf"].iloc[0])],
-                "n": [len(ids)],
-                "doc_ids": [gap_encode(ids)],
-                "tfs": [varint_encode(tfs.astype(np.uint64))],
-                "dls": [varint_encode(dls.astype(np.uint64))],
-                "block_max": [bm.max(axis=1).astype(np.float32)],
-            }
-        )
+        out["block_max"][gi] = bm.max(axis=1).astype(np.float32)
+    return pd.DataFrame(out)
+
+
+def _make_partition_encoder(meta: IndexMeta):
+    """Streaming partition encoder for ``mapInPandas`` over input
+    repartitioned by (term, shard) and sorted within partitions by
+    (term, shard, doc_id).
+
+    Encodes MANY groups per Arrow batch (numpy boundary detection) —
+    unlike per-group applyInPandas, whose per-group invocation overhead
+    dominates when the vocabulary is large (hundreds of thousands of
+    tiny posting lists). A group can straddle Arrow batches, so each
+    batch's final (possibly incomplete) group is carried into the next
+    batch; the last group flushes at end of partition.
+    """
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if pdf.empty:
+                continue
+            terms = pdf["term"].to_numpy()
+            shards = pdf["shard"].to_numpy()
+            change = np.flatnonzero(
+                (terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1])
+            ) + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(pdf)]))
+            # hold back the final group — it may continue in the next batch
+            if len(starts) == 1:
+                carry = pdf
+                continue
+            carry = pdf.iloc[starts[-1]:]
+            yield _encode_groups_frame(meta, pdf, starts[:-1], ends[:-1])
+        if carry is not None and not carry.empty:
+            yield _encode_groups_frame(meta, carry.reset_index(drop=True), [0], [len(carry)])
 
     return encode
 
@@ -205,10 +255,20 @@ def merge_and_write(
         .withColumn("shard", F.pmod(F.xxhash64("doc_id"), F.col("n_shards")).cast("int"))
         .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
     )
-    postings = joined.groupBy("term", "shard").applyInPandas(
-        _make_encoder(meta), POSTINGS_OUT_SCHEMA
+    # sorted-partition streaming merge: one shuffle keyed on (term, shard)
+    # + in-partition sort, then a single mapInPandas that encodes many
+    # groups per Arrow batch (see _make_partition_encoder)
+    postings = (
+        joined.repartition("term", "shard")
+        .sortWithinPartitions("term", "shard", "doc_id")
+        .mapInPandas(_make_partition_encoder(meta), POSTINGS_OUT_SCHEMA)
     )
-    postings.write.partitionBy("bucket").mode(mode).parquet(f"{out_dir}/postings")
+    # encoded postings are ~2 bytes/posting — a cheap extra shuffle keyed
+    # on bucket turns tasks×buckets tiny files into one file per bucket
+    # (faster writes now, fewer files to list/scan at query time)
+    postings.repartition(n_buckets, "bucket").write.partitionBy("bucket").mode(
+        mode
+    ).parquet(f"{out_dir}/postings")
     doc_lens.write.mode(mode).parquet(f"{out_dir}/doc_lens")
 
     os.makedirs(out_dir, exist_ok=True)

@@ -30,17 +30,27 @@ def get_spark(
         inner = master.split("[")[-1].rstrip("]")
         shuffle_partitions = cpus if inner == "*" else int(inner)
 
+    builder = SparkSession.builder.appName(app_name).master(master)
+    # Shuffle/spill scratch: point at fast storage (tmpfs) when provided —
+    # on this sandbox the default /tmp is slow virtio ext4 and disk
+    # writeback dominates big builds.
+    local_dir = os.environ.get("SPARKGREP_LOCAL_DIR")
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
     return (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARKGREP_DRIVER_MEM", "8g"))
+        .config(
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2"
+        )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -137,3 +137,81 @@ def synth_corpus_pdf(n_docs: int, seed: int = 42, words_per_doc: int = 120) -> p
 def synth_corpus(spark: SparkSession, n_docs: int, seed: int = 42, **kw) -> DataFrame:
     pdf = synth_corpus_pdf(n_docs, seed, **kw)
     return with_ingest_columns(spark.createDataFrame(pdf))
+
+
+def synth_code_corpus(
+    spark: SparkSession,
+    n_docs: int,
+    seed: int = 42,
+    words_per_doc: int = 150,
+    n_stems: int = 40,
+    suffix_cardinality: int = 1000,
+) -> DataFrame:
+    """Distributed deterministic code-corpus generator (bench scale).
+
+    Unlike :func:`synth_corpus` (driver-side, small fixtures), this
+    generates on executors via ``mapInPandas`` with a per-doc-seeded
+    numpy PCG64 — identical content for a given (seed, doc_id) under any
+    partitioning. The vocabulary is realistic for source code:
+
+    - a Zipf head of hot keywords (``def``/``import``/…, ~30% of tokens)
+      — the salted-merge skew case,
+    - hot identifier stems and a long tail of suffixed identifiers
+      (``cache_buffer123``) giving tens of thousands of distinct terms,
+      so the global merge actually fans out (a 31-term vocabulary caps
+      merge parallelism at 31 tasks — the scaling killer).
+    """
+    import numpy as np
+    from typing import Iterator
+
+    keywords = np.array(_KEYWORDS, dtype=object)
+    stems = np.array(
+        [f"{a}{i}" if i else a for i, a in
+         ((j % 3, _IDENT_STEMS[j % len(_IDENT_STEMS)]) for j in range(n_stems))],
+        dtype=object,
+    )
+    langs = np.array(_LANGS, dtype=object)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["id"]:
+                rng = np.random.Generator(np.random.PCG64(seed * (1 << 33) + int(doc_id)))
+                n = words_per_doc // 2 + int(rng.integers(0, words_per_doc))
+                kind = rng.random(n)
+                a = stems[rng.integers(0, len(stems), n)]
+                b = stems[rng.integers(0, len(stems), n)]
+                # zipf-ish suffix tail: cube-skewed toward low ids
+                suf = (rng.random(n) ** 3 * suffix_cardinality).astype(int).astype(str)
+                words = np.where(
+                    kind < 0.30,
+                    keywords[rng.integers(0, len(keywords), n)],
+                    np.where(
+                        kind < 0.55,
+                        a + "_" + b,                     # snake_case, hot-ish
+                        np.where(
+                            kind < 0.80,
+                            a + "_" + b + suf,           # long-tail identifier
+                            a,                           # bare hot stem
+                        ),
+                    ),
+                )
+                lang = langs[int(doc_id) % len(langs)]
+                rows.append(
+                    {
+                        "repo": f"org{int(doc_id) % 7}/proj{int(doc_id) % 13}",
+                        "path": f"src/m{int(doc_id) % 97}/f_{int(doc_id)}.{lang[:2]}",
+                        "commit": hashlib.sha1(str(int(doc_id)).encode()).hexdigest(),
+                        "lang": lang,
+                        "content": " ".join(words.tolist()),
+                        "doc_id": int(doc_id),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    base = spark.range(n_docs)
+    out = base.mapInPandas(
+        gen,
+        "repo string, path string, commit string, lang string, content string, doc_id long",
+    )
+    return with_ingest_columns(out)
