@@ -60,6 +60,18 @@ class InvertedIndex:
         self.index_dir = index_dir
         self.meta = load_meta(index_dir)
         self.postings = spark.read.parquet(f"{index_dir}/postings")
+        self._warm = False
+
+    def warm(self) -> "InvertedIndex":
+        """Serving mode: pin the postings table in executor memory
+        (columnar cache) so repeated queries skip the parquet scan.
+        On a cluster this is the resident shard of a serving tier; cache
+        misses fall through to parquet transparently."""
+        if not self._warm:
+            self.postings = self.postings.persist()
+            self.postings.count()  # materialize
+            self._warm = True
+        return self
 
     # -- internals ----------------------------------------------------------
 
