@@ -276,9 +276,12 @@ def q_events_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S3: IN-list point lookup."""
+    """S3: point lookup via broadcast left_semi join (the reference's
+    IN-list lookup, message_manager.py:189-209; semi-join is the
+    large-N form per SURVEY S3/P3)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return ev.filter(F.col("event_id").isin([1, 5, 11, 99, 123])).select(
+    ids = spark.createDataFrame([(i,) for i in [1, 5, 11, 99, 123]], "event_id long")
+    return ev.join(F.broadcast(ids), "event_id", "left_semi").select(
         "event_id", "user_id", "event_type"
     )
 
