@@ -48,7 +48,8 @@ pos AS (
 ),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM pos GROUP BY doc_id, term),
 dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tok),
-stats AS (SELECT count(*) AS n, avg(dl) AS avgdl, sum(dl) AS tot FROM dl)
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl,
+                 CAST(sum(dl) AS BIGINT) AS tot FROM dl)
 """
 
 
@@ -543,11 +544,11 @@ SELECT n AS n_docs, round(avgdl, 6) AS avgdl, tot AS total_tokens FROM stats
         "doc_lengths": f"WITH {_TOK_CTES} SELECT doc_id, dl FROM dl",
         "term_stats": f"""
 WITH {_TOK_CTES}
-SELECT term, count(*) AS df, sum(tf) AS cf FROM tf GROUP BY term
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY term
 """,
         "top_terms": f"""
 WITH {_TOK_CTES}
-SELECT term, count(*) AS df, sum(tf) AS cf FROM tf GROUP BY term
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY term
 ORDER BY cf DESC, term ASC LIMIT 20
 """,
         "bm25_topk": _bm25_sql(flagship_terms, 10),
@@ -621,7 +622,8 @@ bv AS (
   FROM tfh CROSS JOIN bits GROUP BY doc_id, bit
 )
 SELECT doc_id,
-       sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS simhash
+       CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END)
+            AS BIGINT) AS simhash
 FROM bv GROUP BY doc_id
 """,
         "cosine_topk": """
@@ -704,7 +706,7 @@ QUALIFY pos <= n_sh - 3
 """,
         "events_summary": """
 SELECT event_type, count(*) AS n,
-       sum(CAST(round(value * 100, 0) AS BIGINT)) AS value_cents,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents,
        count(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type
 """,

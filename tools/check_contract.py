@@ -24,14 +24,17 @@ TABLES = [
 
 
 def canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    # dtype-STRICT, matching the driver's hash: int64 1234 and float64
+    # 1234.0 must NOT compare equal. Only object→str (string canon) and
+    # nullable-Float→float64 (same kind) normalizations are applied.
     pdf = pdf.reindex(sorted(pdf.columns), axis=1)
     for c in pdf.columns:
         if pdf[c].dtype == object:
             pdf[c] = pdf[c].astype(str)
-        elif "float" in str(pdf[c].dtype) or "Float" in str(pdf[c].dtype):
-            pdf[c] = pdf[c].astype(float)
-        elif "decimal" in str(pdf[c].dtype):
-            pdf[c] = pdf[c].astype(float)
+        elif "Float" in str(pdf[c].dtype):
+            pdf[c] = pdf[c].astype("float64")
+        elif "Int" in str(pdf[c].dtype):
+            pdf[c] = pdf[c].astype("int64")
     return pdf.sort_values(list(pdf.columns), kind="mergesort").reset_index(drop=True)
 
 
@@ -40,6 +43,8 @@ def values_match(a: pd.DataFrame, b: pd.DataFrame) -> bool:
         return False
     for c in a.columns:
         av, bv = a[c], b[c]
+        if av.dtype.kind != bv.dtype.kind:
+            return False  # driver hashes raw values — int vs float differs
         if av.dtype == float or bv.dtype == float:
             ok = [
                 (pd.isna(x) and pd.isna(y))
