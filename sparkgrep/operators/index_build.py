@@ -84,7 +84,14 @@ def spimi_term_freqs(
     """SPIMI local runs: (term, doc_id, tf, dl) with NO shuffle — term
     frequency is an intra-document statistic, computed per Arrow batch
     with a pandas groupby (the in-memory 'single-pass in-memory
-    indexing' run; the global merge is the later groupBy)."""
+    indexing' run; the global merge is the later groupBy).
+
+    Docs that tokenize to ZERO tokens (null or punctuation-only content)
+    emit a sentinel run row ``(term='', tf=0, dl=0)`` so they still count
+    in N/avgdl — matching the exact path, the DuckDB oracle, and FTS5,
+    all of which include empty docs in corpus statistics. The sentinel
+    term '' can never collide with a real token (no analyzer emits empty
+    strings) and is filtered out of df/postings in the merge."""
     cols = ["doc_id", "content"] + (["lang"] if use_lang and "lang" in corpus.columns else [])
     narrow = corpus.select(*cols)
 
@@ -96,6 +103,19 @@ def spimi_term_freqs(
                 pdf["content"], analyzer, pdf["lang"] if "lang" in pdf else None
             )
             dls = toks.map(len).astype("int32")
+            frames = []
+            zero_ids = pdf["doc_id"].to_numpy()[dls.to_numpy() == 0]
+            if len(zero_ids):
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "term": np.full(len(zero_ids), "", dtype=object),
+                            "doc_id": zero_ids,
+                            "tf": np.zeros(len(zero_ids), dtype=np.int32),
+                            "dl": np.zeros(len(zero_ids), dtype=np.int32),
+                        }
+                    )
+                )
             exploded = pd.DataFrame(
                 {
                     "term": np.concatenate([np.asarray(t, dtype=object) for t in toks])
@@ -105,16 +125,17 @@ def spimi_term_freqs(
                     "dl": np.repeat(dls.to_numpy(), dls.to_numpy()),
                 }
             )
-            if exploded.empty:
-                continue
-            run = (
-                exploded.groupby(["term", "doc_id"], sort=False)
-                .agg(tf=("dl", "size"), dl=("dl", "first"))
-                .reset_index()
-            )
-            run["tf"] = run["tf"].astype("int32")
-            run["dl"] = run["dl"].astype("int32")
-            yield run[["term", "doc_id", "tf", "dl"]]
+            if not exploded.empty:
+                run = (
+                    exploded.groupby(["term", "doc_id"], sort=False)
+                    .agg(tf=("dl", "size"), dl=("dl", "first"))
+                    .reset_index()
+                )
+                run["tf"] = run["tf"].astype("int32")
+                run["dl"] = run["dl"].astype("int32")
+                frames.append(run[["term", "doc_id", "tf", "dl"]])
+            if frames:
+                yield pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
 
     return narrow.mapInPandas(gen, TERM_FREQ_SCHEMA)
 
@@ -162,7 +183,14 @@ def _encode_groups_frame(meta: IndexMeta, pdf: pd.DataFrame, starts, ends) -> pd
         nblocks = (len(g_ids) + block - 1) // block
         pad = nblocks * block - len(g_ids)
         bm = np.pad(contrib, (0, pad), constant_values=-np.inf).reshape(nblocks, block)
-        out["block_max"][gi] = bm.max(axis=1).astype(np.float32)
+        # round UP to the next float32: block_max is consumed as an exact
+        # upper bound by MaxScore pruning (wand.py), and a down-rounding
+        # float64→float32 cast would make it unsound at score boundaries
+        bm64 = bm.max(axis=1)
+        bm32 = bm64.astype(np.float32)
+        low = bm32.astype(np.float64) < bm64
+        bm32[low] = np.nextafter(bm32[low], np.float32(np.inf))
+        out["block_max"][gi] = bm32
     return pd.DataFrame(out)
 
 
@@ -241,11 +269,14 @@ def merge_and_write(
         idf_variant=idf_variant,
     )
 
-    dfs = tf.groupBy("term").agg(
+    # zero-token docs ride in as sentinel rows (term='', tf=0, dl=0): they
+    # count in doc_lens/N/avgdl above but never become postings
+    real = tf.filter(F.col("term") != "")
+    dfs = real.groupBy("term").agg(
         F.count("*").alias("df"), F.sum("tf").cast("long").alias("cf")
     )
     joined = (
-        tf.join(dfs, "term")  # AQE skew-join splits hot-term partitions
+        real.join(dfs, "term")  # AQE skew-join splits hot-term partitions
         .withColumn(
             "n_shards",
             F.greatest(

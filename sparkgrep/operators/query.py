@@ -141,24 +141,35 @@ class InvertedIndex:
         all_terms = sorted({t for _, t in qterm_rows})
         contribs = self._contribs(all_terms).persist()
 
-        # one fold + top-k per query (small agg width each); union children
-        # are independent subtrees, so Spark runs them concurrently in the
-        # single collect action — results bitwise-match search() per query
-        parts = []
-        for qid, terms in sorted(by_query.items()):
-            scored = self._fold_scores(
-                contribs.filter(F.col("term").isin(terms)), terms
+        try:
+            # one fold + top-k per query (small agg width each); union
+            # children are independent subtrees, so Spark runs them
+            # concurrently in the single collect action — results
+            # bitwise-match search() per query
+            parts = []
+            for qid, terms in sorted(by_query.items()):
+                scored = self._fold_scores(
+                    contribs.filter(F.col("term").isin(terms)), terms
+                )
+                top = (
+                    scored.orderBy(F.desc("score"), F.asc("doc_id"))
+                    .limit(kmap[qid])
+                    .withColumn("query_id", F.lit(qid))
+                )
+                parts.append(top)
+            union = parts[0]
+            for p in parts[1:]:
+                union = union.unionByName(p)
+            w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+            ranked = union.withColumn(
+                "rank", F.row_number().over(w).cast("int")
+            ).select("query_id", "rank", "doc_id", "score")
+            # materialize eagerly (≤ Σk rows) so the shared cache can be
+            # released NOW — otherwise repeated batch calls in a long-lived
+            # serving session accumulate cached blocks in executor memory
+            rows = ranked.collect()
+            return self.spark.createDataFrame(
+                rows, "query_id string, rank int, doc_id long, score double"
             )
-            top = (
-                scored.orderBy(F.desc("score"), F.asc("doc_id"))
-                .limit(kmap[qid])
-                .withColumn("query_id", F.lit(qid))
-            )
-            parts.append(top)
-        union = parts[0]
-        for p in parts[1:]:
-            union = union.unionByName(p)
-        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-        return union.withColumn("rank", F.row_number().over(w).cast("int")).select(
-            "query_id", "rank", "doc_id", "score"
-        )
+        finally:
+            contribs.unpersist()

@@ -105,10 +105,12 @@ def build_index_checkpointed(
         tf.write.mode("overwrite").parquet(seg_dir)
 
         # lineage metrics from the segment's own runs + input slice
+        # (term='' sentinel rows mark zero-token docs: counted in n_docs,
+        # excluded from n_postings)
         m = spark.read.parquet(seg_dir).agg(
             F.countDistinct("doc_id").alias("n_docs"),
             F.sum("tf").alias("n_tokens"),
-            F.count("*").alias("n_postings"),
+            F.count(F.when(F.col("term") != "", 1)).alias("n_postings"),
         ).collect()[0]
         # order-independent content lineage hash over the slice
         h_col = (
@@ -184,7 +186,7 @@ def append_batch(
         m = spark.read.parquet(seg_dir).agg(
             F.countDistinct("doc_id").alias("n_docs"),
             F.sum("tf").alias("n_tokens"),
-            F.count("*").alias("n_postings"),
+            F.count(F.when(F.col("term") != "", 1)).alias("n_postings"),
         ).collect()[0]
         h_col = (
             F.sha2(F.col("content_sha256"), 256)

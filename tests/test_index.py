@@ -32,11 +32,48 @@ def exact(corpus):
 
 
 def test_spimi_matches_native_term_freqs(corpus):
-    a = spimi_term_freqs(corpus, "simple").toPandas().sort_values(["term", "doc_id"])
+    a = spimi_term_freqs(corpus, "simple").toPandas()
+    a = a[a["term"] != ""].sort_values(["term", "doc_id"])  # drop 0-dl sentinels
     b = ST.term_freqs(corpus, "simple").toPandas().sort_values(["term", "doc_id"])
     assert a.reset_index(drop=True).equals(
         b[["term", "doc_id", "tf", "dl"]].reset_index(drop=True)
     )
+
+
+def test_zero_token_docs_count_in_stats(spark, tmp_path):
+    """Docs that tokenize to zero tokens (empty/punctuation-only/null
+    content) must still count in N and avgdl — matching the exact path,
+    the DuckDB oracle, and FTS5 semantics — without producing postings."""
+    from sparkgrep.operators.index_build import load_meta
+    from sparkgrep.sources.corpus import with_ingest_columns
+
+    rows = [
+        ("r", "a.py", "c1", "python", "hash join table hash"),
+        ("r", "b.py", "c2", "python", "!!! ... ???"),   # tokenizes to []
+        ("r", "c.py", "c3", "python", ""),              # empty
+        ("r", "d.py", "c4", "python", "join the window"),
+    ]
+    corpus = with_ingest_columns(
+        spark.createDataFrame(rows, "repo string, path string, commit string, lang string, content string")
+    )
+    out = str(tmp_path / "idx0")
+    build_index(corpus, out, analyzer="simple", n_buckets=4)
+    meta = load_meta(out)
+    exact = ST.corpus_stats(ST.doc_lengths(corpus, "simple"))
+    assert meta.n_docs == 4 == exact.n_docs
+    assert meta.avgdl == pytest.approx(exact.avgdl)
+    assert meta.total_tokens == exact.total_tokens
+    # no sentinel postings on disk; doc_lens carries the 0-dl docs
+    idx = InvertedIndex(spark, out)
+    assert idx.postings.filter(F.col("term") == "").count() == 0
+    dls = spark.read.parquet(f"{out}/doc_lens")
+    assert dls.count() == 4 and dls.filter(F.col("dl") == 0).count() == 2
+    # scores equal the exact path with the full-corpus stats
+    tf = ST.term_freqs(corpus, "simple")
+    got = idx.search("hash join", k=4).toPandas()
+    want = S.search(tf, exact, "hash join", k=4).toPandas()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert (got["score"].to_numpy() == want["score"].to_numpy()).all()
 
 
 @pytest.mark.parametrize("query", QUERIES)
