@@ -54,12 +54,20 @@ stats AS (SELECT count(*) AS n, avg(dl) AS avgdl,
 
 
 def _bm25_sql(
-    terms: list[str], k: int, with_qid: str | None = None, idf_variant: str = "okapi"
+    terms: list[str],
+    k: int,
+    with_qid: str | None = None,
+    idf_variant: str = "okapi",
+    require_all: bool = False,
 ) -> str:
     """DuckDB BM25 (k1=1.2 b=0.75) for one query, mirroring the engine's
-    exact operation order (score.py:bm25_contrib_col)."""
-    tlist = ", ".join(f"('{t}')" for t in sorted(set(terms)))
+    exact operation order (score.py:bm25_contrib_col). ``require_all``
+    adds conjunctive (implicit-AND) match semantics: only docs containing
+    every query term score."""
+    uniq = sorted(set(terms))
+    tlist = ", ".join(f"('{t}')" for t in uniq)
     qid_col = f"'{with_qid}' AS query_id, " if with_qid else ""
+    having = f"HAVING count(*) = {len(uniq)}" if require_all else ""
     idf_expr = (
         "ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5))"
         if idf_variant == "okapi"
@@ -82,8 +90,71 @@ contrib AS (
   JOIN dl ON tf.doc_id = dl.doc_id
   CROSS JOIN stats
 ),
-scored AS (SELECT doc_id, sum(c ORDER BY term) AS score FROM contrib GROUP BY doc_id)
+scored AS (SELECT doc_id, sum(c ORDER BY term) AS score FROM contrib GROUP BY doc_id {having})
 SELECT {qid_col}CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, round(score, 4) AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def _units_sql(
+    phrase_units: list[tuple[str, ...]],
+    term_units: list[str],
+    k: int,
+    match_having: str = "",
+) -> str:
+    """DuckDB oracle for the unit-scoring query language (querylang.py):
+    each phrase/term is a BM25 atom with its own tf/df; a doc's score is
+    the uid-ordered sum of contributions of the units it contains.
+    ``match_having`` filters the matched-doc set (boolean semantics);
+    empty = any unit present (OR)."""
+    ph_ctes, ph_selects = [], []
+    for pi, pterms in enumerate(phrase_units):
+        joins = "\n  ".join(
+            f"JOIN pos p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.pos = p0.pos + {i} "
+            f"AND p{i}.term = '{t}'"
+            for i, t in enumerate(pterms[1:], start=1)
+        )
+        ph_ctes.append(
+            f"ph{pi} AS (\n  SELECT p0.doc_id, count(*) AS tf FROM pos p0\n  {joins}\n"
+            f"  WHERE p0.term = '{pterms[0]}' GROUP BY p0.doc_id\n)"
+        )
+        uid = "p:" + " ".join(pterms)
+        ph_selects.append(f"SELECT '{uid}' AS uid, doc_id, tf FROM ph{pi}")
+    if term_units:
+        tlist = ", ".join(f"'{t}'" for t in sorted(set(term_units)))
+        ph_selects.append(
+            f"SELECT 't:' || term AS uid, doc_id, tf FROM tf WHERE term IN ({tlist})"
+        )
+    unit_union = "\n  UNION ALL\n  ".join(ph_selects)
+    ph_block = (",\n".join(ph_ctes) + ",") if ph_ctes else ""
+    having = f"HAVING {match_having}" if match_having else ""
+    return f"""
+WITH {_TOK_CTES},
+{ph_block}
+unit_tf AS (
+  {unit_union}
+),
+udf AS (SELECT uid, count(*) AS df FROM unit_tf GROUP BY uid),
+matched AS (SELECT doc_id FROM unit_tf GROUP BY doc_id {having}),
+contrib AS (
+  SELECT u.doc_id, u.uid,
+         ln((stats.n - udf.df + 0.5) / (udf.df + 0.5))
+           * (u.tf * {BM25_K1 + 1.0})
+           / (u.tf + ({BM25_K1} * ({1.0 - BM25_B} + (({BM25_B} * dl.dl) / stats.avgdl)))) AS c
+  FROM unit_tf u
+  JOIN udf USING (uid)
+  JOIN dl ON u.doc_id = dl.doc_id
+  CROSS JOIN stats
+),
+scored AS (
+  SELECT c.doc_id, sum(c ORDER BY uid) AS score
+  FROM contrib c JOIN matched ON c.doc_id = matched.doc_id
+  GROUP BY c.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
        doc_id, round(score, 4) AS score
 FROM scored
 ORDER BY score DESC, doc_id ASC
@@ -187,6 +258,55 @@ def q_bm25_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_index(_corpus(spark, sf_dir), out, analyzer="simple", n_buckets=8)
     res = InvertedIndex(spark, out).search_batch(MULTI_QUERIES)
     return res.select("query_id", "rank", "doc_id", F.round("score", 4).alias("score"))
+
+
+PHRASE_QUERY = '"hash join"'
+EXPR_QUERY = '"hash join" OR window'
+PHRASE_AND_QUERY = '"hash join" table'
+
+
+def _pos_index(spark: SparkSession, sf_dir: str):
+    from sparkgrep.operators.index_build import build_index
+    from sparkgrep.operators.query import InvertedIndex
+
+    out = tempfile.mkdtemp(prefix="sparkgrep_pidx_") + "/idx"
+    build_index(
+        _corpus(spark, sf_dir), out, analyzer="simple", n_buckets=8,
+        store_positions=True,
+    )
+    return InvertedIndex(spark, out)
+
+
+def q_bm25_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (implicit-AND) BM25 — the reference's default MATCH
+    semantics (test_message_manager.py:417-424)."""
+    from sparkgrep.operators.index_build import build_index
+    from sparkgrep.operators.query import InvertedIndex
+
+    out = tempfile.mkdtemp(prefix="sparkgrep_and_") + "/idx"
+    build_index(_corpus(spark, sf_dir), out, analyzer="simple", n_buckets=8)
+    res = InvertedIndex(spark, out).search(FLAGSHIP_QUERY, k=10, mode="and")
+    return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
+
+
+def q_bm25_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quoted-phrase query over the positional index (reference
+    test_message_manager.py:427-435): phrase = one BM25 atom whose tf is
+    the phrase occurrence count."""
+    res = _pos_index(spark, sf_dir).search_expr(PHRASE_QUERY, k=10)
+    return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
+
+
+def q_bm25_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean query language: phrase OR term."""
+    res = _pos_index(spark, sf_dir).search_expr(EXPR_QUERY, k=10)
+    return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
+
+
+def q_bm25_phrase_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean query language: phrase AND term (implicit AND)."""
+    res = _pos_index(spark, sf_dir).search_expr(PHRASE_AND_QUERY, k=10)
+    return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -462,6 +582,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,
     "bm25_indexed": q_bm25_indexed,
     "bm25_multi": q_bm25_multi,
+    "bm25_and": q_bm25_and,
+    "bm25_phrase": q_bm25_phrase,
+    "bm25_expr": q_bm25_expr,
+    "bm25_phrase_and": q_bm25_phrase_and,
     "dedup_exact": q_dedup_exact,
     "minhash_lsh": q_minhash_lsh,
     "ngram_jaccard": q_ngram_jaccard,
@@ -554,6 +678,13 @@ ORDER BY cf DESC, term ASC LIMIT 20
         "bm25_topk": _bm25_sql(flagship_terms, 10),
         "bm25_indexed": _bm25_sql(flagship_terms, 10),
         "bm25_multi": multi_sql,
+        "bm25_and": _bm25_sql(flagship_terms, 10, require_all=True),
+        "bm25_phrase": _units_sql([("hash", "join")], [], 10),
+        "bm25_expr": _units_sql([("hash", "join")], ["window"], 10),
+        "bm25_phrase_and": _units_sql(
+            [("hash", "join")], ["table"], 10,
+            match_having="count(DISTINCT uid) = 2",
+        ),
         "dedup_exact": """
 SELECT md5(text) AS content_md5, count(*) AS n_dups, min(doc_id) AS keeper
 FROM documents GROUP BY md5(text) HAVING count(*) > 1

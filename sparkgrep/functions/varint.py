@@ -69,3 +69,36 @@ def gap_encode(sorted_ids: np.ndarray) -> bytes:
 def gap_decode(buf: bytes) -> np.ndarray:
     gaps = varint_decode(buf).astype(np.int64)
     return np.cumsum(gaps)
+
+
+def delta_encode_segments(values: np.ndarray, counts: np.ndarray) -> bytes:
+    """Encode concatenated per-segment increasing sequences (e.g. token
+    positions per doc, concatenated in doc order, segment lengths =
+    ``counts``): within each segment the first value is absolute and the
+    rest are deltas; segments are independent. Vectorized — no per-doc
+    loop."""
+    v = np.asarray(values, dtype=np.int64)
+    counts = np.asarray(counts, dtype=np.int64)
+    if v.size == 0:
+        return b""
+    d = np.empty_like(v)
+    d[0] = v[0]
+    np.subtract(v[1:], v[:-1], out=d[1:])
+    starts = np.cumsum(counts)[:-1]  # segment start indices (beyond 0)
+    d[starts] = v[starts]            # reset: absolute at each segment head
+    return varint_encode(d.astype(np.uint64))
+
+
+def delta_decode_segments(buf: bytes, counts: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`delta_encode_segments`: returns the concatenated
+    absolute values; split with ``np.split(out, np.cumsum(counts)[:-1])``."""
+    d = varint_decode(buf).astype(np.int64)
+    if d.size == 0:
+        return d
+    counts = np.asarray(counts, dtype=np.int64)
+    c = np.cumsum(d)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    # subtract each segment's preceding cumulative sum → per-segment cumsum
+    base = np.zeros(len(counts), dtype=np.int64)
+    base[1:] = c[starts[1:] - 1]
+    return c - np.repeat(base, counts)

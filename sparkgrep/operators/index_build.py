@@ -50,8 +50,8 @@ from pyspark.sql import functions as F
 
 from sparkgrep import BM25_B, BM25_K1
 from sparkgrep.functions.tokenizer import tokenize_series
-from sparkgrep.functions.varint import gap_encode, varint_encode
-from sparkgrep.schema import TERM_FREQ_SCHEMA
+from sparkgrep.functions.varint import delta_encode_segments, gap_encode, varint_encode
+from sparkgrep.schema import TERM_FREQ_POS_SCHEMA, TERM_FREQ_SCHEMA
 
 BLOCK_SIZE = 128
 XXHASH_SEED = 42  # F.xxhash64's fixed seed
@@ -70,16 +70,23 @@ class IndexMeta:
     b: float
     idf_variant: str
     version: int = 1
+    has_positions: bool = False
 
 
 POSTINGS_OUT_SCHEMA = (
     "bucket int, term string, shard int, df long, cf long, n int, "
     "doc_ids binary, tfs binary, dls binary, block_max array<float>"
 )
+# positions-enabled index: poss = per-doc token-position lists (0-based),
+# delta+varint encoded, concatenated in doc order; segment lengths == tfs
+POSTINGS_OUT_SCHEMA_POS = POSTINGS_OUT_SCHEMA + ", poss binary"
 
 
 def spimi_term_freqs(
-    corpus: DataFrame, analyzer: str = "simple", use_lang: bool = False
+    corpus: DataFrame,
+    analyzer: str = "simple",
+    use_lang: bool = False,
+    positions: bool = False,
 ) -> DataFrame:
     """SPIMI local runs: (term, doc_id, tf, dl) with NO shuffle — term
     frequency is an intra-document statistic, computed per Arrow batch
@@ -106,38 +113,51 @@ def spimi_term_freqs(
             frames = []
             zero_ids = pdf["doc_id"].to_numpy()[dls.to_numpy() == 0]
             if len(zero_ids):
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "term": np.full(len(zero_ids), "", dtype=object),
-                            "doc_id": zero_ids,
-                            "tf": np.zeros(len(zero_ids), dtype=np.int32),
-                            "dl": np.zeros(len(zero_ids), dtype=np.int32),
-                        }
-                    )
+                sent = pd.DataFrame(
+                    {
+                        "term": np.full(len(zero_ids), "", dtype=object),
+                        "doc_id": zero_ids,
+                        "tf": np.zeros(len(zero_ids), dtype=np.int32),
+                        "dl": np.zeros(len(zero_ids), dtype=np.int32),
+                    }
                 )
+                if positions:
+                    sent["positions"] = [[] for _ in range(len(zero_ids))]
+                frames.append(sent)
+            lens = dls.to_numpy()
             exploded = pd.DataFrame(
                 {
                     "term": np.concatenate([np.asarray(t, dtype=object) for t in toks])
                     if len(toks)
                     else np.empty(0, dtype=object),
-                    "doc_id": np.repeat(pdf["doc_id"].to_numpy(), dls.to_numpy()),
-                    "dl": np.repeat(dls.to_numpy(), dls.to_numpy()),
+                    "doc_id": np.repeat(pdf["doc_id"].to_numpy(), lens),
+                    "dl": np.repeat(lens, lens),
                 }
             )
+            if positions and not exploded.empty:
+                # 0-based token position within each doc, vectorized
+                offs = np.repeat(np.cumsum(lens) - lens, lens)
+                exploded["pos"] = (
+                    np.arange(int(lens.sum()), dtype=np.int64) - offs
+                ).astype(np.int32)
             if not exploded.empty:
+                aggs = {"tf": ("dl", "size"), "dl": ("dl", "first")}
+                if positions:
+                    aggs["positions"] = ("pos", list)
                 run = (
                     exploded.groupby(["term", "doc_id"], sort=False)
-                    .agg(tf=("dl", "size"), dl=("dl", "first"))
+                    .agg(**aggs)
                     .reset_index()
                 )
                 run["tf"] = run["tf"].astype("int32")
                 run["dl"] = run["dl"].astype("int32")
-                frames.append(run[["term", "doc_id", "tf", "dl"]])
+                cols = ["term", "doc_id", "tf", "dl"] + (["positions"] if positions else [])
+                frames.append(run[cols])
             if frames:
                 yield pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
 
-    return narrow.mapInPandas(gen, TERM_FREQ_SCHEMA)
+    schema = TERM_FREQ_POS_SCHEMA if positions else TERM_FREQ_SCHEMA
+    return narrow.mapInPandas(gen, schema)
 
 
 def _encode_groups_frame(meta: IndexMeta, pdf: pd.DataFrame, starts, ends) -> pd.DataFrame:
@@ -159,6 +179,9 @@ def _encode_groups_frame(meta: IndexMeta, pdf: pd.DataFrame, starts, ends) -> pd
     # frame at once (idf multiplied in per group below)
     tf_norm = (tfs * (k1 + 1.0)) / (tfs + (k1 * ((1.0 - b) + ((b * dls) / avgdl))))
 
+    has_pos = "positions" in pdf.columns
+    poscol = pdf["positions"].to_numpy() if has_pos else None
+
     n = len(starts)
     out = {
         "bucket": buckets[starts].astype("int32"),
@@ -172,12 +195,21 @@ def _encode_groups_frame(meta: IndexMeta, pdf: pd.DataFrame, starts, ends) -> pd
         "dls": [None] * n,
         "block_max": [None] * n,
     }
+    if has_pos:
+        out["poss"] = [None] * n
     n_docs, variant = meta.n_docs, meta.idf_variant
     for gi, (s, e) in enumerate(zip(starts, ends)):
         g_ids = ids[s:e]
         out["doc_ids"][gi] = gap_encode(g_ids)
         out["tfs"][gi] = varint_encode(tfs[s:e].astype(np.uint64))
         out["dls"][gi] = varint_encode(dls[s:e].astype(np.uint64))
+        if has_pos:
+            flat = (
+                np.concatenate([np.asarray(p, dtype=np.int64) for p in poscol[s:e]])
+                if e > s
+                else np.empty(0, dtype=np.int64)
+            )
+            out["poss"][gi] = delta_encode_segments(flat, tfs[s:e])
         idf = idf_fn(n_docs, int(dfs_[s]), variant)
         contrib = idf * tf_norm[s:e]
         nblocks = (len(g_ids) + block - 1) // block
@@ -252,6 +284,7 @@ def merge_and_write(
     pass or from checkpointed segments): stats, df, sharded salted merge,
     varint encode, partitioned write. Three wide stages total."""
     t0 = t0 or time.time()
+    has_positions = "positions" in tf.columns
     doc_lens = tf.groupBy("doc_id").agg(F.max("dl").alias("dl"))
     row = doc_lens.agg(
         F.count("*").alias("n"), F.avg("dl").alias("avgdl"), F.sum("dl").alias("tot")
@@ -267,6 +300,7 @@ def merge_and_write(
         k1=k1,
         b=b,
         idf_variant=idf_variant,
+        has_positions=has_positions,
     )
 
     # zero-token docs ride in as sentinel rows (term='', tf=0, dl=0): they
@@ -295,10 +329,11 @@ def merge_and_write(
     # silently capping the encode stage's parallelism.
     spark = tf.sparkSession
     n_merge_parts = merge_partitions or spark.sparkContext.defaultParallelism * 2
+    out_schema = POSTINGS_OUT_SCHEMA_POS if has_positions else POSTINGS_OUT_SCHEMA
     postings = (
         joined.repartition(n_merge_parts, "term", "shard")
         .sortWithinPartitions("term", "shard", "doc_id")
-        .mapInPandas(_make_partition_encoder(meta), POSTINGS_OUT_SCHEMA)
+        .mapInPandas(_make_partition_encoder(meta), out_schema)
     )
     # encoded postings are ~2 bytes/posting — a cheap extra shuffle keyed
     # on bucket turns tasks×buckets tiny files into one file per bucket
@@ -320,11 +355,16 @@ def build_index(
     out_dir: str,
     analyzer: str = "simple",
     use_lang: bool = False,
+    store_positions: bool = False,
     **merge_kw,
 ) -> IndexMeta:
-    """One-shot index build: SPIMI pass + global merge."""
+    """One-shot index build: SPIMI pass + global merge.
+
+    ``store_positions=True`` adds a per-posting token-position payload
+    (``poss``) enabling phrase queries (reference supports quoted-phrase
+    MATCH, test_message_manager.py:417-435); costs ~1 varint per token."""
     t0 = time.time()
-    tf = spimi_term_freqs(corpus, analyzer, use_lang)
+    tf = spimi_term_freqs(corpus, analyzer, use_lang, positions=store_positions)
     # Re-deriving tf twice (doc_lens + merge) would re-run the tokenizer;
     # persist the SPIMI runs for the duration of the build.
     tf.persist()

@@ -20,8 +20,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from sparkgrep.functions.querylang import ParsedQuery, Unit, parse_query
 from sparkgrep.functions.tokenizer import tokenize_py
-from sparkgrep.functions.varint import gap_decode, varint_decode
+from sparkgrep.functions.varint import delta_decode_segments, gap_decode, varint_decode
 from sparkgrep.operators.index_build import IndexMeta, load_meta
 from sparkgrep.operators.score import idf as idf_fn
 
@@ -50,6 +51,46 @@ def _decode_score_gen(meta: IndexMeta):
                 yield pd.concat(outs, ignore_index=True)
 
     return gen
+
+
+def _decode_raw_gen(meta: IndexMeta, with_positions: bool = False):
+    """Decode postings to raw (term, doc_id, tf, dl[, positions]) rows —
+    the basis for AND / phrase / boolean scoring, where the fold needs
+    unit frequencies rather than precomputed contributions."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for r in pdf.itertuples():
+                ids = gap_decode(r.doc_ids).astype(np.int64)
+                tfs = varint_decode(r.tfs).astype(np.int64)
+                dls = varint_decode(r.dls).astype(np.int64)
+                d = {
+                    "term": r.term,
+                    "doc_id": ids,
+                    "tf": tfs.astype(np.int32),
+                    "dl": dls.astype(np.int32),
+                }
+                frame = pd.DataFrame(d)
+                if with_positions:
+                    flat = delta_decode_segments(r.poss, tfs)
+                    frame["positions"] = [
+                        a.astype(np.int32) for a in np.split(flat, np.cumsum(tfs)[:-1])
+                    ]
+                outs.append(frame)
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return gen
+
+
+def _shift_by(i: int):
+    # single-param closure: a 2-arg lambda would be bound as (element,
+    # index) by Spark's higher-order-function API
+    def f(x):
+        return x - F.lit(i)
+
+    return f
 
 
 class InvertedIndex:
@@ -102,19 +143,188 @@ class InvertedIndex:
         keys = (extra_keys or []) + ["doc_id"]
         return fold_contribs(contribs, terms_sorted, keys=keys)
 
+    def _raw_units(self, terms: list[str], with_positions: bool = False) -> DataFrame:
+        schema = "term string, doc_id long, tf int, dl int" + (
+            ", positions array<int>" if with_positions else ""
+        )
+        return self._matched(terms).mapInPandas(
+            _decode_raw_gen(self.meta, with_positions), schema
+        )
+
+    def _phrase_tf(self, terms: tuple[str, ...]) -> DataFrame:
+        """(doc_id, tf, dl) for an ordered phrase: decode positions of the
+        constituent terms, pivot per doc into a term→positions map, and
+        intersect slot-shifted position sets natively (array_intersect in
+        codegen — phrase tf = |{p : term_i at p+i ∀i}|). Only docs
+        containing ALL constituent terms reach the intersection."""
+        if not self.meta.has_positions:
+            raise ValueError(
+                "phrase queries need an index built with store_positions=True"
+            )
+        uterms = sorted(set(terms))
+        raw = self._raw_units(uterms, with_positions=True)
+        g = (
+            raw.groupBy("doc_id")
+            .agg(
+                F.first("dl").alias("dl"),
+                F.map_from_entries(
+                    F.collect_list(F.struct("term", "positions"))
+                ).alias("pmap"),
+                F.count("*").alias("_nt"),
+            )
+            .filter(F.col("_nt") == len(uterms))
+        )
+        starts = F.element_at(F.col("pmap"), F.lit(terms[0]))
+        for i, t in enumerate(terms[1:], start=1):
+            starts = F.array_intersect(
+                starts, F.transform(F.element_at(F.col("pmap"), F.lit(t)), _shift_by(i))
+            )
+        return (
+            g.select("doc_id", "dl", F.size(starts).cast("int").alias("tf"))
+            .filter(F.col("tf") > 0)
+        )
+
     # -- public API ---------------------------------------------------------
 
-    def search(self, query_text: str, k: int = 10) -> DataFrame:
-        """One query → (rank, doc_id, score); match-or-drop, ties by doc_id."""
+    def search(
+        self, query_text: str, k: int = 10, mode: str = "or", strict: bool = False
+    ) -> DataFrame:
+        """One query → (rank, doc_id, score); ties by doc_id.
+
+        mode='or'   — bag-of-words: docs matching ANY term, scored over
+                      matched terms (match-or-drop, reference P5).
+        mode='and'  — conjunctive: docs containing ALL terms (the
+                      reference's implicit-AND MATCH default).
+        mode='expr' — full query language: implicit/explicit AND, OR,
+                      quoted phrases (see functions/querylang.py).
+
+        strict=True raises on an empty/no-term query, matching FTS5's
+        error on an empty MATCH (test_message_manager.py:599-610);
+        default returns an empty relation.
+        """
+        if mode == "expr":
+            return self.search_expr(query_text, k, strict=strict)
         terms = sorted(set(tokenize_py(query_text, self.meta.analyzer)))
         if not terms:
+            if strict:
+                raise ValueError("empty query (FTS5 parity: empty MATCH is an error)")
             return self.spark.createDataFrame([], "rank int, doc_id long, score double")
+        if mode == "and":
+            pq = ParsedQuery(((tuple(Unit((t,)) for t in terms),)))
+            return self._search_parsed(pq, k)
+        if mode != "or":
+            raise ValueError(f"unknown mode {mode!r} (or|and|expr)")
         scored = self._fold_scores(self._contribs(terms), terms)
         top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
         return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
             "rank", "doc_id", "score"
         )
+
+    def search_expr(self, query_text: str, k: int = 10, strict: bool = False) -> DataFrame:
+        """Query-language search: OR-of-AND over term/phrase units with
+        FTS5's scoring model (every unit is a BM25 atom; a doc's score
+        sums the contributions of the query units it contains)."""
+        pq = parse_query(query_text, self.meta.analyzer)
+        if not pq.disjuncts:
+            if strict:
+                raise ValueError("empty query (FTS5 parity: empty MATCH is an error)")
+            return self.spark.createDataFrame([], "rank int, doc_id long, score double")
+        return self._search_parsed(pq, k)
+
+    def _search_parsed(self, pq: ParsedQuery, k: int) -> DataFrame:
+        meta = self.meta
+        units = pq.units()
+        # per-unit per-doc (tf, dl): terms straight off the postings
+        # decode; phrases via position intersection
+        parts = []
+        term_units = [u for u in units if not u.is_phrase]
+        if term_units:
+            terms = sorted({u.terms[0] for u in term_units})
+            raw = self._raw_units(terms)
+            parts.append(
+                raw.select(
+                    F.concat(F.lit("t:"), F.col("term")).alias("uid"),
+                    "doc_id", "tf", "dl",
+                )
+            )
+        for u in units:
+            if u.is_phrase:
+                parts.append(
+                    self._phrase_tf(u.terms).select(
+                        F.lit(u.uid).alias("uid"), "doc_id", "tf", "dl"
+                    )
+                )
+        unit_tf = parts[0]
+        for p in parts[1:]:
+            unit_tf = unit_tf.unionByName(p)
+        unit_tf = unit_tf.persist()
+        try:
+            # unit document frequencies (for terms this equals the stored
+            # df; for phrases it's the phrase-match doc count), then idf
+            # driver-side — one tiny collect
+            dfs = {
+                r["uid"]: r["df"]
+                for r in unit_tf.groupBy("uid").agg(F.count("*").alias("df")).collect()
+            }
+            uids = [u.uid for u in units if u.uid in dfs]
+            if not uids:
+                return self.spark.createDataFrame(
+                    [], "rank int, doc_id long, score double"
+                )
+            idf_rows = [
+                (uid, float(idf_fn(meta.n_docs, dfs[uid], meta.idf_variant)))
+                for uid in sorted(uids)
+            ]
+            idf_df = self.spark.createDataFrame(idf_rows, "uid string, idf double")
+            from sparkgrep.operators.score import bm25_contrib_col
+
+            contribs = unit_tf.join(F.broadcast(idf_df), "uid").withColumn(
+                "contrib",
+                bm25_contrib_col(
+                    F.col("tf").cast("double"), F.col("dl").cast("double"),
+                    F.col("idf"), meta.avgdl, meta.k1, meta.b,
+                ),
+            )
+            # pivot per unit (uid-sorted — deterministic fold order shared
+            # with the SQL oracle), then boolean match + score sum
+            order = [uid for uid, _ in idf_rows]
+            pos = {uid: i for i, uid in enumerate(order)}
+            aggs = [
+                F.sum(F.when(F.col("uid") == uid, F.col("contrib"))).alias(f"_c{i}")
+                for i, uid in enumerate(order)
+            ]
+            g = contribs.groupBy("doc_id").agg(*aggs)
+            match = None
+            for conj in pq.disjuncts:
+                have = [u.uid for u in conj if u.uid in pos]
+                if len(have) < len(conj):
+                    continue  # a unit matches nothing → conjunct unsatisfiable
+                c = None
+                for uid in have:
+                    cond = F.col(f"_c{pos[uid]}").isNotNull()
+                    c = cond if c is None else (c & cond)
+                match = c if match is None else (match | c)
+            if match is None:
+                return self.spark.createDataFrame(
+                    [], "rank int, doc_id long, score double"
+                )
+            expr = None
+            for i in range(len(order)):
+                col = F.coalesce(F.col(f"_c{i}"), F.lit(0.0))
+                expr = col if expr is None else expr + col
+            scored = g.filter(match).select("doc_id", expr.alias("score"))
+            top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+            w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+            ranked = top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+                "rank", "doc_id", "score"
+            )
+            rows = ranked.collect()  # ≤ k rows: eager so the cache can drop
+            return self.spark.createDataFrame(
+                rows, "rank int, doc_id long, score double"
+            )
+        finally:
+            unit_tf.unpersist()
 
     def search_batch(self, queries: list[tuple[str, str, int]]) -> DataFrame:
         """[(query_id, query_text, k)] → (query_id, rank, doc_id, score).

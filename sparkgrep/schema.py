@@ -53,6 +53,13 @@ TERM_FREQ_SCHEMA = StructType(
     ]
 )
 
+# SPIMI output with token positions (0-based, increasing) — feeds
+# positions-enabled indexes for phrase queries. len(positions) == tf.
+TERM_FREQ_POS_SCHEMA = StructType(
+    TERM_FREQ_SCHEMA.fields
+    + [StructField("positions", ArrayType(IntegerType()), False)]
+)
+
 # Global term-partitioned postings index, bucketed by hash(term) for
 # partition pruning at query time. doc_ids are delta(gap)+varint encoded;
 # tfs and dls are varint encoded, all aligned by position. block_max holds

@@ -61,3 +61,70 @@ def bm25_oracle(
     out = pd.DataFrame(rows[:k], columns=["doc_id", "score"])
     out.insert(0, "rank", range(1, len(out) + 1))
     return out
+
+
+def bm25_expr_oracle(
+    docs: pd.DataFrame,  # columns: doc_id, content
+    query_text: str,
+    k: int = 10,
+    analyzer: str = "simple",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    idf_variant: str = "okapi",
+) -> pd.DataFrame:
+    """Pure-pandas oracle for the query language (OR-of-AND over
+    term/phrase units, FTS5 unit-scoring model) — mirrors
+    InvertedIndex._search_parsed float-op order exactly."""
+    from sparkgrep.functions.querylang import parse_query
+
+    pq = parse_query(query_text, analyzer)
+    toks = {int(r.doc_id): tokenize_py(r.content, analyzer) for r in docs.itertuples()}
+    dls = {d: len(t) for d, t in toks.items()}
+    n = len(toks)
+    avgdl = sum(dls.values()) / n if n else 0.0
+
+    def unit_tf(doc_toks, unit) -> int:
+        if len(unit.terms) == 1:
+            return sum(1 for t in doc_toks if t == unit.terms[0])
+        cnt = 0
+        L = len(unit.terms)
+        for i in range(len(doc_toks) - L + 1):
+            if tuple(doc_toks[i : i + L]) == unit.terms:
+                cnt += 1
+        return cnt
+
+    units = pq.units()
+    utf = {u.uid: {d: unit_tf(t, u) for d, t in toks.items()} for u in units}
+    utf = {uid: {d: c for d, c in m.items() if c > 0} for uid, m in utf.items()}
+    dfs = {uid: len(m) for uid, m in utf.items() if m}
+
+    def idf(df_):
+        x = (n - df_ + 0.5) / (df_ + 0.5)
+        if idf_variant == "okapi":
+            return math.log(x)
+        if idf_variant == "fts5":
+            v = math.log(x)
+            return v if v > 0.0 else 1e-6
+        return math.log1p(x)
+
+    rows = []
+    for d in toks:
+        matched = any(
+            all(u.uid in dfs and d in utf[u.uid] for u in conj)
+            for conj in pq.disjuncts
+        )
+        if not matched:
+            continue
+        score = 0.0
+        for uid in sorted(dfs):  # uid-sorted fold order, engine-identical
+            tf = utf[uid].get(d, 0)
+            if tf == 0:
+                score += 0.0
+                continue
+            denom = tf + (k1 * ((1.0 - b) + ((b * dls[d]) / avgdl)))
+            score += idf(dfs[uid]) * (tf * (k1 + 1.0)) / denom
+        rows.append((d, score))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    out = pd.DataFrame(rows[:k], columns=["doc_id", "score"])
+    out.insert(0, "rank", range(1, len(out) + 1))
+    return out

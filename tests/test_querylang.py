@@ -1,0 +1,164 @@
+"""Query language (AND / OR / quoted phrase) + positional index tests.
+
+Reference spec: FTS5 MATCH semantics as pinned by the reference's own
+tests (test_message_manager.py:417-435 — implicit AND, explicit AND/OR,
+quoted phrases; :599-610 — empty MATCH raises)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sparkgrep.functions.querylang import Unit, parse_query
+from sparkgrep.functions.varint import delta_decode_segments, delta_encode_segments
+from sparkgrep.operators.index_build import build_index
+from sparkgrep.operators.query import InvertedIndex
+
+from tests.oracle import bm25_expr_oracle, bm25_oracle
+
+
+# ---------------------------------------------------------------------------
+# parser
+
+
+def test_parse_implicit_and():
+    pq = parse_query("foo bar")
+    assert pq.disjuncts == ((Unit(("foo",)), Unit(("bar",))),)
+
+
+def test_parse_explicit_and_or():
+    pq = parse_query("foo AND bar OR baz")
+    assert pq.disjuncts == (
+        (Unit(("foo",)), Unit(("bar",))),
+        (Unit(("baz",)),),
+    )
+
+
+def test_parse_phrase():
+    pq = parse_query('"big data" spark')
+    assert pq.disjuncts == ((Unit(("big", "data")), Unit(("spark",))),)
+    assert pq.has_phrase()
+
+
+def test_parse_single_word_phrase_degrades_to_term():
+    pq = parse_query('"spark"')
+    assert pq.disjuncts == ((Unit(("spark",)),),)
+    assert not pq.has_phrase()
+
+
+def test_parse_empty_and_garbage():
+    assert parse_query("").disjuncts == ()
+    assert parse_query("  !!! ").disjuncts == ()
+    assert parse_query('""').disjuncts == ()
+
+
+def test_units_dedup_and_order():
+    pq = parse_query('"a b" c OR "a b" d')
+    uids = [u.uid for u in pq.units()]
+    assert uids == sorted(uids) and len(uids) == 3
+
+
+# ---------------------------------------------------------------------------
+# positions codec
+
+
+def test_delta_segments_roundtrip():
+    vals = np.array([0, 3, 9, 1, 2, 5, 7, 4], dtype=np.int64)
+    counts = np.array([3, 4, 1], dtype=np.int64)
+    buf = delta_encode_segments(vals, counts)
+    out = delta_decode_segments(buf, counts)
+    assert (out == vals).all()
+
+
+def test_delta_segments_empty():
+    assert delta_decode_segments(b"", np.array([], dtype=np.int64)).size == 0
+
+
+# ---------------------------------------------------------------------------
+# index-backed AND / phrase / expr
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("posidx") / "idx")
+    build_index(corpus, out, analyzer="simple", n_buckets=8, store_positions=True)
+    return InvertedIndex(spark, out)
+
+
+@pytest.fixture(scope="module")
+def docs_pdf(corpus):
+    return (
+        corpus.select("doc_id", F.col("content").alias("content"))
+        .toPandas()
+        .sort_values("doc_id")
+    )
+
+
+EXPR_QUERIES = [
+    "hash join",                 # implicit AND
+    "hash AND join AND table",   # explicit AND
+    "hash OR window",            # OR
+    '"hash join"',               # phrase
+    '"hash join" OR window',     # phrase OR term
+    '"the window" scan',         # phrase AND term
+]
+
+
+@pytest.mark.parametrize("q", EXPR_QUERIES)
+def test_expr_matches_pandas_oracle(pos_index, docs_pdf, q):
+    got = pos_index.search_expr(q, k=10).toPandas()
+    want = bm25_expr_oracle(docs_pdf, q, k=10)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist(), q
+    assert np.allclose(got["score"], want["score"], rtol=0, atol=1e-9)
+
+
+def test_and_mode_equals_single_conjunct_expr(pos_index):
+    a = pos_index.search("hash join table", k=10, mode="and").toPandas()
+    b = pos_index.search_expr("hash AND join AND table", k=10).toPandas()
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert (a["score"].to_numpy() == b["score"].to_numpy()).all()
+
+
+def test_and_is_subset_of_or_with_full_match(pos_index, docs_pdf):
+    anded = pos_index.search("hash join", k=1000, mode="and").toPandas()
+    assert len(anded) > 0
+    toks = {
+        int(r.doc_id): set(str(r.content).lower().split())
+        for r in docs_pdf.itertuples()
+    }
+    for d in anded["doc_id"]:
+        assert {"hash", "join"} <= toks[int(d)]
+
+
+def test_phrase_requires_adjacency(pos_index, docs_pdf):
+    res = pos_index.search_expr('"hash join"', k=1000).toPandas()
+    assert len(res) > 0
+    texts = {int(r.doc_id): str(r.content).lower() for r in docs_pdf.itertuples()}
+    for d in res["doc_id"]:
+        assert "hash join" in texts[int(d)]
+
+
+def test_phrase_needs_positional_index(spark, corpus, tmp_path):
+    out = str(tmp_path / "nopos")
+    build_index(corpus.limit(50), out, analyzer="simple", n_buckets=4)
+    idx = InvertedIndex(spark, out)
+    with pytest.raises(ValueError, match="store_positions"):
+        idx.search_expr('"hash join"', k=5).collect()
+
+
+def test_strict_empty_raises(pos_index):
+    with pytest.raises(ValueError, match="empty"):
+        pos_index.search("   ", k=5, strict=True)
+    with pytest.raises(ValueError, match="empty"):
+        pos_index.search_expr("", k=5, strict=True)
+    assert pos_index.search("   ", k=5).count() == 0
+
+
+def test_or_mode_unchanged_by_positions(pos_index, docs_pdf):
+    """An index with positions serves plain OR queries identically to the
+    oracle (the extra poss column must not perturb the OR path)."""
+    a = pos_index.search("hash join table", k=10).toPandas()
+    want = bm25_oracle(docs_pdf, "hash join table", k=10)
+    assert a["doc_id"].tolist() == want["doc_id"].tolist()
+    assert np.allclose(a["score"], want["score"], rtol=0, atol=1e-9)
