@@ -337,6 +337,26 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash32(_docs(spark, sf_dir))
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded simhash near-dup pairs (hamming ≤ 3) — equi-join on 8-bit
+    chunks, no cross join (pigeonhole guarantees recall 1.0)."""
+    from sparkgrep.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=3).select(
+        "doc_id_a", "doc_id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale near-dup pipeline: LSH candidates → exact n-gram Jaccard
+    verification (candidates parameter, never a corpus-wide pair sweep)."""
+    from sparkgrep.operators.dedup import dedup_pipeline
+
+    return dedup_pipeline(
+        _docs(spark, sf_dir), n_hashes=16, bands=4, k=3, threshold=0.2
+    ).select("doc_id_a", "doc_id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkgrep.operators.similarity import cosine_topk
 
@@ -590,6 +610,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh": q_minhash_lsh,
     "ngram_jaccard": q_ngram_jaccard,
     "simhash": q_simhash,
+    "simhash_pairs": q_simhash_pairs,
+    "dedup_pipeline": q_dedup_pipeline,
     "cosine_topk": q_cosine_topk,
     "token_counts": q_token_counts,
     "quality": q_quality,
@@ -756,6 +778,66 @@ SELECT doc_id,
        CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END)
             AS BIGINT) AS simhash
 FROM bv GROUP BY doc_id
+""",
+        "simhash_pairs": f"""
+WITH {_TOK_CTES},
+tfh AS (SELECT doc_id, term, count(*) AS tf, md5(term) AS h FROM pos GROUP BY doc_id, term),
+bits AS (SELECT CAST(unnest(range(0, 32)) AS INTEGER) AS bit),
+bv AS (
+  SELECT doc_id, bit,
+         sum(tf * (2 * ((strpos('0123456789abcdef', substr(h, (bit // 4) + 1, 1)) - 1
+                         >> (3 - (bit % 4))) & 1) - 1)) AS v
+  FROM tfh CROSS JOIN bits GROUP BY doc_id, bit
+),
+sh AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM bv GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+        "dedup_pipeline": f"""
+WITH {_TOK_CTES},
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w AS shingle
+    FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ) WHERE shingle IS NOT NULL
+),
+seeds AS (SELECT CAST(unnest(range(0, 16)) AS INTEGER) AS seed),
+sig AS (
+  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS mh
+  FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
+),
+band AS (
+  SELECT doc_id, seed // 4 AS band,
+         md5(string_agg(mh, ',' ORDER BY seed)) AS bsig
+  FROM sig GROUP BY doc_id, seed // 4
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM band a JOIN band b ON a.band = b.band AND a.bsig = b.bsig
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_id_a, p.doc_id_b, count(*) AS inter
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.doc_id_a
+  JOIN sh b ON b.doc_id = p.doc_id_b AND b.shingle = a.shingle
+  GROUP BY p.doc_id_a, p.doc_id_b
+)
+SELECT doc_id_a, doc_id_b,
+       round(inter / (na.n_sh + nb.n_sh - inter), 6) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = inter.doc_id_a
+JOIN sizes nb ON nb.doc_id = inter.doc_id_b
+WHERE inter / (na.n_sh + nb.n_sh - inter) >= 0.2
 """,
         "cosine_topk": """
 WITH q AS (

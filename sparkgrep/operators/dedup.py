@@ -147,21 +147,43 @@ def lsh_candidate_pairs(
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, k: int = 3, threshold: float = 0.5, text_col: str = "text"
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard over distinct k-token shingle sets:
-    (doc_id_a, doc_id_b, jaccard ≥ threshold). Inverted self-join on the
-    shingle — at corpus scale this runs on LSH candidates, not all docs."""
+    (doc_id_a, doc_id_b, jaccard ≥ threshold).
+
+    ``candidates`` (doc_id_a, doc_id_b) restricts the computation to a
+    proposed pair set — at corpus scale ALWAYS pass the LSH candidates
+    (:func:`lsh_candidate_pairs` → this, see :func:`dedup_pipeline`): the
+    candidate-driven plan joins each pair's shingle sets directly and is
+    linear in Σ pair shingles. Without candidates the fallback is an
+    inverted self-join on the shingle — quadratic per shingle bucket, a
+    corpus-wide sweep only suitable for small/test corpora."""
     sh = shingles(docs, k, text_col).select("doc_id", "shingle").distinct()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-        .groupBy("doc_id_a", "doc_id_b")
-        .agg(F.count("*").alias("inter"))
-    )
+    if candidates is not None:
+        pairs = candidates.select("doc_id_a", "doc_id_b")
+        sa = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
+        sb = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
+        inter = (
+            pairs.join(sa, "doc_id_a")
+            .join(sb, ["doc_id_b", "shingle"])
+            .groupBy("doc_id_a", "doc_id_b")
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        a = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
+        b = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+            .groupBy("doc_id_a", "doc_id_b")
+            .agg(F.count("*").alias("inter"))
+        )
     na = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("nb"))
     return (
@@ -173,6 +195,23 @@ def ngram_jaccard_pairs(
     )
 
 
+def dedup_pipeline(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """The scale-correct near-dup pipeline: LSH proposes candidate pairs
+    (banded minhash equi-join, never all-pairs), exact n-gram Jaccard
+    verifies them. Returns (doc_id_a, doc_id_b, jaccard ≥ threshold)."""
+    cands = lsh_candidate_pairs(docs, n_hashes, bands, k, text_col)
+    return ngram_jaccard_pairs(
+        docs, k=k, threshold=threshold, text_col=text_col, candidates=cands
+    )
+
+
 def _hex_digit_val(c):
     return F.instr(F.lit("0123456789abcdef"), c) - 1
 
@@ -181,16 +220,16 @@ def simhash32(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, simhash): 32-bit simhash over tokens, bits drawn from the
     first 8 hex digits of md5(term), weighted by tf. Engine-neutral: the
     identical arithmetic runs in the DuckDB oracle."""
-    spark = docs.sparkSession
     tf = (
         token_positions(docs, text_col)
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
         .withColumn("h", F.md5("term"))
     )
-    bits = spark.range(32).select(F.col("id").cast("int").alias("bit"))
+    # 32× bit fan-out via explode(sequence) — stays a narrow projection,
+    # no join in the plan
     bitvals = (
-        tf.crossJoin(F.broadcast(bits))
+        tf.withColumn("bit", F.explode(F.sequence(F.lit(0), F.lit(31))))
         .withColumn("digit", _hex_digit_val(F.expr("substring(h, cast(bit / 4 as int) + 1, 1)")))
         .withColumn("bitval", F.expr("shiftright(digit, 3 - cast(bit % 4 as int)) & 1"))
         .withColumn("w", F.col("tf") * (F.col("bitval") * 2 - 1))
@@ -205,16 +244,50 @@ def simhash32(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str = "text") -> DataFrame:
-    """(doc_id_a, doc_id_b, hamming ≤ max_hamming). Pairwise here (test
-    scale); the scale path blocks on simhash bands (4×8-bit chunks) so
-    only same-chunk pairs are compared — same trick as LSH."""
+    """(doc_id_a, doc_id_b, hamming ≤ max_hamming), banded — NO crossJoin.
+
+    Pigeonhole blocking: split the 32-bit simhash into ``n_bands ≥
+    max_hamming + 1`` equal-width chunks; any pair within ``max_hamming``
+    differs in at most ``max_hamming`` chunks, so at least one chunk is
+    IDENTICAL — an equi-join on (band, chunk value) finds every such pair
+    (recall 1.0), and only same-chunk pairs are ever compared. Band width
+    must divide 32, so n_bands rounds up to the next divisor."""
+    for n_bands in (1, 2, 4, 8, 16, 32):
+        if n_bands >= max_hamming + 1:
+            break
+    width = 32 // n_bands
+    mask = (1 << width) - 1
     s = simhash32(docs, text_col)
-    a = s.select(F.col("doc_id").alias("doc_id_a"), F.col("simhash").alias("ha"))
-    b = s.select(F.col("doc_id").alias("doc_id_b"), F.col("simhash").alias("hb"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("doc_id_a", "doc_id_b", "hamming")
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(F.col("simhash"), i * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("bval"),
+            )
+            for i in range(n_bands)
+        ]
     )
+    banded = s.select(
+        "doc_id", "simhash", F.explode(chunks).alias("c")
+    ).select("doc_id", "simhash", "c.band", "c.bval")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()  # a pair can match in several bands
+    )
+    return pairs

@@ -150,3 +150,99 @@ def test_multimodal_frame_sampling(spark):
 def test_resize_is_stubbed(spark):
     with pytest.raises(NotImplementedError):
         M.resize_images(M.synth_media(spark, 3), 32, 32)
+
+
+# ---------------------------------------------------------------------------
+# scale-path pair ops: banded blocking, never a cross join
+
+
+def _assert_no_cross_join(df):
+    plan = df._jdf.queryExecution().toString()
+    assert "CartesianProduct" not in plan, "plan contains a cartesian product"
+    assert "BroadcastNestedLoopJoin" not in plan, "plan contains a nested-loop join"
+
+
+def test_simhash_pairs_banded_matches_bruteforce(docs):
+    res = D.simhash_pairs(docs, max_hamming=8)
+    _assert_no_cross_join(res)
+    got = {(r["doc_id_a"], r["doc_id_b"], r["hamming"]) for r in res.collect()}
+    s = {r["doc_id"]: r["simhash"] for r in D.simhash32(docs).collect()}
+    want = {
+        (a, b, bin(s[a] ^ s[b]).count("1"))
+        for a in s
+        for b in s
+        if a < b and bin(s[a] ^ s[b]).count("1") <= 8
+    }
+    assert got == want and len(got) > 0
+
+
+@pytest.fixture(scope="module")
+def planted_emb(spark):
+    """40 random vectors + 5 planted near-duplicates (cosine ≈ 0.9999)."""
+    rng = np.random.Generator(np.random.PCG64(7))
+    base = rng.normal(size=(40, 16))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    for i in range(5):
+        v = base[i] + rng.normal(size=16) * 0.01
+        rows.append((100 + i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+
+def test_cosine_dup_pairs_blocked_matches_bruteforce(planted_emb):
+    res = SIM.cosine_dup_pairs(planted_emb, threshold=0.95)
+    _assert_no_cross_join(res)
+    got = {(r["id_a"], r["id_b"]) for r in res.collect()}
+    rows = planted_emb.orderBy("vec_id").collect()
+    M = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    ids = [r["vec_id"] for r in rows]
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    C = Mn @ Mn.T
+    want = {
+        (ids[i], ids[j])
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if C[i, j] >= 0.95
+    }
+    assert got == want
+    assert len(want) == 5  # exactly the planted pairs
+
+
+def test_ngram_jaccard_candidates_param(docs):
+    full = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, k=3, threshold=0.1).collect()
+    }
+    cands = D.lsh_candidate_pairs(docs, n_hashes=16, bands=4, k=3)
+    via = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(
+            docs, k=3, threshold=0.1, candidates=cands
+        ).collect()
+    }
+    for p, j in via.items():  # candidate-driven jaccard identical where computed
+        assert full[p] == j
+    assert (0, 1) in via
+
+
+def test_dedup_pipeline(docs):
+    pipe = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in D.dedup_pipeline(docs, threshold=0.1).collect()
+    }
+    assert pipe[(0, 1)] == 1.0
+    # pipeline == exact Jaccard (≥ t) restricted to the LSH candidates
+    cands = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in D.lsh_candidate_pairs(docs, n_hashes=16, bands=4, k=3).collect()
+    }
+    full = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, k=3, threshold=0.1).collect()
+    }
+    assert pipe == {p: j for p, j in full.items() if p in cands}
+    # higher LSH recall (1-row bands) surfaces the (0, 2) near dup too
+    deep = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in D.dedup_pipeline(docs, n_hashes=16, bands=16, threshold=0.1).collect()
+    }
+    assert (0, 1) in deep and (0, 2) in deep
