@@ -343,10 +343,13 @@ def merge_and_write(
     ).parquet(f"{out_dir}/postings")
     doc_lens.write.mode(mode).parquet(f"{out_dir}/doc_lens")
 
-    os.makedirs(out_dir, exist_ok=True)
+    # metadata through the Hadoop FS API (sources/fsio.py) — same
+    # filesystem resolution as the parquet writers above, so hdfs://- or
+    # s3a://-style out_dirs work end to end
+    from sparkgrep.sources import fsio
+
     payload = asdict(meta) | {"build_wall_sec": round(time.time() - t0, 3)}
-    with open(f"{out_dir}/stats.json", "w") as f:
-        json.dump(payload, f, indent=2)
+    fsio.write_text(f"{out_dir}/stats.json", json.dumps(payload, indent=2))
     return meta
 
 
@@ -375,7 +378,8 @@ def build_index(
 
 
 def load_meta(index_dir: str) -> IndexMeta:
-    with open(f"{index_dir}/stats.json") as f:
-        d = json.load(f)
+    from sparkgrep.sources import fsio
+
+    d = json.loads(fsio.read_text(f"{index_dir}/stats.json"))
     d.pop("build_wall_sec", None)
     return IndexMeta(**d)

@@ -22,7 +22,6 @@ before encoding.
 from __future__ import annotations
 
 import json
-import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -30,18 +29,29 @@ from pyspark.sql import functions as F
 
 from sparkgrep.operators.index_build import IndexMeta, merge_and_write, spimi_term_freqs
 from sparkgrep.schema import SEGMENT_MANIFEST_SCHEMA
+from sparkgrep.sources import fsio
 
 
-def _manifest_path(out_dir: str) -> str:
-    return f"{out_dir}/manifest.jsonl"
+def _manifest_dir(out_dir: str) -> str:
+    return f"{out_dir}/manifest"
+
+
+def _seg_key(segment_id) -> tuple:
+    # ints first (numeric order), then string ids (append batches)
+    return (0, int(segment_id), "") if isinstance(segment_id, int) else (1, 0, str(segment_id))
 
 
 def read_manifest(out_dir: str) -> list[dict]:
-    path = _manifest_path(out_dir)
-    if not os.path.exists(path):
-        return []
-    with open(path) as f:
-        return [json.loads(line) for line in f if line.strip()]
+    """Lineage entries, one JSON file per completed segment under
+    ``<out>/manifest/`` (cluster-portable: each commit is an atomic
+    tmp+rename through the Hadoop FS API — no driver-local appends, no
+    torn manifests). Ordered by segment id, ints before batch strings."""
+    mdir = _manifest_dir(out_dir)
+    rows = [
+        json.loads(fsio.read_text(f"{mdir}/{name}"))
+        for name in fsio.list_dir(mdir, suffix=".json")
+    ]
+    return sorted(rows, key=lambda m: _seg_key(m["segment_id"]))
 
 
 def completed_segments(out_dir: str) -> set[int]:
@@ -49,9 +59,10 @@ def completed_segments(out_dir: str) -> set[int]:
 
 
 def _append_manifest(out_dir: str, entry: dict) -> None:
-    os.makedirs(out_dir, exist_ok=True)
-    with open(_manifest_path(out_dir), "a") as f:
-        f.write(json.dumps(entry) + "\n")
+    fsio.write_text(
+        f"{_manifest_dir(out_dir)}/seg-{entry['segment_id']}.json",
+        json.dumps(entry),
+    )
 
 
 def segment_metrics(spark: SparkSession, out_dir: str) -> DataFrame:

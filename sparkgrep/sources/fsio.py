@@ -1,0 +1,95 @@
+"""Cluster-portable small-file I/O for index metadata.
+
+Postings and doc_lens go through Spark writers, which already speak any
+Hadoop filesystem (file://, hdfs://, s3a://, ...). Metadata sidecars
+(stats.json, the segment-lineage manifest) must match — driver-local
+``open()`` would break the moment an index directory lives on HDFS/S3,
+which is exactly where a spark-submit build puts it.
+
+Everything here goes through the JVM Hadoop ``FileSystem`` API of the
+ACTIVE SparkSession (same filesystem resolution as the data writers).
+Writes are atomic: write to ``<path>.tmp`` then rename — a reader never
+observes a torn metadata file. When no session is active (offline
+tooling against a local index), plain local I/O is the fallback.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def _hadoop(path: str):
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return None
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, p, jvm
+
+
+def write_text(path: str, text: str) -> None:
+    """Atomically write ``text`` to ``path`` (tmp + rename)."""
+    h = _hadoop(path)
+    if h is None:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(text)
+        os.replace(tmp, path)
+        return
+    fs, p, jvm = h
+    tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    if fs.exists(p):
+        fs.delete(p, False)
+    fs.rename(tmp, p)
+
+
+def read_text(path: str) -> str:
+    h = _hadoop(path)
+    if h is None:
+        with open(path) as f:
+            return f.read()
+    fs, p, jvm = h
+    stream = fs.open(p)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+
+
+def exists(path: str) -> bool:
+    h = _hadoop(path)
+    if h is None:
+        return os.path.exists(path)
+    fs, p, _ = h
+    return bool(fs.exists(p))
+
+
+def list_dir(path: str, suffix: str = "") -> list[str]:
+    """Names (not paths) of plain files directly under ``path`` ending
+    with ``suffix``; empty if the directory doesn't exist."""
+    h = _hadoop(path)
+    if h is None:
+        if not os.path.isdir(path):
+            return []
+        return sorted(n for n in os.listdir(path) if n.endswith(suffix))
+    fs, p, _ = h
+    if not fs.exists(p):
+        return []
+    out = []
+    for st in fs.listStatus(p):
+        if st.isFile():
+            name = st.getPath().getName()
+            if name.endswith(suffix):
+                out.append(name)
+    return sorted(out)

@@ -99,3 +99,39 @@ def test_incremental_append_equals_full_rebuild(spark, tmp_path):
     before = read_manifest(inc)
     append_batch(batch1, inc, "b1", analyzer="code", n_buckets=4)
     assert read_manifest(inc) == before
+
+
+def test_metadata_io_via_hadoop_fs_uri(spark, corpus, tmp_path):
+    """stats.json + manifest go through the Hadoop FileSystem API: an
+    explicit file: URI (scheme-resolved like hdfs:// or s3a:// would be)
+    must work end-to-end for build, load_meta, resume, and lineage."""
+    from sparkgrep.operators.query import InvertedIndex
+    from sparkgrep.plans.manifest import (
+        build_index_checkpointed,
+        read_manifest,
+        segment_metrics,
+    )
+    from sparkgrep.sources import fsio
+
+    out = "file:" + str(tmp_path / "hadoop_idx")
+    meta = build_index_checkpointed(corpus.limit(60), out, n_segments=3, n_buckets=4)
+    assert meta is not None and meta.n_docs == 60
+    assert fsio.exists(f"{out}/stats.json")
+    rows = read_manifest(out)
+    assert [m["segment_id"] for m in rows] == [0, 1, 2]
+    assert segment_metrics(spark, out).count() == 3
+    idx = InvertedIndex(spark, out)
+    assert idx.search("hash join", k=5).count() > 0
+
+
+def test_fsio_atomic_roundtrip(spark, tmp_path):
+    from sparkgrep.sources import fsio
+
+    p = f"file:{tmp_path}/sub/dir/x.json"
+    fsio.write_text(p, '{"a": 1}')
+    assert fsio.exists(p)
+    assert fsio.read_text(p) == '{"a": 1}'
+    fsio.write_text(p, '{"a": 2}')  # overwrite via tmp+rename
+    assert fsio.read_text(p) == '{"a": 2}'
+    assert fsio.list_dir(f"file:{tmp_path}/sub/dir", ".json") == ["x.json"]
+    assert fsio.list_dir(f"file:{tmp_path}/nope") == []
