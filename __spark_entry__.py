@@ -367,6 +367,24 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted ANN index lifecycle (reference faiss_manager.py:52-95):
+    build → save (partitioned by table/bucket) → load → multiprobe query.
+    Must equal brute-force cosine top-10 (recall@10 = 1.0 at this scale
+    with 4 planes × 16 tables, 1-bit multiprobe — wide-table/few-plane
+    params chosen because random high-dim vectors have near-orthogonal
+    neighbors, hyperplane LSH's hardest case) — same oracle as
+    cosine_topk."""
+    from sparkgrep.operators.ann_index import AnnIndex, build_ann_index
+
+    emb = _emb(spark, sf_dir)
+    qvec = [float(x) for x in emb.filter("vec_id = 0").collect()[0]["embedding"]]
+    out = tempfile.mkdtemp(prefix="sparkgrep_ann_") + "/idx"
+    build_ann_index(emb, out, n_planes=4, n_tables=16)
+    res = AnnIndex(spark, out).search(qvec, k=10, probe_hamming=1)
+    return res.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkgrep.operators.textstats import token_counts
 
@@ -613,6 +631,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs": q_simhash_pairs,
     "dedup_pipeline": q_dedup_pipeline,
     "cosine_topk": q_cosine_topk,
+    "ann_indexed": q_ann_indexed,
     "token_counts": q_token_counts,
     "quality": q_quality,
     "lang_id": q_lang_id,
@@ -682,7 +701,7 @@ def oracle_sql() -> dict[str, str]:
         "'on','as','at','by','an','be','this','with']"
     )
 
-    return {
+    out = {
         "corpus_stats": f"""
 WITH {_TOK_CTES}
 SELECT n AS n_docs, round(avgdl, 6) AS avgdl, tot AS total_tokens FROM stats
@@ -1001,3 +1020,7 @@ FROM documents
         # segment_metrics: intentionally no oracle (non-SQL checkpoint/
         # lineage operator) → driver records the rows-only check
     }
+    # the ANN index must reproduce brute-force top-10 exactly at this
+    # scale (recall@10 = 1.0) — same oracle as the exact scan
+    out["ann_indexed"] = out["cosine_topk"]
+    return out
