@@ -571,6 +571,23 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_html_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: HTML→text cleaning (reference process_email_body.py:35-98).
+    Wrap each doc in deterministic HTML (paragraphs, a script block, a
+    link, a list item), clean it with the engine's HTMLParser UDF; the
+    oracle reconstructs the expected text relationally (semantics beyond
+    this shape are pinned by tests/test_fts5_parity.py against SQLite
+    FTS5 with cleaning on, and unit tests)."""
+    from sparkgrep.functions.html import html_to_text_col
+
+    docs = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit('<script>var x = 1;</script><p>'), F.col("text"),
+        F.lit('</p><ul><li>item</li></ul><a href="http://example.com">link</a>'),
+    )
+    return docs.select("doc_id", html_to_text_col(html).alias("clean"))
+
+
 def q_compact_repr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F7/F8: compact text representation via concat/format
     (reference utils/utils.py:62-96)."""
@@ -648,6 +665,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "base64_roundtrip": q_base64_roundtrip,
     "truncate": q_truncate,
     "json_extract": q_json_extract,
+    "html_clean": q_html_clean,
     "compact_repr": q_compact_repr,
     "segment_metrics": q_segment_metrics,
     "bm25_pruned": q_bm25_pruned,
@@ -1014,6 +1032,16 @@ FROM events
 """,
         "compact_repr": """
 SELECT doc_id, printf('[%s] %s: %s', lang, source, substr(text, 1, 40)) AS repr
+FROM documents
+""",
+        # expected text for the fixed HTML wrapper in q_html_clean:
+        # script dropped; <p>text</p> → text + blank line; li → bullet;
+        # link → 'text (href)'; spaces collapsed; ends trimmed
+        "html_clean": """
+SELECT doc_id,
+       ltrim(regexp_replace(text, '[ \t]+', ' ', 'g'), ' ')
+         || chr(10) || chr(10) || '• item' || chr(10)
+         || 'link (http://example.com)' AS clean
 FROM documents
 """,
         "bm25_pruned": _bm25_sql(flagship_terms, 10, idf_variant="lucene"),

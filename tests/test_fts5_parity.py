@@ -24,6 +24,7 @@ import sqlite3
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from sparkgrep.operators import score as S
 from sparkgrep.operators import stats as ST
@@ -132,3 +133,98 @@ def test_case_insensitive(engine):
     b = S.search(tf, stats, "receipt delta", k=10, analyzer="fts5", idf_variant="fts5").toPandas()
     assert a["doc_id"].tolist() == b["doc_id"].tolist()
     assert (a["score"] == b["score"]).all()
+
+
+# ---------------------------------------------------------------------------
+# F2: HTML→text cleaning ON — both engines get the CLEANED bodies
+# (reference pipeline order: decode base64 → html_to_text → index,
+# process_email_body.py:8-12)
+
+
+@pytest.fixture(scope="module")
+def emails_clean(emails) -> pd.DataFrame:
+    from sparkgrep.functions.html import html_to_text_py
+
+    out = emails.copy()
+    out["body_text"] = out["body_text"].map(html_to_text_py)
+    return out
+
+
+@pytest.fixture(scope="module")
+def fts5_clean(emails_clean):
+    db = sqlite3.connect(":memory:")
+    db.execute(
+        "CREATE VIRTUAL TABLE msgs USING fts5"
+        "(subject, body_text, sender, tokenize='porter')"
+    )
+    db.executemany(
+        "INSERT INTO msgs(rowid, subject, body_text, sender) VALUES (?,?,?,?)",
+        list(emails_clean.itertuples(index=False, name=None)),
+    )
+    return db
+
+
+@pytest.fixture(scope="module")
+def engine_clean(spark, emails_clean):
+    corpus = spark.createDataFrame(
+        emails_clean.assign(
+            content=emails_clean.subject
+            + "\n"
+            + emails_clean.body_text
+            + "\n"
+            + emails_clean.sender
+        )[["doc_id", "content"]]
+    )
+    tf = ST.term_freqs(corpus, "fts5").cache()
+    stats = ST.corpus_stats(ST.doc_lengths(corpus, "fts5"))
+    return tf, stats
+
+
+@pytest.mark.parametrize("query", QUERIES[:5])
+def test_rank_identical_with_html_cleaning(fts5_clean, engine_clean, query):
+    k = 20
+    match = " OR ".join(query.split())
+    ref = fts5_clean.execute(
+        "SELECT rowid, bm25(msgs) FROM msgs WHERE msgs MATCH ? "
+        "ORDER BY bm25(msgs) ASC, rowid ASC LIMIT ?",
+        (match, k),
+    ).fetchall()
+    tf, stats = engine_clean
+    got = S.search(tf, stats, query, k=k, analyzer="fts5", idf_variant="fts5").toPandas()
+    assert got["doc_id"].tolist() == [r[0] for r in ref], query
+    for (_, fts_score), eng_score in zip(ref, got["score"]):
+        assert abs(-fts_score - eng_score) <= 1e-9, (query, fts_score, eng_score)
+
+
+def test_html_cleaning_semantics():
+    from sparkgrep.functions.html import html_to_text_py
+
+    assert html_to_text_py(
+        '<p>Hello <b>world</b></p><script>var x=1;</script><p>bye</p>'
+    ) == "Hello world\n\nbye"
+    assert html_to_text_py(
+        '<a href="http://x.com">Click here</a> now'
+    ) == "Click here (http://x.com) now"
+    assert html_to_text_py('<a href="http://x.com"></a>') == ""
+    assert html_to_text_py('<a>bare text</a>') == "bare text"
+    assert html_to_text_py('<img alt="Company logo"> <img alt="x">') == (
+        "[Image: Company logo] [Image]"
+    )
+    assert html_to_text_py("<ul><li>one</li><li>two</li></ul>") == "• one\n• two"
+    assert html_to_text_py("a &amp; b &lt;tag&gt;") == "a & b <tag>"
+    assert html_to_text_py("<style>.x{}</style>visible") == "visible"
+    assert html_to_text_py(None) == "" and html_to_text_py("") == ""
+
+
+def test_html_cleaning_udf_matches_py(spark, emails):
+    from sparkgrep.functions.html import html_to_text_col, html_to_text_py
+
+    df = spark.createDataFrame(emails[["doc_id", "body_text"]])
+    got = {
+        r["doc_id"]: r["clean"]
+        for r in df.select(
+            "doc_id", html_to_text_col(F.col("body_text")).alias("clean")
+        ).collect()
+    }
+    for r in emails.itertuples():
+        assert got[r.doc_id] == html_to_text_py(r.body_text)
