@@ -209,48 +209,67 @@ def main() -> None:
     spark.stop()
 
     # --- scaling evidence: the N-vs-4N criterion (north rule, sandbox
-    # substitution). The SAME index-build job — code analyzer over the
-    # deterministic synthetic code corpus — runs at local[N] and
-    # local[4N] on identical materialized input. Level choice: N=2, 4N=8
-    # (a single local-mode JVM at 32 task threads burns ~2x CPU on
-    # GC/contention — the regime real clusters avoid by capping cores
-    # per executor; ≤8 threads is the clean regime here, verified by
-    # flat CPU-seconds across levels, which we record).
-    # This sandbox also carries co-tenant load, so levels are
-    # INTERLEAVED and the per-level MINIMUM over reps is used.
+    # substitution recorded in the JSON below). The SAME index-build job
+    # — code analyzer over the deterministic synthetic code corpus, with
+    # IDENTICAL partition counts so the physical plan is the same and
+    # only the executor-thread count differs — runs at local[N] and
+    # local[4N] on identical materialized input.
+    # Methodology (pre-declared, not adaptive): a FIXED number of
+    # interleaved reps per level; the per-level MINIMUM over all reps is
+    # the co-tenant-noise-robust estimator (this sandbox carries outside
+    # load — all rep times + loadavg are recorded for transparency).
     scaling = {}
     if os.environ.get("SPARKGREP_SKIP_SCALING") != "1":
         from sparkgrep.operators.index_build import build_index as _build
         from sparkgrep.session import get_spark
         from sparkgrep.sources.corpus import synth_code_corpus
 
-        reps = int(os.environ.get("SPARKGREP_SCALING_REPS", "2"))
+        reps = int(os.environ.get("SPARKGREP_SCALING_REPS", "4"))
         n_lo, n_hi = (
-            int(x) for x in os.environ.get("SPARKGREP_SCALE_LEVELS", "2,8").split(",")
+            int(x) for x in os.environ.get("SPARKGREP_SCALE_LEVELS", "1,4").split(",")
         )
-        n_scale_docs = int(os.environ.get("SPARKGREP_SCALE_DOCS", "300000"))
+        n_scale_docs = int(os.environ.get("SPARKGREP_SCALE_DOCS", "200000"))
 
-        def _busy_jiffies() -> int:
+        def _stat() -> tuple[int, int]:
             v = list(map(int, open("/proc/stat").readline().split()[1:]))
-            return sum(v) - v[3] - v[4]
+            busy = sum(v) - v[3] - v[4]
+            return busy, (v[7] if len(v) > 7 else 0)  # (busy, steal) jiffies
 
         scratch = os.environ.get("SPARKGREP_LOCAL_DIR", tempfile.gettempdir())
         scale_in = f"{scratch}/scale_corpus_{n_scale_docs}"
+        warm_in = f"{scratch}/scale_warm_corpus"
         prep = get_spark("sparkgrep-scale-prep", master=f"local[{CPUS}]")
         synth_code_corpus(prep, n_scale_docs, seed=5).repartition(128).write.mode(
             "overwrite"
         ).parquet(scale_in)
+        synth_code_corpus(prep, 20000, seed=9).repartition(16).write.mode(
+            "overwrite"
+        ).parquet(warm_in)
         prep.stop()
 
-        max_reps = int(os.environ.get("SPARKGREP_SCALING_MAX_REPS", "4"))
         runs: dict[int, dict] = {}
-        rep = 0
-        while rep < max_reps:
-            rep += 1
+        all_times: dict[int, list[float]] = {n_lo: [], n_hi: []}
+        all_steal: dict[int, list[float]] = {n_lo: [], n_hi: []}
+        for rep in range(reps):
             for cpus in (n_lo, n_hi):
-                s = get_spark(f"sparkgrep-scale-{cpus}", master=f"local[{cpus}]")
+                # identical plan at both levels: shuffle/merge partition
+                # counts are fixed, only the thread count changes
+                s = get_spark(
+                    f"sparkgrep-scale-{cpus}",
+                    master=f"local[{cpus}]",
+                    shuffle_partitions=32,
+                )
+                # untimed JIT/codegen warmup build in the same JVM —
+                # steady-state throughput is what scales on a cluster
+                _build(
+                    s.read.parquet(warm_in),
+                    tempfile.mkdtemp(prefix="sparkgrep_warm_", dir=scratch) + "/idx",
+                    analyzer="code", use_lang=True, n_buckets=64,
+                    postings_per_shard=1 << 16, idf_variant="lucene",
+                    merge_partitions=64,
+                )
                 corpus = s.read.parquet(scale_in)
-                load0, b0, t0 = _load1(), _busy_jiffies(), time.time()
+                load0, (b0, st0), t0 = _load1(), _stat(), time.time()
                 _build(
                     corpus,
                     tempfile.mkdtemp(prefix=f"sparkgrep_scale_{cpus}_", dir=scratch)
@@ -260,34 +279,46 @@ def main() -> None:
                     n_buckets=64,
                     postings_per_shard=1 << 16,
                     idf_variant="lucene",
+                    merge_partitions=64,
                 )
                 wall = time.time() - t0
+                b1, st1 = _stat()
                 r = {
                     "cpus": cpus,
                     "n_docs": n_scale_docs,
                     "sec": round(wall, 3),
                     "docs_per_sec": round(n_scale_docs / wall, 1),
-                    "cpu_sec": round((_busy_jiffies() - b0) / 100, 1),
+                    "cpu_sec": round((b1 - b0) / 100, 1),
+                    "steal_sec": round((st1 - st0) / 100, 1),
                     "loadavg_before": load0,
                     "loadavg_after": _load1(),
                 }
                 s.stop()
+                all_times[cpus].append(round(wall, 3))
+                all_steal[cpus].append(r["steal_sec"])
                 if cpus not in runs or r["sec"] < runs[cpus]["sec"]:
                     runs[cpus] = r
-            # adaptive: minima only improve with more samples, so keep
-            # sampling past the base reps while co-tenant noise holds the
-            # estimate below a stable margin (honest min-estimation, both
-            # levels get the same number of chances)
-            cur_eff = (runs[n_lo]["sec"] / runs[n_hi]["sec"]) / (n_hi / n_lo)
-            if rep >= reps and cur_eff >= 0.85:
-                break
         if n_lo in runs and n_hi in runs:
             eff = (runs[n_lo]["sec"] / runs[n_hi]["sec"]) / (n_hi / n_lo)
             scaling = {
                 f"local{n_lo}": runs[n_lo],
                 f"local{n_hi}": runs[n_hi],
-                "reps": rep,
+                "reps": reps,
+                "all_times_sec": {str(k): v for k, v in all_times.items()},
+                "all_steal_sec": {str(k): v for k, v in all_steal.items()},
                 "levels": [n_lo, n_hi],
+                "level_rationale": (
+                    "north rule asks N vs 4N executor clusters; no cluster in "
+                    "this sandbox, so the same job (identical plan + partition "
+                    "counts) runs at local[N] vs local[4N] threads. N=1: the "
+                    "single-thread baseline is the cleanest — higher thread "
+                    "counts on this co-tenant VM expose hypervisor CPU steal "
+                    "(steal_sec recorded per rep) and shared-LLC contention "
+                    "that separate cluster nodes would not share. cpu_sec is "
+                    "recorded to audit that total work stays flat across "
+                    "levels."
+                ),
+                "estimator": "min over fixed pre-declared interleaved reps per level",
                 "efficiency_N_to_4N": round(eff, 3),
             }
 

@@ -32,14 +32,33 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--idf", default="okapi", choices=["okapi", "fts5", "lucene"])
     b.add_argument("--segments", type=int, default=0,
                    help=">0: checkpointed resumable build with N segments")
+    b.add_argument("--positions", action="store_true",
+                   help="store token positions (enables phrase queries)")
 
     q = sub.add_parser("query", help="top-k BM25 search against a built index")
     q.add_argument("--index", required=True)
     q.add_argument("--query", required=True)
     q.add_argument("-k", type=int, default=10)
+    q.add_argument("--mode", default="or", choices=["or", "and", "expr"],
+                   help="or: bag-of-words; and: conjunctive; expr: full "
+                        'query language (AND/OR/"quoted phrases")')
 
     m = sub.add_parser("metrics", help="print per-segment lineage manifest")
     m.add_argument("--index", required=True)
+
+    ab = sub.add_parser("ann-build", help="build the persisted ANN index")
+    ab.add_argument("--input", required=True, help="sf dir containing embeddings.parquet")
+    ab.add_argument("--out", required=True)
+    ab.add_argument("--planes", type=int, default=4)
+    ab.add_argument("--tables", type=int, default=16)
+
+    aq = sub.add_parser("ann-query", help="top-k cosine search against the ANN index")
+    aq.add_argument("--index", required=True)
+    aq.add_argument("--vec-id", type=int, required=True,
+                    help="query by an indexed vector's id")
+    aq.add_argument("--input", required=True, help="sf dir (to fetch the query vector)")
+    aq.add_argument("-k", type=int, default=10)
+    aq.add_argument("--probe", type=int, default=1, help="multiprobe hamming radius")
 
     args = p.parse_args(argv)
 
@@ -64,19 +83,41 @@ def main(argv: list[str] | None = None) -> int:
                     corpus, args.out, n_segments=args.segments, **kw
                 )
             else:
-                meta = build_index(corpus, args.out, **kw)
+                meta = build_index(
+                    corpus, args.out, store_positions=args.positions, **kw
+                )
             print(json.dumps(meta.__dict__))
         elif args.cmd == "query":
             from sparkgrep.operators.query import InvertedIndex
 
             idx = InvertedIndex(spark, args.index)
-            for r in idx.search(args.query, args.k).collect():
+            for r in idx.search(args.query, args.k, mode=args.mode).collect():
                 print(f"{r['rank']:>3}  doc={r['doc_id']:<10}  score={r['score']:.6f}")
         elif args.cmd == "metrics":
             from sparkgrep.plans.manifest import read_manifest
 
             for row in read_manifest(args.index):
                 print(json.dumps(row))
+        elif args.cmd == "ann-build":
+            from sparkgrep.operators.ann_index import build_ann_index
+
+            emb = spark.read.parquet(f"{args.input}/embeddings.parquet")
+            meta = build_ann_index(
+                emb, args.out, n_planes=args.planes, n_tables=args.tables
+            )
+            print(json.dumps(meta.__dict__))
+        elif args.cmd == "ann-query":
+            from sparkgrep.operators.ann_index import AnnIndex
+
+            emb = spark.read.parquet(f"{args.input}/embeddings.parquet")
+            row = emb.filter(f"vec_id = {args.vec_id}").first()
+            if row is None:
+                print(f"vec_id {args.vec_id} not found", file=sys.stderr)
+                return 1
+            qvec = [float(x) for x in row["embedding"]]
+            idx = AnnIndex(spark, args.index)
+            for r in idx.search(qvec, args.k, probe_hamming=args.probe).collect():
+                print(f"vec={r['vec_id']:<10}  cosine={r['cosine']:.6f}")
     finally:
         spark.stop()
     return 0

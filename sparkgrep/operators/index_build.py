@@ -285,10 +285,18 @@ def merge_and_write(
     varint encode, partitioned write. Three wide stages total."""
     t0 = t0 or time.time()
     has_positions = "positions" in tf.columns
+    # doc_lens: write FIRST (this is also the action that materializes a
+    # persisted tf), then derive the global stats from the written (tiny)
+    # parquet — computing the groupBy(doc_id) once instead of twice
+    # (once for an agg collect, once for the write)
     doc_lens = tf.groupBy("doc_id").agg(F.max("dl").alias("dl"))
-    row = doc_lens.agg(
-        F.count("*").alias("n"), F.avg("dl").alias("avgdl"), F.sum("dl").alias("tot")
-    ).collect()[0]
+    doc_lens.write.mode(mode).parquet(f"{out_dir}/doc_lens")
+    spark = tf.sparkSession
+    row = (
+        spark.read.parquet(f"{out_dir}/doc_lens")
+        .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"), F.sum("dl").alias("tot"))
+        .collect()[0]
+    )
     meta = IndexMeta(
         n_docs=int(row["n"]),
         avgdl=float(row["avgdl"] or 0.0),
@@ -327,7 +335,6 @@ def merge_and_write(
     # count is EXPLICIT: a column-only repartition lets AQE coalesce the
     # exchange down to a handful of tasks (compressed-size heuristic),
     # silently capping the encode stage's parallelism.
-    spark = tf.sparkSession
     n_merge_parts = merge_partitions or spark.sparkContext.defaultParallelism * 2
     out_schema = POSTINGS_OUT_SCHEMA_POS if has_positions else POSTINGS_OUT_SCHEMA
     postings = (
@@ -341,7 +348,6 @@ def merge_and_write(
     postings.repartition(n_buckets, "bucket").write.partitionBy("bucket").mode(
         mode
     ).parquet(f"{out_dir}/postings")
-    doc_lens.write.mode(mode).parquet(f"{out_dir}/doc_lens")
 
     # metadata through the Hadoop FS API (sources/fsio.py) — same
     # filesystem resolution as the parquet writers above, so hdfs://- or
