@@ -170,6 +170,18 @@ def main() -> None:
         wlat.append(time.time() - t0)
     timings["bm25_p50_warm"] = round(statistics.median(wlat), 3)
 
+    # serving-tier path: resident postings + numpy scoring (no Spark job
+    # per query — what a serving shard does; rank-identical, tested)
+    from sparkgrep.operators.serve import LocalServer
+
+    srv = LocalServer(idx).warm(QUERY_SET)
+    slat = []
+    for q in QUERY_SET:
+        t0 = time.time()
+        srv.search(q, k=10)
+        slat.append(time.time() - t0)
+    timings["bm25_p50_serve_local"] = round(statistics.median(slat), 4)
+
     # --- batched serving
     t0 = time.time()
     idx.search_batch([(f"q{i}", q, 10) for i, q in enumerate(QUERY_SET)]).collect()

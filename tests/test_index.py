@@ -174,3 +174,24 @@ def test_block_max_is_upper_bound(index, exact):
         for i in range(len(bm)):
             seg = contrib[i * blk : (i + 1) * blk]
             assert seg.max() <= bm[i] + 1e-6
+
+
+def test_local_server_matches_distributed(index, spark):
+    """Serving tier (operators/serve.py): numpy scoring over resident
+    postings must be rank- AND score-identical to the distributed path."""
+    import time
+
+    from sparkgrep.operators.serve import LocalServer
+
+    srv = LocalServer(index).warm(QUERIES)
+    for q in QUERIES + ["zqzqzq", "the"]:
+        got = srv.search(q, k=10)
+        want = index.search(q, k=10).toPandas()
+        assert got["doc_id"].tolist() == want["doc_id"].tolist(), q
+        assert (got["score"].to_numpy() == want["score"].to_numpy()).all(), q
+    # warm-path latency: pure numpy, no Spark job
+    t0 = time.time()
+    for q in QUERIES:
+        srv.search(q, k=10)
+    per_q = (time.time() - t0) / len(QUERIES)
+    assert per_q < 0.1, f"warm local serve took {per_q:.3f}s/query"
