@@ -139,14 +139,33 @@ def _code_subtokens(raw: str) -> tuple[str, ...]:
     return tuple(p.lower() for p in _CAMEL_RE.split(raw) if p)
 
 
+# Per-language vocabulary cache: raw identifier → the tuple of kept
+# (camel/snake-split, lowercased, stop-filtered) subtokens. Same
+# plain-dict-beats-wrappers result as the fts5 cache (1.3x measured on
+# code-shaped batches). Bounded per language.
+_CODE_CACHES: dict[str, dict[str, tuple[str, ...]]] = {}
+_CODE_CACHE_MAX = 1 << 20
+
+
 def _code_py(text: str, lang: str | None = None, stem: bool = False) -> list[str]:
-    stop = CODE_STOPLISTS.get((lang or "").lower(), frozenset())
+    lg = (lang or "").lower()
+    stop = CODE_STOPLISTS.get(lg, frozenset())
+    cache = _CODE_CACHES.get(lg)
+    if cache is None:
+        cache = _CODE_CACHES[lg] = {}
+    elif len(cache) > _CODE_CACHE_MAX:
+        cache.clear()
     out: list[str] = []
     for m in _UNICODE_WORD_RE.findall(text):
-        for sub in _code_subtokens(m):
-            if sub in stop:
-                continue
-            out.append(porter_stem(sub) if stem else sub)
+        subs = cache.get(m)
+        if subs is None:
+            subs = cache[m] = tuple(
+                s for s in _code_subtokens(m) if s not in stop
+            )
+        if stem:
+            out.extend(porter_stem(s) for s in subs)
+        else:
+            out.extend(subs)
     return out
 
 

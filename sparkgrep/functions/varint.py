@@ -71,6 +71,58 @@ def gap_decode(buf: bytes) -> np.ndarray:
     return np.cumsum(gaps)
 
 
+def varint_byte_lengths(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length per value (vectorized; exact, no float log)."""
+    v = np.asarray(values, dtype=np.uint64)
+    n = np.ones(v.shape, dtype=np.int64)
+    for i in range(1, 10):
+        n += (v >= np.uint64(1) << np.uint64(7 * i)).astype(np.int64)
+    return n
+
+
+def segment_byte_offsets(values: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Byte offset of each segment's start within the varint stream of
+    ``values`` (len(counts) entries; segment i spans
+    [offs[i], offs[i+1]) with offs[len] == total bytes — the returned
+    array has len(counts)+1 entries)."""
+    lens = varint_byte_lengths(values)
+    counts = np.asarray(counts, dtype=np.int64)
+    out = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(lens, out=lens)  # in-place prefix sum
+    ends = np.cumsum(counts)
+    out[1:] = lens[ends - 1]
+    return out
+
+
+def blocked_gap_encode(sorted_ids: np.ndarray, block: int) -> tuple[bytes, np.ndarray]:
+    """Gap-encode sorted ids with the gap RESET at every block boundary
+    (each block independently decodable). Returns (stream, byte offsets
+    per block — len nblocks+1)."""
+    ids = np.asarray(sorted_ids, dtype=np.int64)
+    if ids.size == 0:
+        return b"", np.zeros(1, dtype=np.int64)
+    nblocks = (len(ids) + block - 1) // block
+    counts = np.full(nblocks, block, dtype=np.int64)
+    counts[-1] = len(ids) - block * (nblocks - 1)
+    d = np.empty_like(ids)
+    d[0] = ids[0]
+    np.subtract(ids[1:], ids[:-1], out=d[1:])
+    starts = np.cumsum(counts)[:-1]
+    d[starts] = ids[starts]
+    u = d.astype(np.uint64)
+    return varint_encode(u), segment_byte_offsets(u, counts)
+
+
+def blocked_gap_decode(buf: bytes, n: int, block: int) -> np.ndarray:
+    """Inverse of :func:`blocked_gap_encode` (full stream)."""
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    nblocks = (n + block - 1) // block
+    counts = np.full(nblocks, block, dtype=np.int64)
+    counts[-1] = n - block * (nblocks - 1)
+    return delta_decode_segments(buf, counts)
+
+
 def delta_encode_segments(values: np.ndarray, counts: np.ndarray) -> bytes:
     """Encode concatenated per-segment increasing sequences (e.g. token
     positions per doc, concatenated in doc order, segment lengths =

@@ -50,7 +50,12 @@ from pyspark.sql import functions as F
 
 from sparkgrep import BM25_B, BM25_K1
 from sparkgrep.functions.tokenizer import tokenize_series
-from sparkgrep.functions.varint import delta_encode_segments, gap_encode, varint_encode
+from sparkgrep.functions.varint import (
+    blocked_gap_encode,
+    delta_encode_segments,
+    segment_byte_offsets,
+    varint_encode,
+)
 from sparkgrep.schema import TERM_FREQ_POS_SCHEMA, TERM_FREQ_SCHEMA
 
 BLOCK_SIZE = 128
@@ -69,13 +74,21 @@ class IndexMeta:
     k1: float
     b: float
     idf_variant: str
-    version: int = 1
+    version: int = 2  # v2: block-addressable postings (gap reset + offsets)
     has_positions: bool = False
 
 
+# v2 postings are BLOCK-ADDRESSABLE: doc_ids gap encoding resets at every
+# block boundary and per-block byte offsets for all three streams are
+# stored alongside per-block first-doc_ids (block_min) — so pruned
+# serving can decode ONLY the blocks whose doc-range intersects its
+# candidate set (true block skipping), and block_max stays the BM25
+# upper bound per block.
 POSTINGS_OUT_SCHEMA = (
     "bucket int, term string, shard int, df long, cf long, n int, "
-    "doc_ids binary, tfs binary, dls binary, block_max array<float>"
+    "doc_ids binary, tfs binary, dls binary, block_max array<float>, "
+    "block_min array<long>, offs_ids array<int>, offs_tfs array<int>, "
+    "offs_dls array<int>"
 )
 # positions-enabled index: poss = per-doc token-position lists (0-based),
 # delta+varint encoded, concatenated in doc order; segment lengths == tfs
@@ -195,14 +208,27 @@ def _encode_groups_frame(meta: IndexMeta, pdf: pd.DataFrame, starts, ends) -> pd
         "dls": [None] * n,
         "block_max": [None] * n,
     }
+    out["block_min"] = [None] * n
+    out["offs_ids"] = [None] * n
+    out["offs_tfs"] = [None] * n
+    out["offs_dls"] = [None] * n
     if has_pos:
         out["poss"] = [None] * n
     n_docs, variant = meta.n_docs, meta.idf_variant
     for gi, (s, e) in enumerate(zip(starts, ends)):
         g_ids = ids[s:e]
-        out["doc_ids"][gi] = gap_encode(g_ids)
-        out["tfs"][gi] = varint_encode(tfs[s:e].astype(np.uint64))
-        out["dls"][gi] = varint_encode(dls[s:e].astype(np.uint64))
+        g_tfs = tfs[s:e].astype(np.uint64)
+        g_dls = dls[s:e].astype(np.uint64)
+        nb = (len(g_ids) + block - 1) // block
+        counts = np.full(nb, block, dtype=np.int64)
+        counts[-1] = len(g_ids) - block * (nb - 1)
+        out["doc_ids"][gi], offs_ids = blocked_gap_encode(g_ids, block)
+        out["tfs"][gi] = varint_encode(g_tfs)
+        out["dls"][gi] = varint_encode(g_dls)
+        out["block_min"][gi] = g_ids[::block].astype(np.int64)
+        out["offs_ids"][gi] = offs_ids.astype(np.int32)
+        out["offs_tfs"][gi] = segment_byte_offsets(g_tfs, counts).astype(np.int32)
+        out["offs_dls"][gi] = segment_byte_offsets(g_dls, counts).astype(np.int32)
         if has_pos:
             flat = (
                 np.concatenate([np.asarray(p, dtype=np.int64) for p in poscol[s:e]])

@@ -22,20 +22,20 @@ from pyspark.sql import functions as F
 
 from sparkgrep.functions.querylang import ParsedQuery, Unit, parse_query
 from sparkgrep.functions.tokenizer import tokenize_py
-from sparkgrep.functions.varint import delta_decode_segments, gap_decode, varint_decode
+from sparkgrep.functions.varint import blocked_gap_decode, delta_decode_segments, varint_decode
 from sparkgrep.operators.index_build import IndexMeta, load_meta
 from sparkgrep.operators.score import idf as idf_fn
 
 
 def _decode_score_gen(meta: IndexMeta):
     k1, b, avgdl, n_docs = meta.k1, meta.b, meta.avgdl, meta.n_docs
-    variant = meta.idf_variant
+    variant, block = meta.idf_variant, meta.block_size
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             outs = []
             for r in pdf.itertuples():
-                ids = gap_decode(r.doc_ids)
+                ids = blocked_gap_decode(r.doc_ids, r.n, block)
                 tfs = varint_decode(r.tfs).astype(np.int64)
                 dls = varint_decode(r.dls).astype(np.int64)
                 idf = idf_fn(n_docs, r.df, variant)
@@ -58,11 +58,13 @@ def _decode_raw_gen(meta: IndexMeta, with_positions: bool = False):
     the basis for AND / phrase / boolean scoring, where the fold needs
     unit frequencies rather than precomputed contributions."""
 
+    block = meta.block_size
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             outs = []
             for r in pdf.itertuples():
-                ids = gap_decode(r.doc_ids).astype(np.int64)
+                ids = blocked_gap_decode(r.doc_ids, r.n, block).astype(np.int64)
                 tfs = varint_decode(r.tfs).astype(np.int64)
                 dls = varint_decode(r.dls).astype(np.int64)
                 d = {

@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from sparkgrep.functions.tokenizer import tokenize_py
-from sparkgrep.functions.varint import gap_decode, varint_decode
+from sparkgrep.functions.varint import blocked_gap_decode, varint_decode
 from sparkgrep.operators.query import InvertedIndex
 from sparkgrep.operators.score import idf as idf_fn
 
@@ -47,7 +47,7 @@ class LocalServer:
             return
         rows = (
             self.index._matched(missing)
-            .select("term", "df", "doc_ids", "tfs", "dls")
+            .select("term", "df", "n", "doc_ids", "tfs", "dls")
             .collect()
         )
         for t in missing:
@@ -56,7 +56,9 @@ class LocalServer:
             self._cache[r["term"]].append(
                 (
                     int(r["df"]),
-                    gap_decode(r["doc_ids"]).astype(np.int64),
+                    blocked_gap_decode(
+                        r["doc_ids"], int(r["n"]), self.meta.block_size
+                    ).astype(np.int64),
                     varint_decode(r["tfs"]).astype(np.int64),
                     varint_decode(r["dls"]).astype(np.int64),
                 )

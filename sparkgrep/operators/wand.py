@@ -34,12 +34,17 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from sparkgrep.functions.tokenizer import tokenize_py
-from sparkgrep.functions.varint import gap_decode, varint_decode
+from sparkgrep.functions.varint import varint_decode
 from sparkgrep.operators.query import InvertedIndex
 from sparkgrep.operators.score import idf as idf_fn
 
 
 def _filtered_decode_gen(meta, candidates: np.ndarray):
+    """Pass-2 decoder with TRUE block skipping: the v2 postings format
+    stores per-block first-doc_ids (block_min) and byte offsets for all
+    three varint streams, so only blocks whose doc-id range intersects
+    the candidate set are decoded at all — pass-2 work is proportional
+    to candidate-touching blocks, not to posting-list length."""
     k1, b, avgdl, n_docs = meta.k1, meta.b, meta.avgdl, meta.n_docs
     variant = meta.idf_variant
     cand = np.sort(candidates)
@@ -48,13 +53,35 @@ def _filtered_decode_gen(meta, candidates: np.ndarray):
         for pdf in batches:
             outs = []
             for r in pdf.itertuples():
-                ids = gap_decode(r.doc_ids).astype(np.int64)
+                bmin = np.asarray(r.block_min, dtype=np.int64)
+                # block holding each candidate (blocks partition the
+                # sorted doc space: block i covers [bmin[i], bmin[i+1]))
+                bi = np.searchsorted(bmin, cand, side="right") - 1
+                sel = np.unique(bi[bi >= 0])
+                if sel.size == 0:
+                    continue
+                o_ids = np.asarray(r.offs_ids, dtype=np.int64)
+                o_tfs = np.asarray(r.offs_tfs, dtype=np.int64)
+                o_dls = np.asarray(r.offs_dls, dtype=np.int64)
+                buf_ids, buf_tfs, buf_dls = r.doc_ids, r.tfs, r.dls
+                id_parts, tf_parts, dl_parts = [], [], []
+                for i in sel:
+                    # each block is independently decodable: gaps reset
+                    # at the block head (first value absolute)
+                    id_parts.append(
+                        np.cumsum(
+                            varint_decode(buf_ids[o_ids[i]:o_ids[i + 1]]).astype(np.int64)
+                        )
+                    )
+                    tf_parts.append(varint_decode(buf_tfs[o_tfs[i]:o_tfs[i + 1]]))
+                    dl_parts.append(varint_decode(buf_dls[o_dls[i]:o_dls[i + 1]]))
+                ids = np.concatenate(id_parts)
                 keep = np.searchsorted(cand, ids)
                 keep = (keep < len(cand)) & (cand[np.clip(keep, 0, len(cand) - 1)] == ids)
                 if not keep.any():
                     continue
-                tfs = varint_decode(r.tfs).astype(np.int64)[keep]
-                dls = varint_decode(r.dls).astype(np.int64)[keep]
+                tfs = np.concatenate(tf_parts).astype(np.int64)[keep]
+                dls = np.concatenate(dl_parts).astype(np.int64)[keep]
                 ids = ids[keep]
                 idf = idf_fn(n_docs, r.df, variant)
                 contrib = idf * (tfs * (k1 + 1.0)) / (

@@ -8,7 +8,7 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from sparkgrep.functions.varint import gap_decode, varint_decode
+from sparkgrep.functions.varint import blocked_gap_decode, varint_decode
 from sparkgrep.operators import score as S
 from sparkgrep.operators import stats as ST
 from sparkgrep.operators.index_build import build_index, spimi_term_freqs
@@ -105,7 +105,9 @@ def test_postings_roundtrip(index, exact):
     tf, _ = exact
     rows = index._matched(["table"]).collect()
     assert rows, "term 'table' must exist"
-    decoded_ids = np.concatenate([gap_decode(bytes(r["doc_ids"])) for r in rows])
+    decoded_ids = np.concatenate(
+        [blocked_gap_decode(bytes(r["doc_ids"]), r["n"], index.meta.block_size) for r in rows]
+    )
     decoded_tfs = np.concatenate([varint_decode(bytes(r["tfs"])) for r in rows])
     want = (
         tf.filter(F.col("term") == "table")
@@ -162,7 +164,7 @@ def test_block_max_is_upper_bound(index, exact):
     tf, stats = exact
     rows = index._matched(["table", "the"]).collect()
     for r in rows:
-        ids = gap_decode(bytes(r["doc_ids"]))
+        ids = blocked_gap_decode(bytes(r["doc_ids"]), r["n"], index.meta.block_size)
         tfs = varint_decode(bytes(r["tfs"])).astype(float)
         dls = varint_decode(bytes(r["dls"])).astype(float)
         import math

@@ -51,3 +51,33 @@ def test_porter_total_and_shrinking(word):
 def test_simple_concat_token_additivity(a, b):
     # splitting on a hard delimiter: tokens(a + ' ' + b) == tokens(a)+tokens(b)
     assert tokenize_py(a + " " + b, "simple") == tokenize_py(a, "simple") + tokenize_py(b, "simple")
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=500),
+    st.sampled_from([1, 3, 16, 128]),
+)
+def test_blocked_gap_roundtrip_and_offsets(ids, block):
+    from sparkgrep.functions.varint import (
+        blocked_gap_decode,
+        blocked_gap_encode,
+        varint_byte_lengths,
+        varint_decode,
+    )
+
+    arr = np.array(sorted(set(ids)), dtype=np.int64)
+    buf, offs = blocked_gap_encode(arr, block)
+    assert blocked_gap_decode(buf, len(arr), block).tolist() == arr.tolist()
+    # offsets delimit independently-decodable blocks
+    nb = (len(arr) + block - 1) // block
+    assert len(offs) == nb + 1 and offs[0] == 0 and offs[-1] == len(buf)
+    for i in range(nb):
+        seg = varint_decode(buf[offs[i]:offs[i + 1]]).astype(np.int64)
+        want = arr[i * block:(i + 1) * block]
+        assert np.cumsum(seg).tolist() == want.tolist()
+    # byte lengths are exact
+    v = np.array([0, 1, 127, 128, 16383, 16384, 2**35, 2**63], dtype=np.uint64)
+    from sparkgrep.functions.varint import varint_encode
+
+    for x, n in zip(v, varint_byte_lengths(v)):
+        assert len(varint_encode(np.array([x], dtype=np.uint64))) == n
