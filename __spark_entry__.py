@@ -600,6 +600,23 @@ def q_compact_repr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing (Arrow-batched binary feature extraction):
+    media derived deterministically from documents (payload = text
+    bytes); the stub decode kernel's sha256-derived first feature is
+    engine-neutral, so DuckDB reproduces it bit-for-bit."""
+    from sparkgrep.operators.multimodal import extract_features, media_from_documents
+
+    media = media_from_documents(_docs(spark, sf_dir))
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
+    )
+
+
 def q_segment_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 (rows-only check — non-SQL operator): per-segment lineage of a
     checkpointed resumable build."""
@@ -666,6 +683,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "truncate": q_truncate,
     "json_extract": q_json_extract,
     "html_clean": q_html_clean,
+    "media_features": q_media_features,
     "compact_repr": q_compact_repr,
     "segment_metrics": q_segment_metrics,
     "bm25_pruned": q_bm25_pruned,
@@ -1051,4 +1069,25 @@ FROM documents
     # the ANN index must reproduce brute-force top-10 exactly at this
     # scale (recall@10 = 1.0) — same oracle as the exact scan
     out["ann_indexed"] = out["cosine_topk"]
+    # multimodal stub decode: first feature = little-endian uint32 of the
+    # first 4 bytes of sha256(payload) / 2^32, cast to float32 — the
+    # identical arithmetic the Arrow kernel runs (multimodal.py)
+    hd = "strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1"
+    byte = "((" + hd.format(pos="{i}*2+1") + ") * 16 + (" + hd.format(pos="{i}*2+2") + "))"
+    b0, b1, b2, b3 = (byte.format(i=i) for i in range(4))
+    out["media_features"] = f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         sha256(text) AS h
+  FROM documents
+)
+SELECT media_id, kind, n_bytes,
+       round(CAST(CAST(CAST(
+         ({b0}) + ({b1}) * 256 + ({b2}) * 65536 + ({b3}) * 16777216.0
+         AS DOUBLE) / 4294967296.0 AS FLOAT4) AS DOUBLE), 6) AS f0
+FROM m
+"""
     return out

@@ -72,6 +72,26 @@ def _fake_features(payload: bytes) -> np.ndarray:
             / np.float64(2**32)).astype(np.float32)
 
 
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic media table derived from the documents fixture:
+    payload = UTF-8 text bytes, kind round-robins by doc_id. Exists so
+    the multimodal plumbing has an engine-neutral correctness oracle
+    (the sha256-based stub features are reproducible in SQL)."""
+    kind = (
+        F.when(F.pmod("doc_id", F.lit(3)) == 0, "image")
+        .when(F.pmod("doc_id", F.lit(3)) == 1, "audio")
+        .otherwise("video")
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """(media_id, kind, n_bytes, feature: array<float>): Arrow-batched
     feature extraction over partition-parallel binary payloads."""

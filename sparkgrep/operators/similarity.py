@@ -89,9 +89,11 @@ def lsh_cosine_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate cosine top-k: score only vectors in the query's
-    hyperplane sign-bucket. At cluster scale the bucket column is
-    precomputed and the table is partitioned by it, so this becomes a
-    single-partition read."""
+    hyperplane sign-bucket, computed ad hoc (small-dim exploratory use).
+    The MATERIALIZED form of this idea — precomputed bucket columns,
+    table partitioned by (tbl, bucket), multiprobe queries with partition
+    pruning, persisted meta — is :mod:`sparkgrep.operators.ann_index`;
+    use that for any real workload."""
     dim = len(query_vec)
     planes = deterministic_hyperplanes(dim, n_planes, seed)
     qv = np.asarray(query_vec, dtype=np.float64)

@@ -197,3 +197,16 @@ def test_local_server_matches_distributed(index, spark):
         srv.search(q, k=10)
     per_q = (time.time() - t0) / len(QUERIES)
     assert per_q < 0.1, f"warm local serve took {per_q:.3f}s/query"
+
+
+def test_query_scan_prunes_buckets_and_pushes_term(index):
+    """The postings scan for a query must show directory-level partition
+    pruning on bucket= and a pushed-down term filter — the properties
+    that keep a query from touching unrelated index shards at scale."""
+    plan = index._matched(["table"])._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "bucket" in pf
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "term" in pushed
