@@ -187,6 +187,7 @@ def main() -> None:
     idx.search_batch([(f"q{i}", q, 10) for i, q in enumerate(QUERY_SET)]).collect()
     timings["bm25_batch"] = round(time.time() - t0, 3)
 
+
     # --- code-analyzer build (north-star workload: identifier splitting,
     # lang stoplists, hot-token sharding) on the deterministic synthetic
     # code corpus
@@ -196,10 +197,11 @@ def main() -> None:
     code_n = 20000
     code_corpus = synth_corpus(spark, code_n, seed=3).repartition(CPUS * 2).cache()
     code_corpus.count()  # materialize outside the timed window
+    code_out = tempfile.mkdtemp(prefix="sparkgrep_code_") + "/idx"
     t0 = time.time()
     build_index(
         code_corpus,
-        tempfile.mkdtemp(prefix="sparkgrep_code_") + "/idx",
+        code_out,
         analyzer="code",
         idf_variant="lucene",
         n_buckets=32,
@@ -209,6 +211,17 @@ def main() -> None:
     timings["code_index_build"] = round(dt, 3)
     code_docs_per_sec = round(code_n / dt, 1)
     code_corpus.unpersist()
+
+    # --- MaxScore + block-skipping pruned serving (lucene-idf index)
+    from sparkgrep.operators.wand import search_pruned
+
+    idx_code = InvertedIndex(spark, code_out)
+    plat = []
+    for q in QUERY_SET:
+        t0 = time.time()
+        search_pruned(idx_code, q, k=10).collect()
+        plat.append(time.time() - t0)
+    timings["bm25_pruned_p50"] = round(statistics.median(plat), 3)
 
     # --- pipeline ops on raw sf documents
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")

@@ -319,7 +319,8 @@ def merge_and_write(
     doc_lens.write.mode(mode).parquet(f"{out_dir}/doc_lens")
     spark = tf.sparkSession
     row = (
-        spark.read.parquet(f"{out_dir}/doc_lens")
+        # explicit schema: an empty corpus writes a schema-less dir
+        spark.read.schema("doc_id long, dl int").parquet(f"{out_dir}/doc_lens")
         .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"), F.sum("dl").alias("tot"))
         .collect()[0]
     )

@@ -99,10 +99,19 @@ class InvertedIndex:
     """Handle over a built index directory."""
 
     def __init__(self, spark: SparkSession, index_dir: str):
+        from sparkgrep.operators.index_build import (
+            POSTINGS_OUT_SCHEMA,
+            POSTINGS_OUT_SCHEMA_POS,
+        )
+
         self.spark = spark
         self.index_dir = index_dir
         self.meta = load_meta(index_dir)
-        self.postings = spark.read.parquet(f"{index_dir}/postings")
+        # explicit schema: robust to an empty (zero-posting) index
+        schema = (
+            POSTINGS_OUT_SCHEMA_POS if self.meta.has_positions else POSTINGS_OUT_SCHEMA
+        )
+        self.postings = spark.read.schema(schema).parquet(f"{index_dir}/postings")
         self._warm = False
 
     def warm(self) -> "InvertedIndex":

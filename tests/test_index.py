@@ -210,3 +210,20 @@ def test_query_scan_prunes_buckets_and_pushes_term(index):
     assert "PushedFilters: [" in plan
     pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
     assert "term" in pushed
+
+
+def test_empty_corpus_build_and_search(spark, tmp_path):
+    """Building over an empty corpus must not crash, and queries return
+    empty (reference analogue: empty inbox)."""
+    from sparkgrep.sources.corpus import with_ingest_columns
+
+    empty = with_ingest_columns(
+        spark.createDataFrame(
+            [], "repo string, path string, commit string, lang string, content string"
+        )
+    )
+    out = str(tmp_path / "emptyidx")
+    meta = build_index(empty, out, analyzer="simple", n_buckets=4)
+    assert meta.n_docs == 0 and meta.avgdl == 0.0
+    idx = InvertedIndex(spark, out)
+    assert idx.search("anything", k=5).count() == 0

@@ -162,3 +162,27 @@ def test_or_mode_unchanged_by_positions(pos_index, docs_pdf):
     want = bm25_oracle(docs_pdf, "hash join table", k=10)
     assert a["doc_id"].tolist() == want["doc_id"].tolist()
     assert np.allclose(a["score"], want["score"], rtol=0, atol=1e-9)
+
+
+# parser robustness: never crash on arbitrary input (hypothesis)
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=200))
+def test_parse_query_never_crashes(s):
+    pq = parse_query(s)
+    for conj in pq.disjuncts:
+        assert conj  # no empty conjuncts
+        for u in conj:
+            assert u.terms  # no empty units
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.sampled_from(["foo", "bar", '"a b"', "OR", "AND", "!!"]),
+                max_size=8))
+def test_parse_query_grammar_tokens(parts):
+    pq = parse_query(" ".join(parts))
+    uids = [u.uid for u in pq.units()]
+    assert uids == sorted(set(uids))
