@@ -260,6 +260,21 @@ def q_bm25_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("query_id", "rank", "doc_id", F.round("score", 4).alias("score"))
 
 
+def q_bm25_serve_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-tier path (operators/serve.py): resident postings + numpy
+    scoring, no Spark job per query — must equal the distributed path and
+    therefore the same DuckDB oracle as bm25_topk."""
+    from sparkgrep.operators.index_build import build_index
+    from sparkgrep.operators.query import InvertedIndex
+    from sparkgrep.operators.serve import LocalServer
+
+    out = tempfile.mkdtemp(prefix="sparkgrep_srv_") + "/idx"
+    build_index(_corpus(spark, sf_dir), out, analyzer="simple", n_buckets=8)
+    pdf = LocalServer(InvertedIndex(spark, out)).search(FLAGSHIP_QUERY, k=10)
+    res = spark.createDataFrame(pdf, "rank int, doc_id long, score double")
+    return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
+
+
 PHRASE_QUERY = '"hash join"'
 EXPR_QUERY = '"hash join" OR window'
 PHRASE_AND_QUERY = '"hash join" table'
@@ -654,6 +669,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,
     "bm25_indexed": q_bm25_indexed,
     "bm25_multi": q_bm25_multi,
+    "bm25_serve_local": q_bm25_serve_local,
     "bm25_and": q_bm25_and,
     "bm25_phrase": q_bm25_phrase,
     "bm25_expr": q_bm25_expr,
@@ -755,6 +771,7 @@ ORDER BY cf DESC, term ASC LIMIT 20
         "bm25_topk": _bm25_sql(flagship_terms, 10),
         "bm25_indexed": _bm25_sql(flagship_terms, 10),
         "bm25_multi": multi_sql,
+        "bm25_serve_local": _bm25_sql(flagship_terms, 10),
         "bm25_and": _bm25_sql(flagship_terms, 10, require_all=True),
         "bm25_phrase": _units_sql([("hash", "join")], [], 10),
         "bm25_expr": _units_sql([("hash", "join")], ["window"], 10),

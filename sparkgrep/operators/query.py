@@ -341,8 +341,12 @@ class InvertedIndex:
         """[(query_id, query_text, k)] → (query_id, rank, doc_id, score).
 
         One postings scan serves all queries: decode each matched term
-        once, then fan contributions out to the queries that contain the
-        term via a broadcast join.
+        once, fan contributions out to the queries containing the term
+        via a broadcast join, then ONE fold keyed on (query_id, doc_id)
+        and one per-query rank window. Bitwise-identical to per-query
+        ``search``: the global sorted-term fold order restricted to a
+        query's terms is still that query's sorted order, and the
+        coalesced 0.0 for terms outside the query is an exact identity.
         """
         qterm_rows = []
         kmap = {}
@@ -354,43 +358,21 @@ class InvertedIndex:
             return self.spark.createDataFrame(
                 [], "query_id string, rank int, doc_id long, score double"
             )
-        by_query: dict[str, list[str]] = {}
-        for qid, t in qterm_rows:
-            by_query.setdefault(qid, []).append(t)
-
-        # decode each matched term once, share across queries
         all_terms = sorted({t for _, t in qterm_rows})
-        contribs = self._contribs(all_terms).persist()
-
-        try:
-            # one fold + top-k per query (small agg width each); union
-            # children are independent subtrees, so Spark runs them
-            # concurrently in the single collect action — results
-            # bitwise-match search() per query
-            parts = []
-            for qid, terms in sorted(by_query.items()):
-                scored = self._fold_scores(
-                    contribs.filter(F.col("term").isin(terms)), terms
-                )
-                top = (
-                    scored.orderBy(F.desc("score"), F.asc("doc_id"))
-                    .limit(kmap[qid])
-                    .withColumn("query_id", F.lit(qid))
-                )
-                parts.append(top)
-            union = parts[0]
-            for p in parts[1:]:
-                union = union.unionByName(p)
-            w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-            ranked = union.withColumn(
-                "rank", F.row_number().over(w).cast("int")
-            ).select("query_id", "rank", "doc_id", "score")
-            # materialize eagerly (≤ Σk rows) so the shared cache can be
-            # released NOW — otherwise repeated batch calls in a long-lived
-            # serving session accumulate cached blocks in executor memory
-            rows = ranked.collect()
-            return self.spark.createDataFrame(
-                rows, "query_id string, rank int, doc_id long, score double"
-            )
-        finally:
-            contribs.unpersist()
+        contribs = self._contribs(all_terms)
+        qterms = self.spark.createDataFrame(qterm_rows, "query_id string, term string")
+        fanned = contribs.join(F.broadcast(qterms), "term")
+        scored = self._fold_scores(fanned, all_terms, extra_keys=["query_id"])
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        ranked = scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        # per-query k cut via a tiny broadcast of (query_id, k)
+        kdf = self.spark.createDataFrame(list(kmap.items()), "query_id string, k int")
+        out = (
+            ranked.join(F.broadcast(kdf), "query_id")
+            .filter(F.col("rank") <= F.col("k"))
+            .select("query_id", "rank", "doc_id", "score")
+        )
+        rows = out.collect()  # ≤ Σk rows — eager, nothing left cached
+        return self.spark.createDataFrame(
+            rows, "query_id string, rank int, doc_id long, score double"
+        )
