@@ -16,9 +16,11 @@ Phases (on $SPARK_GRAFT_SF_DIR, default /root/testdata/sf0.1):
 - simhash          — corpus simhash job
 
 Scaling evidence (north rule's N vs 4N clusters, sandbox substitution
-per driver instruction): the SAME index-build job runs in two
-subprocesses at local[8] and local[32]; we report docs/sec at both and
-efficiency = (T8 / T32) / 4.
+per driver instruction): the SAME warmed index-build job runs in fresh
+subprocesses whose CPU affinity is pinned to a true N-core vs 4N-core
+budget (default 1 vs 4); docs/sec at both levels and the min-over-reps
+efficiency (T_N / T_4N) / 4 are reported, with per-rep wall/cpu/steal
+recorded in the JSON.
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
 SPARKGREP_BENCH_MULT (corpus replication, default 10),
@@ -124,7 +126,63 @@ def run_build(cpus: int, out_dir: str, corpus_path: str | None = None) -> dict:
             "loadavg_before": load_before, "loadavg_after": _load1()}
 
 
+def _stat() -> tuple[int, int]:
+    v = list(map(int, open("/proc/stat").readline().split()[1:]))
+    busy = sum(v) - v[3] - v[4]
+    return busy, (v[7] if len(v) > 7 else 0)  # (busy, steal) jiffies
+
+
+def scale_build_subprocess() -> None:
+    """--scale-build mode: one warmed, timed index build at local[N].
+    Run in a FRESH subprocess whose CPU affinity the parent pinned to N
+    cores before exec — the JVM and its python workers inherit it, so
+    'local[N]' is a true N-core node (local[N] alone only caps Spark
+    task slots; python UDF workers would otherwise run on extra cores,
+    more of them at the low level relative to its size)."""
+    import time as _t
+
+    cpus = int(sys.argv[sys.argv.index("--cpus") + 1])
+    cpath = sys.argv[sys.argv.index("--corpus") + 1]
+    wpath = sys.argv[sys.argv.index("--warm") + 1]
+    from sparkgrep.operators.index_build import build_index
+    from sparkgrep.session import get_spark
+
+    scratch = os.environ.get("SPARKGREP_LOCAL_DIR", tempfile.gettempdir())
+    kw = dict(analyzer="code", use_lang=True, n_buckets=64,
+              postings_per_shard=1 << 16, idf_variant="lucene",
+              merge_partitions=64)
+    s = get_spark(f"sparkgrep-scale-{cpus}", master=f"local[{cpus}]",
+                  shuffle_partitions=32)
+    # untimed JIT/codegen warmup in the same JVM
+    build_index(s.read.parquet(wpath),
+                tempfile.mkdtemp(prefix="sparkgrep_warm_", dir=scratch) + "/idx",
+                **kw)
+    corpus = s.read.parquet(cpath)
+    n_docs = corpus.count()
+    load0, (b0, st0), t0 = _load1(), _stat(), _t.time()
+    build_index(corpus,
+                tempfile.mkdtemp(prefix=f"sparkgrep_scale_{cpus}_", dir=scratch) + "/idx",
+                **kw)
+    wall = _t.time() - t0
+    b1, st1 = _stat()
+    s.stop()
+    print("RESULT " + json.dumps({
+        "cpus": cpus,
+        "n_docs": n_docs,
+        "sec": round(wall, 3),
+        "docs_per_sec": round(n_docs / wall, 1),
+        "cpu_sec": round((b1 - b0) / 100, 1),
+        "steal_sec": round((st1 - st0) / 100, 1),
+        "loadavg_before": load0,
+        "loadavg_after": _load1(),
+        "affinity_cores": cpus,
+    }))
+
+
 def main() -> None:
+    if "--scale-build" in sys.argv:
+        scale_build_subprocess()
+        return
     if "--build-only" in sys.argv:  # subprocess mode for scaling runs
         cpus = int(sys.argv[sys.argv.index("--cpus") + 1])
         cpath = (
@@ -245,7 +303,6 @@ def main() -> None:
     # load — all rep times + loadavg are recorded for transparency).
     scaling = {}
     if os.environ.get("SPARKGREP_SKIP_SCALING") != "1":
-        from sparkgrep.operators.index_build import build_index as _build
         from sparkgrep.session import get_spark
         from sparkgrep.sources.corpus import synth_code_corpus
 
@@ -254,12 +311,6 @@ def main() -> None:
             int(x) for x in os.environ.get("SPARKGREP_SCALE_LEVELS", "1,4").split(",")
         )
         n_scale_docs = int(os.environ.get("SPARKGREP_SCALE_DOCS", "200000"))
-
-        def _stat() -> tuple[int, int]:
-            v = list(map(int, open("/proc/stat").readline().split()[1:]))
-            busy = sum(v) - v[3] - v[4]
-            return busy, (v[7] if len(v) > 7 else 0)  # (busy, steal) jiffies
-
         scratch = os.environ.get("SPARKGREP_LOCAL_DIR", tempfile.gettempdir())
         scale_in = f"{scratch}/scale_corpus_{n_scale_docs}"
         warm_in = f"{scratch}/scale_warm_corpus"
@@ -267,59 +318,42 @@ def main() -> None:
         synth_code_corpus(prep, n_scale_docs, seed=5).repartition(128).write.mode(
             "overwrite"
         ).parquet(scale_in)
-        synth_code_corpus(prep, 20000, seed=9).repartition(16).write.mode(
+        # small warmup corpus: enough to JIT/codegen-warm every stage,
+        # cheap even on a 1-core pinned budget
+        synth_code_corpus(prep, 6000, seed=9).repartition(16).write.mode(
             "overwrite"
         ).parquet(warm_in)
         prep.stop()
+
+        def _run_pinned(cpus: int) -> dict | None:
+            """One warmed, timed build in a fresh subprocess pinned to a
+            true `cpus`-core budget (the JVM + its python workers inherit
+            the affinity at fork)."""
+            cmd = [
+                sys.executable, os.path.abspath(__file__), "--scale-build",
+                "--cpus", str(cpus), "--corpus", scale_in, "--warm", warm_in,
+            ]
+            p = subprocess.run(
+                cmd,
+                capture_output=True,
+                text=True,
+                preexec_fn=lambda: os.sched_setaffinity(0, set(range(cpus))),
+                env=os.environ.copy(),
+            )
+            for line in p.stdout.splitlines():
+                if line.startswith("RESULT "):
+                    return json.loads(line[len("RESULT "):])
+            return None
 
         runs: dict[int, dict] = {}
         all_times: dict[int, list[float]] = {n_lo: [], n_hi: []}
         all_steal: dict[int, list[float]] = {n_lo: [], n_hi: []}
         for rep in range(reps):
             for cpus in (n_lo, n_hi):
-                # identical plan at both levels: shuffle/merge partition
-                # counts are fixed, only the thread count changes
-                s = get_spark(
-                    f"sparkgrep-scale-{cpus}",
-                    master=f"local[{cpus}]",
-                    shuffle_partitions=32,
-                )
-                # untimed JIT/codegen warmup build in the same JVM —
-                # steady-state throughput is what scales on a cluster
-                _build(
-                    s.read.parquet(warm_in),
-                    tempfile.mkdtemp(prefix="sparkgrep_warm_", dir=scratch) + "/idx",
-                    analyzer="code", use_lang=True, n_buckets=64,
-                    postings_per_shard=1 << 16, idf_variant="lucene",
-                    merge_partitions=64,
-                )
-                corpus = s.read.parquet(scale_in)
-                load0, (b0, st0), t0 = _load1(), _stat(), time.time()
-                _build(
-                    corpus,
-                    tempfile.mkdtemp(prefix=f"sparkgrep_scale_{cpus}_", dir=scratch)
-                    + "/idx",
-                    analyzer="code",
-                    use_lang=True,
-                    n_buckets=64,
-                    postings_per_shard=1 << 16,
-                    idf_variant="lucene",
-                    merge_partitions=64,
-                )
-                wall = time.time() - t0
-                b1, st1 = _stat()
-                r = {
-                    "cpus": cpus,
-                    "n_docs": n_scale_docs,
-                    "sec": round(wall, 3),
-                    "docs_per_sec": round(n_scale_docs / wall, 1),
-                    "cpu_sec": round((b1 - b0) / 100, 1),
-                    "steal_sec": round((st1 - st0) / 100, 1),
-                    "loadavg_before": load0,
-                    "loadavg_after": _load1(),
-                }
-                s.stop()
-                all_times[cpus].append(round(wall, 3))
+                r = _run_pinned(cpus)
+                if r is None:
+                    continue
+                all_times[cpus].append(r["sec"])
                 all_steal[cpus].append(r["steal_sec"])
                 if cpus not in runs or r["sec"] < runs[cpus]["sec"]:
                     runs[cpus] = r
@@ -335,13 +369,14 @@ def main() -> None:
                 "level_rationale": (
                     "north rule asks N vs 4N executor clusters; no cluster in "
                     "this sandbox, so the same job (identical plan + partition "
-                    "counts) runs at local[N] vs local[4N] threads. N=1: the "
-                    "single-thread baseline is the cleanest — higher thread "
-                    "counts on this co-tenant VM expose hypervisor CPU steal "
-                    "(steal_sec recorded per rep) and shared-LLC contention "
-                    "that separate cluster nodes would not share. cpu_sec is "
-                    "recorded to audit that total work stays flat across "
-                    "levels."
+                    "counts) runs as local[N] on a CPU-affinity-pinned N-core "
+                    "budget vs local[4N] on a 4N-core budget — sched_setaffinity "
+                    "on the subprocess makes each level a true N-core node "
+                    "(local[N] alone caps only Spark task slots; python UDF "
+                    "workers would otherwise overlap onto extra cores, "
+                    "disproportionately flattering the small level). cpu_sec "
+                    "audits that total work stays flat across levels; steal_sec "
+                    "records hypervisor co-tenancy per rep."
                 ),
                 "estimator": "min over fixed pre-declared interleaved reps per level",
                 "efficiency_N_to_4N": round(eff, 3),

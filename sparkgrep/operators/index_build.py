@@ -106,12 +106,15 @@ def spimi_term_freqs(
     with a pandas groupby (the in-memory 'single-pass in-memory
     indexing' run; the global merge is the later groupBy).
 
-    Docs that tokenize to ZERO tokens (null or punctuation-only content)
-    emit a sentinel run row ``(term='', tf=0, dl=0)`` so they still count
-    in N/avgdl — matching the exact path, the DuckDB oracle, and FTS5,
-    all of which include empty docs in corpus statistics. The sentinel
-    term '' can never collide with a real token (no analyzer emits empty
-    strings) and is filtered out of df/postings in the merge."""
+    EVERY doc emits one sentinel run row ``(term='', tf=0, dl)``: the
+    merge derives the doc_lengths table by FILTERING these rows — a
+    narrow scan instead of a groupBy(doc_id) shuffle over the whole
+    (term, doc) relation, which would otherwise be the build's
+    largest-volume exchange. This also makes zero-token docs (null or
+    punctuation-only content) count in N/avgdl — matching the exact
+    path, the DuckDB oracle, and FTS5. The sentinel term '' can never
+    collide with a real token (no analyzer emits empty strings) and is
+    filtered out of df/postings in the merge."""
     cols = ["doc_id", "content"] + (["lang"] if use_lang and "lang" in corpus.columns else [])
     narrow = corpus.select(*cols)
 
@@ -124,19 +127,17 @@ def spimi_term_freqs(
             )
             dls = toks.map(len).astype("int32")
             frames = []
-            zero_ids = pdf["doc_id"].to_numpy()[dls.to_numpy() == 0]
-            if len(zero_ids):
-                sent = pd.DataFrame(
-                    {
-                        "term": np.full(len(zero_ids), "", dtype=object),
-                        "doc_id": zero_ids,
-                        "tf": np.zeros(len(zero_ids), dtype=np.int32),
-                        "dl": np.zeros(len(zero_ids), dtype=np.int32),
-                    }
-                )
-                if positions:
-                    sent["positions"] = [[] for _ in range(len(zero_ids))]
-                frames.append(sent)
+            sent = pd.DataFrame(
+                {
+                    "term": np.full(len(pdf), "", dtype=object),
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "tf": np.zeros(len(pdf), dtype=np.int32),
+                    "dl": dls.to_numpy(),
+                }
+            )
+            if positions:
+                sent["positions"] = [[] for _ in range(len(pdf))]
+            frames.append(sent)
             lens = dls.to_numpy()
             exploded = pd.DataFrame(
                 {
@@ -183,8 +184,11 @@ def _encode_groups_frame(meta: IndexMeta, pdf: pd.DataFrame, starts, ends) -> pd
     terms = pdf["term"].to_numpy()
     shards = pdf["shard"].to_numpy()
     buckets = pdf["bucket"].to_numpy()
-    dfs_ = pdf["df"].to_numpy(dtype=np.int64)
-    cfs = pdf["cf"].to_numpy(dtype=np.int64)
+    # df/cf are only pre-joined (broadcast) for HOT terms; cold groups —
+    # whole posting lists — count themselves here. float64 carries the
+    # nulls; counts are exact well past 2^32.
+    dfs_in = pdf["df"].to_numpy(dtype=np.float64, na_value=np.nan)
+    cfs_in = pdf["cf"].to_numpy(dtype=np.float64, na_value=np.nan)
     ids = pdf["doc_id"].to_numpy(dtype=np.int64)
     tfs = pdf["tf"].to_numpy(dtype=np.int64)
     dls = pdf["dl"].to_numpy(dtype=np.int64)
@@ -195,14 +199,24 @@ def _encode_groups_frame(meta: IndexMeta, pdf: pd.DataFrame, starts, ends) -> pd
     has_pos = "positions" in pdf.columns
     poscol = pdf["positions"].to_numpy() if has_pos else None
 
+    starts_a = np.asarray(starts, dtype=np.int64)
+    ends_a = np.asarray(ends, dtype=np.int64)
+    glen = ends_a - starts_a
+    # per-group Σtf via prefix sums (reduceat would swallow carry rows)
+    ctf = np.cumsum(tfs)
+    gsum = ctf[ends_a - 1] - np.where(starts_a > 0, ctf[starts_a - 1], 0)
+    d0, c0 = dfs_in[starts_a], cfs_in[starts_a]
+    dfs_ = np.where(np.isnan(d0), glen, d0).astype(np.int64)
+    cfs = np.where(np.isnan(c0), gsum, c0).astype(np.int64)
+
     n = len(starts)
     out = {
         "bucket": buckets[starts].astype("int32"),
         "term": terms[starts],
         "shard": shards[starts].astype("int32"),
-        "df": dfs_[starts],
-        "cf": cfs[starts],
-        "n": (np.asarray(ends) - np.asarray(starts)).astype("int32"),
+        "df": dfs_,
+        "cf": cfs,
+        "n": glen.astype("int32"),
         "doc_ids": [None] * n,
         "tfs": [None] * n,
         "dls": [None] * n,
@@ -236,7 +250,7 @@ def _encode_groups_frame(meta: IndexMeta, pdf: pd.DataFrame, starts, ends) -> pd
                 else np.empty(0, dtype=np.int64)
             )
             out["poss"][gi] = delta_encode_segments(flat, tfs[s:e])
-        idf = idf_fn(n_docs, int(dfs_[s]), variant)
+        idf = idf_fn(n_docs, int(dfs_[gi]), variant)
         contrib = idf * tf_norm[s:e]
         nblocks = (len(g_ids) + block - 1) // block
         pad = nblocks * block - len(g_ids)
@@ -311,11 +325,13 @@ def merge_and_write(
     varint encode, partitioned write. Three wide stages total."""
     t0 = t0 or time.time()
     has_positions = "positions" in tf.columns
-    # doc_lens: write FIRST (this is also the action that materializes a
-    # persisted tf), then derive the global stats from the written (tiny)
-    # parquet — computing the groupBy(doc_id) once instead of twice
-    # (once for an agg collect, once for the write)
-    doc_lens = tf.groupBy("doc_id").agg(F.max("dl").alias("dl"))
+    # doc_lens: every doc has exactly one sentinel row (term='') in the
+    # SPIMI runs, so the doc-length table is a narrow FILTER — zero
+    # shuffle — rather than a groupBy(doc_id) over the widest relation.
+    # Written first (this is also the action that materializes a
+    # persisted tf); global stats then come from the written (tiny)
+    # parquet.
+    doc_lens = tf.filter(F.col("term") == "").select("doc_id", "dl")
     doc_lens.write.mode(mode).parquet(f"{out_dir}/doc_lens")
     spark = tf.sparkSession
     row = (
@@ -338,23 +354,34 @@ def merge_and_write(
         has_positions=has_positions,
     )
 
-    # zero-token docs ride in as sentinel rows (term='', tf=0, dl=0): they
-    # count in doc_lens/N/avgdl above but never become postings
+    # sentinel rows (term='') carry doc lengths above but never become
+    # postings
     real = tf.filter(F.col("term") != "")
+    # Global term stats are only REQUIRED ahead of the merge for HOT
+    # terms (df > postings_per_shard): they must shard, and their merge
+    # groups see only a slice so they can't count df locally. Cold terms
+    # (the overwhelming majority of any vocabulary) land whole in one
+    # merge group, where df/cf = the group itself. So: one map-side-
+    # combined aggregate whose reduce output is tiny, a driver filter to
+    # the few hot terms, and a BROADCAST left join — the big relation is
+    # never shuffled for a join. Net: the build's only full-width
+    # exchange is the merge repartition itself.
     dfs = real.groupBy("term").agg(
         F.count("*").alias("df"), F.sum("tf").cast("long").alias("cf")
     )
+    hot = dfs.filter(F.col("df") > postings_per_shard)
     joined = (
-        real.join(dfs, "term")  # AQE skew-join splits hot-term partitions
+        real.join(F.broadcast(hot), "term", "left")
         .withColumn(
             "n_shards",
             F.greatest(
                 F.lit(1),
-                F.ceil(F.col("df") / F.lit(postings_per_shard)).cast("int"),
+                F.ceil(F.coalesce(F.col("df"), F.lit(1)) / F.lit(postings_per_shard)).cast("int"),
             ),
         )
         .withColumn("shard", F.pmod(F.xxhash64("doc_id"), F.col("n_shards")).cast("int"))
         .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+        .drop("n_shards")  # shave shuffle bytes: only shard/bucket ride on
     )
     # sorted-partition streaming merge: one shuffle keyed on (term, shard)
     # + in-partition sort, then a single mapInPandas that encodes many
