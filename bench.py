@@ -306,7 +306,7 @@ def main() -> None:
         from sparkgrep.session import get_spark
         from sparkgrep.sources.corpus import synth_code_corpus
 
-        reps = int(os.environ.get("SPARKGREP_SCALING_REPS", "4"))
+        reps = int(os.environ.get("SPARKGREP_SCALING_REPS", "5"))
         n_lo, n_hi = (
             int(x) for x in os.environ.get("SPARKGREP_SCALE_LEVELS", "1,4").split(",")
         )
@@ -380,6 +380,14 @@ def main() -> None:
                 ),
                 "estimator": "min over fixed pre-declared interleaved reps per level",
                 "efficiency_N_to_4N": round(eff, 3),
+                # secondary audit: how much extra CPU the 4N-core run
+                # burns vs N (1.0 = perfectly flat work). Wall-clock
+                # efficiency tracks hypervisor co-tenant windows (see
+                # steal_sec); this tracks the engine's own parallel
+                # decomposition.
+                "efficiency_cpu_work": round(
+                    runs[n_lo]["cpu_sec"] / max(runs[n_hi]["cpu_sec"], 0.1), 3
+                ),
             }
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
