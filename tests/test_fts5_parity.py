@@ -228,3 +228,76 @@ def test_html_cleaning_udf_matches_py(spark, emails):
     }
     for r in emails.itertuples():
         assert got[r.doc_id] == html_to_text_py(r.body_text)
+
+
+# ---------------------------------------------------------------------------
+# phrase-query parity against the real FTS5 (single-column table: FTS5
+# positions are per-column, so a fair comparison can't concatenate)
+
+
+@pytest.fixture(scope="module")
+def fts5_body(emails_clean):
+    db = sqlite3.connect(":memory:")
+    db.execute("CREATE VIRTUAL TABLE bodies USING fts5(body_text, tokenize='porter')")
+    db.executemany(
+        "INSERT INTO bodies(rowid, body_text) VALUES (?,?)",
+        list(emails_clean[["doc_id", "body_text"]].itertuples(index=False, name=None)),
+    )
+    return db
+
+
+@pytest.fixture(scope="module")
+def body_index(spark, emails_clean, tmp_path_factory):
+    from sparkgrep.operators.index_build import build_index
+    from sparkgrep.operators.query import InvertedIndex
+    from sparkgrep.sources.corpus import with_ingest_columns
+
+    pdf = emails_clean.rename(columns={"body_text": "content"})
+    pdf["repo"] = "inbox"
+    pdf["path"] = pdf["doc_id"].map(lambda i: f"mail/{i}")
+    pdf["commit"] = "c0"
+    pdf["lang"] = None
+    corpus = with_ingest_columns(
+        spark.createDataFrame(
+            pdf[["repo", "path", "commit", "lang", "content", "doc_id"]]
+        )
+    )
+    out = str(tmp_path_factory.mktemp("fts5pos") / "idx")
+    build_index(
+        corpus, out, analyzer="fts5", idf_variant="fts5",
+        n_buckets=8, store_positions=True,
+    )
+    return InvertedIndex(spark, out)
+
+
+PHRASES = [
+    '"thank you"',        # 3 matching docs in the reference corpus
+    '"let me know"',      # 5 (3-token phrase)
+    '"thank you" OR unsubscribe',  # boolean mix, 30+ docs
+    '"order confirmation"',        # no matches — empty == empty
+    '"running shoes"',
+]
+
+
+@pytest.mark.parametrize("phrase", PHRASES)
+def test_phrase_rank_identical_to_reference_fts5(fts5_body, body_index, phrase):
+    k = 20
+    ref = fts5_body.execute(
+        "SELECT rowid, bm25(bodies) FROM bodies WHERE bodies MATCH ? "
+        "ORDER BY bm25(bodies) ASC, rowid ASC LIMIT ?",
+        (phrase, k),
+    ).fetchall()
+    got = body_index.search_expr(phrase, k=k).toPandas()
+    assert got["doc_id"].tolist() == [r[0] for r in ref], phrase
+    for (_, fts_score), eng_score in zip(ref, got["score"]):
+        assert abs(-fts_score - eng_score) <= 1e-9, (phrase, fts_score, eng_score)
+
+
+def test_phrase_parity_covers_nonempty_results(fts5_body):
+    hits = sum(
+        len(fts5_body.execute(
+            "SELECT rowid FROM bodies WHERE bodies MATCH ?", (p,)
+        ).fetchall()) > 0
+        for p in PHRASES
+    )
+    assert hits >= 2, "phrase parity must exercise real matches"
