@@ -115,11 +115,6 @@ _FTS5_CACHE: dict[str, str] = {}
 _FTS5_CACHE_MAX = 1 << 20
 
 
-@lru_cache(maxsize=1 << 20)
-def _fts5_token(raw: str) -> str:
-    return _fts5_norm_stem(raw)
-
-
 def _fts5_py(text: str) -> list[str]:
     cache = _FTS5_CACHE
     if len(cache) > _FTS5_CACHE_MAX:

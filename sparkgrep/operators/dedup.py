@@ -166,7 +166,9 @@ def ngram_jaccard_pairs(
     sh = shingles(docs, k, text_col).select("doc_id", "shingle").distinct()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     if candidates is not None:
-        pairs = candidates.select("doc_id_a", "doc_id_b")
+        # dedupe defensively: a repeated candidate pair would double-count
+        # every shingle intersection (cheap vs the shingle joins below)
+        pairs = candidates.select("doc_id_a", "doc_id_b").distinct()
         sa = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
         sb = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
         inter = (
@@ -252,6 +254,11 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str = "text")
     IDENTICAL — an equi-join on (band, chunk value) finds every such pair
     (recall 1.0), and only same-chunk pairs are ever compared. Band width
     must divide 32, so n_bands rounds up to the next divisor."""
+    if max_hamming > 31:
+        # 32 one-bit bands is the finest split a 32-bit simhash allows;
+        # radii ≥ 32 cannot be pigeonhole-guaranteed (and ≥ 32 means "any
+        # pair" anyway) — refuse rather than silently lose recall
+        raise ValueError(f"max_hamming must be ≤ 31 for a 32-bit simhash, got {max_hamming}")
     for n_bands in (1, 2, 4, 8, 16, 32):
         if n_bands >= max_hamming + 1:
             break

@@ -40,7 +40,7 @@ import json
 import math
 import os
 import time
-from dataclasses import asdict, dataclass
+from dataclasses import asdict, dataclass, replace
 from typing import Iterator
 
 import numpy as np
@@ -76,6 +76,9 @@ class IndexMeta:
     idf_variant: str
     version: int = 2  # v2: block-addressable postings (gap reset + offsets)
     has_positions: bool = False
+    # vocabulary size, for the driver-side decision to load the whole
+    # term_ubs sidecar (-1 = sidecar absent / pre-sidecar index)
+    n_terms: int = -1
 
 
 # v2 postings are BLOCK-ADDRESSABLE: doc_ids gap encoding resets at every
@@ -93,6 +96,10 @@ POSTINGS_OUT_SCHEMA = (
 # positions-enabled index: poss = per-doc token-position lists (0-based),
 # delta+varint encoded, concatenated in doc order; segment lengths == tfs
 POSTINGS_OUT_SCHEMA_POS = POSTINGS_OUT_SCHEMA + ", poss binary"
+
+# per-term sidecar consumed by pruned serving (operators/wand.py): global
+# df + the global BM25 upper bound (max block_max across shards)
+TERM_UBS_SCHEMA = "term string, df long, ub double"
 
 
 def spimi_term_freqs(
@@ -403,6 +410,25 @@ def merge_and_write(
         mode
     ).parquet(f"{out_dir}/postings")
 
+    # term_ubs sidecar: one (df, BM25 upper bound) row per term, read
+    # back from the written postings with column pruning (term/df/
+    # block_max only — the varint payloads never leave the scan). The
+    # pruned serving path (operators/wand.py) memoizes this driver-side
+    # so planning a MaxScore query schedules no metadata job.
+    ubs = (
+        spark.read.schema(out_schema).parquet(f"{out_dir}/postings")
+        .groupBy("term")
+        .agg(
+            F.first("df").alias("df"),  # df is global, same on every shard
+            F.max(F.array_max("block_max")).cast("double").alias("ub"),
+        )
+    )
+    ubs.write.mode(mode).parquet(f"{out_dir}/term_ubs")
+    n_terms = (
+        spark.read.schema(TERM_UBS_SCHEMA).parquet(f"{out_dir}/term_ubs").count()
+    )
+    meta = replace(meta, n_terms=int(n_terms))
+
     # metadata through the Hadoop FS API (sources/fsio.py) — same
     # filesystem resolution as the parquet writers above, so hdfs://- or
     # s3a://-style out_dirs work end to end
@@ -442,4 +468,12 @@ def load_meta(index_dir: str) -> IndexMeta:
 
     d = json.loads(fsio.read_text(f"{index_dir}/stats.json"))
     d.pop("build_wall_sec", None)
+    # v1 postings (no block-reset gaps / offsets) would decode silently
+    # wrong under the v2 reader — refuse instead of filling defaults
+    if int(d.get("version", 1)) < 2:
+        raise ValueError(
+            f"index at {index_dir!r} uses postings format "
+            f"v{d.get('version', 1)}; this reader needs v2 — rebuild the "
+            "index with build_index()"
+        )
     return IndexMeta(**d)

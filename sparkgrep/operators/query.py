@@ -113,6 +113,9 @@ class InvertedIndex:
         )
         self.postings = spark.read.schema(schema).parquet(f"{index_dir}/postings")
         self._warm = False
+        # driver-side (df, ub) cache for MaxScore planning — see term_ubs()
+        self._ub_cache: dict[str, tuple[int, float] | None] = {}
+        self._ub_full = False
 
     def warm(self) -> "InvertedIndex":
         """Serving mode: pin the postings table in executor memory
@@ -139,6 +142,51 @@ class InvertedIndex:
         return self.postings.filter(
             F.col("bucket").isin(buckets) & F.col("term").isin(terms)
         )
+
+    # whole-vocabulary driver load cap for the term_ubs sidecar: ~24 B/term
+    # of payload → ≲ a few hundred MB of dict at the cap; beyond it, only
+    # the query's own terms are fetched (predicate-pushdown scan)
+    _UB_FULL_LOAD_MAX = 2_000_000
+
+    def term_ubs(self, terms: list[str]) -> dict[str, tuple[int, float]]:
+        """{term: (df, BM25 upper bound)} for the given terms; terms with
+        no postings are absent. Backed by the build-time ``term_ubs``
+        sidecar, memoized driver-side (whole vocabulary when small,
+        per-term with negative caching otherwise) so MaxScore planning
+        costs no Spark job after first touch."""
+        from sparkgrep.operators.index_build import TERM_UBS_SCHEMA
+        from sparkgrep.sources import fsio
+
+        missing = [t for t in terms if t not in self._ub_cache]
+        if missing and not self._ub_full:
+            path = f"{self.index_dir}/term_ubs"
+            if fsio.exists(path):
+                ubs = self.spark.read.schema(TERM_UBS_SCHEMA).parquet(path)
+                if 0 <= self.meta.n_terms <= self._UB_FULL_LOAD_MAX:
+                    rows = ubs.collect()
+                    self._ub_full = True
+                else:
+                    rows = ubs.filter(F.col("term").isin(missing)).collect()
+            else:
+                # pre-sidecar index: derive from postings metadata (column-
+                # pruned scan of the query terms' buckets only)
+                rows = (
+                    self._matched(missing)
+                    .select("term", "df", F.array_max("block_max").alias("ub"))
+                    .groupBy("term")
+                    .agg(F.first("df").alias("df"), F.max("ub").alias("ub"))
+                    .collect()
+                )
+            for r in rows:
+                self._ub_cache[r["term"]] = (int(r["df"]), float(r["ub"]))
+            for t in missing:  # negative cache: no postings for this term
+                self._ub_cache.setdefault(t, None)
+        out = {}
+        for t in terms:
+            hit = self._ub_cache.get(t)
+            if hit is not None:
+                out[t] = hit
+        return out
 
     def _contribs(self, terms: list[str]) -> DataFrame:
         return self._matched(terms).mapInPandas(

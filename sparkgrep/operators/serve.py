@@ -14,9 +14,9 @@ in numpy. On a cluster this is exactly what a serving shard does — hold
 its resident term partitions in memory, answer from them. Results are
 rank- and score-identical to ``InvertedIndex.search`` by construction:
 identical per-term contributions, summed in the same sorted-term
-left-associated order (``np.add.reduceat`` over (doc, term)-sorted
-contributions == the codegen conditional-sum fold), same
-(score desc, doc_id asc) tie-break.
+left-associated order (``wand.seq_fold``, one strictly sequential add
+per term — NOT reduceat/np.sum, whose pairwise summation diverges from
+the Spark fold by 1 ulp), same (score desc, doc_id asc) tie-break.
 """
 
 from __future__ import annotations
@@ -99,16 +99,14 @@ class LocalServer:
                 contrib_parts.append(contrib)
         if not ids_parts:
             return empty
+        from sparkgrep.operators.wand import seq_fold
+
         ids = np.concatenate(ids_parts)
         tix = np.concatenate(tix_parts)
         contribs = np.concatenate(contrib_parts)
-        # sort by (doc, term index) then segment-sum sequentially —
-        # identical float addition order to the distributed fold
-        order = np.lexsort((tix, ids))
-        ids, contribs = ids[order], contribs[order]
-        starts = np.flatnonzero(np.concatenate(([True], ids[1:] != ids[:-1])))
-        docs = ids[starts]
-        scores = np.add.reduceat(contribs, starts)
+        # strictly sequential per-doc adds in term order — identical
+        # float addition order to the distributed fold (1-ulp-exact)
+        docs, scores = seq_fold(ids, tix, contribs, len(terms))
         # top-k: score desc, doc_id asc
         sel = np.lexsort((docs, -scores))[:k]
         out = pd.DataFrame(

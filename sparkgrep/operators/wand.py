@@ -30,13 +30,54 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sparkgrep.functions.tokenizer import tokenize_py
 from sparkgrep.functions.varint import varint_decode
 from sparkgrep.operators.query import InvertedIndex
 from sparkgrep.operators.score import idf as idf_fn
+
+
+# pass-1 raw-contribution collect budget (rows): Σ df(essential) must fit
+# comfortably on the driver; beyond this the distributed fold plan runs
+_PASS1_COLLECT_BUDGET = 1 << 18
+
+
+def _numpy_fold(rows, terms_sorted: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Fold collected (term, doc_id, contrib) rows into per-doc scores in
+    the SAME float-addition order as ``score.fold_contribs`` (sorted-term
+    left-associated sum): accumulate one term at a time into the score
+    vector, so each doc's adds happen sequentially in term order.
+
+    NOT ``np.add.reduceat``: reduceat (like np.sum) may sum PAIRWISE,
+    which diverges from the left-associated Spark fold by 1 ulp — enough
+    to break bitwise rank/score identity (observed on 3-term folds)."""
+    if not rows:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    tix_of = {t: i for i, t in enumerate(terms_sorted)}
+    ids = np.fromiter((r["doc_id"] for r in rows), dtype=np.int64, count=len(rows))
+    tix = np.fromiter((tix_of[r["term"]] for r in rows), dtype=np.int32, count=len(rows))
+    contribs = np.fromiter((r["contrib"] for r in rows), dtype=np.float64, count=len(rows))
+    return seq_fold(ids, tix, contribs, len(terms_sorted))
+
+
+def seq_fold(
+    ids: np.ndarray, tix: np.ndarray, contribs: np.ndarray, n_terms: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_ids, scores) where score[d] = ((0.0 + c_t0) + c_t1) + ... in
+    term-index order — bitwise-equal to ``fold_contribs``'s
+    ``coalesce(_c0,0.0) + coalesce(_c1,0.0) + ...`` (x + 0.0 == x for
+    the finite positive contribs, and absent terms add nothing)."""
+    docs = np.unique(ids)
+    pos = np.searchsorted(docs, ids)
+    scores = np.zeros(len(docs), dtype=np.float64)
+    for t in range(n_terms):
+        m = tix == t
+        # one contrib per (term, doc): these element adds are each doc's
+        # next left-associated addition
+        scores[pos[m]] += contribs[m]
+    return docs, scores
 
 
 def _filtered_decode_gen(meta, candidates: np.ndarray):
@@ -94,9 +135,41 @@ def _filtered_decode_gen(meta, candidates: np.ndarray):
     return gen
 
 
-def search_pruned(index: InvertedIndex, query_text: str, k: int = 10) -> DataFrame:
-    """Top-k with MaxScore pruning; exact-path fallback when pruning is
-    unsound (okapi idf) or unhelpful (Σ UB(rest) ≥ θ)."""
+def search_pruned(
+    index: InvertedIndex,
+    query_text: str,
+    k: int = 10,
+    prefix_cap: int | None = None,
+    prune_margin: float = 0.5,
+) -> DataFrame:
+    """Top-k with MaxScore pruning in at most TWO Spark jobs; exact-path
+    fallback whenever pruning is unsound (okapi idf) or would not pay.
+
+    Job anatomy (the round-2 version ran four jobs — a UB metadata
+    collect, pass 1, a second full pass-1 recompute for the candidate
+    filter, pass 2):
+
+    - planning is job-FREE: per-term (df, UB) comes from the driver-
+      memoized ``term_ubs`` sidecar (``InvertedIndex.term_ubs``), which
+      also decides driver-side whether pruning can pay at all. θ can
+      never exceed Σ UB(essential), so if ``Σ UB(rest) ≥ prune_margin ×
+      Σ UB(essential)`` the candidate cut is provably (margin=1) or
+      predictably (margin<1) too weak — go exact in ONE job. This is
+      the all-hot-terms case (tiny idf → flat tiny scores → candidates
+      ≈ the whole corpus), where a "pruned" query otherwise does strictly
+      more work than the exact path. MaxScore pays on selective
+      queries — a rare high-UB term plus common context terms;
+    - pass 1 (job 1) collects the top ``C = max(4k, 256)``
+      essential-term scores (TakeOrderedAndProject, driver-bounded).
+      θ = the kth score, and because candidates are exactly the docs
+      with ``s_E ≥ θ - Σ UB(rest)`` — a PREFIX of the score-descending
+      pass-1 ordering — the same collect yields the candidate set. If
+      the prefix is exhausted (> C candidates), the cut is too weak to
+      beat a full scan: fall back to exact rather than widen;
+    - pass 2 (job 2) re-scores candidates over ALL terms with true
+      block skipping (v2 per-block offsets), fold order identical to
+      the exact path → bitwise-identical scores.
+    """
     spark = index.spark
     meta = index.meta
     terms = sorted(set(tokenize_py(query_text, meta.analyzer)))
@@ -106,49 +179,86 @@ def search_pruned(index: InvertedIndex, query_text: str, k: int = 10) -> DataFra
     if meta.idf_variant == "okapi":
         return index.search(query_text, k)  # negative contribs → unsound
 
-    # per-term upper bounds from block-max metadata (tiny collect:
-    # one row per (term, shard))
-    ub_rows = (
-        index._matched(terms)
-        .select("term", F.array_max("block_max").alias("ub"))
-        .groupBy("term")
-        .agg(F.max("ub").alias("ub"))
-        .collect()
-    )
-    if not ub_rows:
+    ubs_map = index.term_ubs(terms)  # job-free after first touch
+    if not ubs_map:
         return empty
-    ubs = sorted(((r["term"], float(r["ub"])) for r in ub_rows), key=lambda x: -x[1])
+    ubs = sorted(((t, ub) for t, (_, ub) in ubs_map.items()), key=lambda x: -x[1])
     if len(ubs) == 1:
         return index.search(query_text, k)
 
-    # essential = top half by UB (simple, effective split)
-    n_ess = max(1, (len(ubs) + 1) // 2)
+    # essential = the MINIMAL top-UB prefix whose remainder is negligible
+    # (rest_ub < prune_margin × ess_ub): keeps hot terms (huge df, tiny
+    # UB) OUT of pass 1 — decoding them there is the expensive part —
+    # while θ still can't be threatened by the remainder. If the whole
+    # query is needed to satisfy the margin, there is nothing to prune:
+    # run exact (driver-side decision, no Spark job spent).
+    n_ess = 1
+    while n_ess < len(ubs):
+        ess_ub = sum(u for _, u in ubs[:n_ess])
+        rest_ub = sum(u for _, u in ubs[n_ess:])
+        if rest_ub < prune_margin * ess_ub:
+            break
+        n_ess += 1
+    else:
+        return index.search(query_text, k)
     essential = sorted(t for t, _ in ubs[:n_ess])
-    rest = sorted(t for t, _ in ubs[n_ess:])
     rest_ub = sum(u for _, u in ubs[n_ess:])
 
-    # pass 1: exact partial scores over essential terms
-    s1 = index._fold_scores(index._contribs(essential), essential)
-    top1 = s1.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
-    if len(top1) < k or (top1 and rest_ub >= top1[-1]["score"]):
-        # not enough matches to bound, or rest terms alone could beat θ
+    cap = prefix_cap or max(4 * k, 256)
+    ess_df = sum(ubs_map[t][0] for t in essential)
+    # selectivity gate: pass 1 decodes Σ df(essential) postings and θ only
+    # cuts hard when the essential terms are rare. A fat essential set
+    # (all-hot query that still met the margin) would pay pass-1 cost to
+    # produce a corpus-sized candidate set — run exact instead.
+    if ess_df > max(64 * k, meta.n_docs // 16):
         return index.search(query_text, k)
-    theta = top1[-1]["score"]
+    # θ needs k essential-matching docs; Σ df(essential) bounds them
+    if ess_df < k:
+        return index.search(query_text, k)
 
-    # candidates: pass-1 docs whose best possible final score reaches θ
-    cand_ids = np.array(
-        [r["doc_id"] for r in s1.filter(F.col("score") + F.lit(rest_ub) >= theta).collect()],
-        dtype=np.int64,
-    )
+    # pass 1 (job 1): exact partial scores over essential terms.
+    # Selective queries (the only ones that reach here) have small
+    # essential posting lists — when Σ df(essential) fits the driver
+    # budget, collect raw contributions from the narrow decode stage and
+    # fold in numpy (identical float order to fold_contribs — the
+    # LocalServer equivalence, pinned by tests) → pass 1 is ONE
+    # shuffle-free stage. Oversized essential lists keep the distributed
+    # fold + TakeOrderedAndProject plan.
+    if ess_df <= _PASS1_COLLECT_BUDGET:
+        rows = index._contribs(essential).collect()
+        docs, scores = _numpy_fold(rows, essential)
+        order = np.lexsort((docs, -scores))
+        docs, scores = docs[order], scores[order]
+        if len(docs) < k or rest_ub >= scores[k - 1]:
+            return index.search(query_text, k)
+        theta = float(scores[k - 1])
+        cand = docs[scores + rest_ub >= theta]
+        if len(cand) > cap:  # cut too weak to beat the exact scan
+            return index.search(query_text, k)
+    else:
+        s1 = index._fold_scores(index._contribs(essential), essential)
+        top1 = s1.orderBy(F.desc("score"), F.asc("doc_id")).limit(cap).collect()
+        if len(top1) < k or rest_ub >= top1[k - 1]["score"]:
+            # not enough matches to bound, or rest terms could beat θ
+            return index.search(query_text, k)
+        theta = top1[k - 1]["score"]
+        # candidates are a PREFIX of the score-descending pass-1 ordering;
+        # an exhausted prefix means the cut is too weak — fall back
+        if len(top1) == cap and top1[-1]["score"] + rest_ub >= theta:
+            return index.search(query_text, k)
+        cand = [r["doc_id"] for r in top1 if r["score"] + rest_ub >= theta]
+    cand_ids = np.asarray(sorted(int(d) for d in cand), dtype=np.int64)
 
-    # pass 2: true scores over candidates only (filtered decode)
+    # pass 2 (job 2): true scores over candidates only — block-skipping
+    # decode over all query terms, ≤ cap × |terms| rows collected, numpy
+    # fold in the exact path's float order → bitwise-identical scores
     matched = index._matched(terms)
     contribs = matched.mapInPandas(
         _filtered_decode_gen(meta, cand_ids), "term string, doc_id long, contrib double"
     )
-    scored = index._fold_scores(contribs, terms)
-    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
-        "rank", "doc_id", "score"
-    )
+    docs, scores = _numpy_fold(contribs.collect(), terms)
+    sel = np.lexsort((docs, -scores))[:k]
+    out = [
+        (int(i + 1), int(docs[s]), float(scores[s])) for i, s in enumerate(sel)
+    ]
+    return spark.createDataFrame(out, "rank int, doc_id long, score double")

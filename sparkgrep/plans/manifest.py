@@ -37,8 +37,15 @@ def _manifest_dir(out_dir: str) -> str:
 
 
 def _seg_key(segment_id) -> tuple:
-    # ints first (numeric order), then string ids (append batches)
-    return (0, int(segment_id), "") if isinstance(segment_id, int) else (1, 0, str(segment_id))
+    # ints first (numeric order), then string ids (append batches) by
+    # (prefix, numeric suffix) so stream-10 sorts after stream-2
+    if isinstance(segment_id, int):
+        return (0, "", int(segment_id), "")
+    s = str(segment_id)
+    prefix, _, suffix = s.rpartition("-")
+    if suffix.isdigit():
+        return (1, prefix, int(suffix), "")
+    return (1, s, -1, s)
 
 
 def read_manifest(out_dir: str) -> list[dict]:
