@@ -98,14 +98,26 @@ def lsh_candidate_pairs(
     bands: int = 4,
     k: int = 3,
     text_col: str = "text",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """(doc_id_a, doc_id_b, est_jaccard): pairs sharing ≥1 LSH band,
     with the estimated Jaccard = fraction of matching minhashes.
 
     Band signature = md5 of the band's minhashes joined in seed order;
     the bucket join is an equi-join on (band, sig) — broadcast-free,
-    shuffle keyed on the band signature, skew-safe because identical
-    signatures imply near-identical docs."""
+    shuffle keyed on the band signature.
+
+    SKEW WARNING: M near-identical docs share band signatures and
+    produce O(M²) pairs inside one bucket — and huge boilerplate
+    clusters are the COMMON case in code corpora, not the edge. Two
+    defenses: (1) collapse exact duplicates to one representative
+    upstream (what :func:`dedup_pipeline` does — byte-identical copies
+    are the worst offenders and are already handled by the cheap exact
+    pass); (2) ``max_bucket`` drops (band, sig) buckets larger than the
+    cap before pairing — each dropped bucket is itself a
+    near-duplicate cluster report, so recall is lost only WITHIN
+    already-flagged clusters (audit them via the returned
+    ``exact_dup_groups``-style grouping on the band signature)."""
     rows_per_band = n_hashes // bands
     # sigs feeds three branches (band buckets + both sides of the
     # estimate join) — persist to avoid recomputing the shingle/md5 tree
@@ -125,6 +137,13 @@ def lsh_candidate_pairs(
             ).alias("sig")
         )
     )
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "sig")
+        band_sigs = (
+            band_sigs.withColumn("_n", F.count("*").over(w))
+            .filter(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
     a, b2 = band_sigs.alias("a"), band_sigs.alias("b")
     pairs = (
         a.join(b2, (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")))
@@ -204,13 +223,30 @@ def dedup_pipeline(
     k: int = 3,
     threshold: float = 0.5,
     text_col: str = "text",
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    """The scale-correct near-dup pipeline: LSH proposes candidate pairs
-    (banded minhash equi-join, never all-pairs), exact n-gram Jaccard
-    verifies them. Returns (doc_id_a, doc_id_b, jaccard ≥ threshold)."""
-    cands = lsh_candidate_pairs(docs, n_hashes, bands, k, text_col)
+    """The scale-correct near-dup pipeline: exact dedup collapses
+    byte-identical clusters to one representative (min doc_id), LSH
+    proposes candidate pairs among representatives (banded minhash
+    equi-join, never all-pairs), exact n-gram Jaccard verifies them.
+    Returns (doc_id_a, doc_id_b, jaccard ≥ threshold) over
+    representatives.
+
+    The upstream exact pass is what makes this safe on real corpora: M
+    byte-identical copies of a boilerplate file would otherwise share
+    every band signature and emit M²/2 candidate pairs from one bucket
+    (the common case at 100 TB of code, not the edge). After collapse
+    the cluster contributes ONE member; its internal membership is the
+    cheap hash-groupBy (:func:`exact_dup_groups` — join the keeper
+    column back to expand a representative pair to its cluster).
+    ``max_bucket`` additionally caps residual near-identical (not
+    byte-identical) buckets; see :func:`lsh_candidate_pairs`."""
+    reps = dedup_exact(docs, text_col)
+    cands = lsh_candidate_pairs(
+        reps, n_hashes, bands, k, text_col, max_bucket=max_bucket
+    )
     return ngram_jaccard_pairs(
-        docs, k=k, threshold=threshold, text_col=text_col, candidates=cands
+        reps, k=k, threshold=threshold, text_col=text_col, candidates=cands
     )
 
 

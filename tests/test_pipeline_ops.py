@@ -225,24 +225,68 @@ def test_ngram_jaccard_candidates_param(docs):
 
 
 def test_dedup_pipeline(docs):
+    # byte-identical dups are collapsed upstream: the (0, 1) exact pair is
+    # reported by exact_dup_groups, NOT re-found by LSH
     pipe = {
         (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
         for r in D.dedup_pipeline(docs, threshold=0.1).collect()
     }
-    assert pipe[(0, 1)] == 1.0
-    # pipeline == exact Jaccard (≥ t) restricted to the LSH candidates
+    assert (0, 1) not in pipe
+    groups = D.exact_dup_groups(docs).collect()
+    assert len(groups) == 1 and groups[0]["keeper"] == 0
+    # pipeline == exact Jaccard (≥ t) over representatives restricted to
+    # the LSH candidates among representatives
+    reps = D.dedup_exact(docs)
     cands = {
         (r["doc_id_a"], r["doc_id_b"])
-        for r in D.lsh_candidate_pairs(docs, n_hashes=16, bands=4, k=3).collect()
+        for r in D.lsh_candidate_pairs(reps, n_hashes=16, bands=4, k=3).collect()
     }
     full = {
         (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
-        for r in D.ngram_jaccard_pairs(docs, k=3, threshold=0.1).collect()
+        for r in D.ngram_jaccard_pairs(reps, k=3, threshold=0.1).collect()
     }
     assert pipe == {p: j for p, j in full.items() if p in cands}
-    # higher LSH recall (1-row bands) surfaces the (0, 2) near dup too
+    # higher LSH recall (1-row bands) surfaces the (0, 2) near dup
     deep = {
         (r["doc_id_a"], r["doc_id_b"])
         for r in D.dedup_pipeline(docs, n_hashes=16, bands=16, threshold=0.1).collect()
     }
-    assert (0, 1) in deep and (0, 2) in deep
+    assert (0, 2) in deep and (0, 1) not in deep
+
+
+def test_dedup_pipeline_duplicate_cluster(spark):
+    """1,000 byte-identical docs must NOT produce O(cluster²) candidate
+    pairs: the exact pass collapses them to one representative before
+    banding (the 100 TB boilerplate-cluster case)."""
+    clones = [(i, "def main parse config and build the index") for i in range(1000)]
+    others = [
+        (1000, "def main parse config and build the index quickly"),  # near dup
+        (1001, "spark shuffles data between stages for the join"),
+        (1002, "totally unrelated text about cats and tables"),
+    ]
+    docs = spark.createDataFrame(clones + others, "doc_id long, text string")
+    reps = D.dedup_exact(docs)
+    assert reps.count() == 4  # 1 keeper + 3 distinct
+    cands = D.lsh_candidate_pairs(reps, n_hashes=16, bands=16, k=3).collect()
+    # O(cluster): a handful of candidate pairs, never ~500k
+    assert len(cands) <= 6
+    pipe = D.dedup_pipeline(docs, n_hashes=16, bands=16, threshold=0.3).collect()
+    pairs = {(r["doc_id_a"], r["doc_id_b"]) for r in pipe}
+    assert (0, 1000) in pairs  # keeper ↔ near-dup survives
+    assert len(pipe) <= 6
+    # cluster membership stays available through the exact grouping
+    g = D.exact_dup_groups(docs).collect()
+    assert len(g) == 1 and g[0]["n_dups"] == 1000 and g[0]["keeper"] == 0
+
+
+def test_lsh_max_bucket_cap(spark):
+    """max_bucket drops oversized near-identical buckets (defense when
+    callers skip the exact pass)."""
+    clones = [(i, "def main parse config and build the index") for i in range(100)]
+    others = [(100, "spark shuffles data between stages for the join"),
+              (101, "le chat est sur la table et il dort")]
+    docs = spark.createDataFrame(clones + others, "doc_id long, text string")
+    capped = D.lsh_candidate_pairs(docs, n_hashes=16, bands=4, max_bucket=10)
+    assert capped.count() == 0  # the 100-clone bucket is dropped entirely
+    uncapped = D.lsh_candidate_pairs(docs, n_hashes=16, bands=4)
+    assert uncapped.count() == 100 * 99 // 2
