@@ -104,12 +104,16 @@ def _units_sql(
     term_units: list[str],
     k: int,
     match_having: str = "",
+    exclude_terms: list[str] | None = None,
 ) -> str:
     """DuckDB oracle for the unit-scoring query language (querylang.py):
     each phrase/term is a BM25 atom with its own tf/df; a doc's score is
     the uid-ordered sum of contributions of the units it contains.
     ``match_having`` filters the matched-doc set (boolean semantics);
-    empty = any unit present (OR)."""
+    empty = any unit present (OR). ``exclude_terms`` removes docs
+    containing any of those terms (NOT semantics) — excluded units score
+    0 in surviving docs by construction, so the uid-ordered sum over
+    include units is unchanged."""
     ph_ctes, ph_selects = [], []
     for pi, pterms in enumerate(phrase_units):
         joins = "\n  ".join(
@@ -131,6 +135,12 @@ def _units_sql(
     unit_union = "\n  UNION ALL\n  ".join(ph_selects)
     ph_block = (",\n".join(ph_ctes) + ",") if ph_ctes else ""
     having = f"HAVING {match_having}" if match_having else ""
+    not_filter = ""
+    if exclude_terms:
+        xlist = ", ".join(f"'{t}'" for t in sorted(set(exclude_terms)))
+        not_filter = (
+            f"WHERE doc_id NOT IN (SELECT doc_id FROM tf WHERE term IN ({xlist}))"
+        )
     return f"""
 WITH {_TOK_CTES},
 {ph_block}
@@ -138,7 +148,10 @@ unit_tf AS (
   {unit_union}
 ),
 udf AS (SELECT uid, count(*) AS df FROM unit_tf GROUP BY uid),
-matched AS (SELECT doc_id FROM unit_tf GROUP BY doc_id {having}),
+matched AS (
+  SELECT doc_id FROM (SELECT doc_id FROM unit_tf GROUP BY doc_id {having})
+  {not_filter}
+),
 contrib AS (
   SELECT u.doc_id, u.uid,
          ln((stats.n - udf.df + 0.5) / (udf.df + 0.5))
@@ -321,6 +334,34 @@ def q_bm25_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bm25_phrase_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boolean query language: phrase AND term (implicit AND)."""
     res = _pos_index(spark, sf_dir).search_expr(PHRASE_AND_QUERY, k=10)
+    return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
+
+
+NOT_QUERY = "hash NOT window"
+
+
+def q_bm25_serve_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-tier boolean/phrase query language (LocalServer.search_expr)
+    — must equal the distributed search_expr and therefore the same
+    DuckDB oracle as bm25_expr."""
+    from sparkgrep.operators.serve import LocalServer
+
+    idx = _pos_index(spark, sf_dir)
+    pdf = LocalServer(idx).search_expr(EXPR_QUERY, k=10)
+    res = spark.createDataFrame(pdf, "rank int, doc_id long, score double")
+    return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
+
+
+def q_bm25_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FTS5 binary NOT: docs matching the include term whose score is the
+    include unit's BM25 contribution, minus docs containing the excluded
+    term."""
+    from sparkgrep.operators.index_build import build_index
+    from sparkgrep.operators.query import InvertedIndex
+
+    out = tempfile.mkdtemp(prefix="sparkgrep_not_") + "/idx"
+    build_index(_corpus(spark, sf_dir), out, analyzer="simple", n_buckets=8)
+    res = InvertedIndex(spark, out).search_expr(NOT_QUERY, k=10)
     return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
 
 
@@ -674,6 +715,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_phrase": q_bm25_phrase,
     "bm25_expr": q_bm25_expr,
     "bm25_phrase_and": q_bm25_phrase_and,
+    "bm25_serve_expr": q_bm25_serve_expr,
+    "bm25_not": q_bm25_not,
     "dedup_exact": q_dedup_exact,
     "minhash_lsh": q_minhash_lsh,
     "ngram_jaccard": q_ngram_jaccard,
@@ -778,6 +821,10 @@ ORDER BY cf DESC, term ASC LIMIT 20
         "bm25_phrase_and": _units_sql(
             [("hash", "join")], ["table"], 10,
             match_having="count(DISTINCT uid) = 2",
+        ),
+        "bm25_serve_expr": _units_sql([("hash", "join")], ["window"], 10),
+        "bm25_not": _units_sql(
+            [], ["hash"], 10, exclude_terms=["window"],
         ),
         "dedup_exact": """
 SELECT md5(text) AS content_md5, count(*) AS n_dups, min(doc_id) AS keeper

@@ -6,12 +6,18 @@ the reference's own tests, ``test_message_manager.py:417-435``):
 - ``foo bar``          — implicit AND of two terms
 - ``foo AND bar``      — explicit AND (same as implicit)
 - ``foo OR bar``       — either term
+- ``foo NOT bar``      — docs matching foo but not bar (FTS5 binary NOT,
+                         highest precedence: applies to the NEXT unit)
 - ``"foo bar"``        — quoted phrase: adjacent tokens in order
-- combinations: ``"big data" OR spark`` etc.
+- combinations: ``"big data" OR spark``, ``spark NOT "big data"`` etc.
 
 Grammar here (deliberately the same flat shape FTS5 gives these tests —
-no parentheses): a query is a disjunction of conjunctions; each conjunct
-item ("unit") is a term or a phrase.
+no parentheses): a query is a disjunction of conjunctions; each
+conjunct carries include units (terms/phrases that must all be present)
+and exclude units (introduced by NOT; none may be present). FTS5 gives
+NOT the highest precedence, so ``a NOT b c`` ≡ (a NOT b) AND c — which
+is exactly the flat include/exclude reading. A conjunct with only
+excludes (``NOT a`` — an FTS5 syntax error) matches nothing here.
 
 Scoring model (FTS5's): every unit is a scoring atom with its own
 within-doc frequency (tf = occurrences of the term / of the whole
@@ -48,16 +54,27 @@ class Unit:
 
 
 @dataclass(frozen=True)
-class ParsedQuery:
-    """Disjunction (OR) of conjunctions (AND) of units."""
+class Conjunct:
+    """One AND group: every include unit present, no exclude unit
+    present (excludes come from FTS5's binary NOT)."""
 
-    disjuncts: tuple[tuple[Unit, ...], ...]
+    includes: tuple[Unit, ...]
+    excludes: tuple[Unit, ...] = ()
+
+
+@dataclass(frozen=True)
+class ParsedQuery:
+    """Disjunction (OR) of conjunctions (AND/NOT) of units."""
+
+    disjuncts: tuple[Conjunct, ...]
 
     def units(self) -> list[Unit]:
-        """All distinct units, ordered by uid (deterministic fold order)."""
+        """All distinct units (includes AND excludes — exclusion needs
+        the unit's match set too), ordered by uid (deterministic fold
+        order)."""
         seen: dict[str, Unit] = {}
         for conj in self.disjuncts:
-            for u in conj:
+            for u in conj.includes + conj.excludes:
                 seen.setdefault(u.uid, u)
         return [seen[k] for k in sorted(seen)]
 
@@ -73,11 +90,13 @@ def parse_query(text: str, analyzer: str = "simple") -> ParsedQuery:
 
     Quoted segments become phrase units (tokenized with the index
     analyzer, order preserved). Outside quotes, the token ``OR`` splits
-    disjuncts; ``AND`` is a no-op separator (implicit AND); everything
-    else is a term unit. Phrases that tokenize to one term degrade to
-    term units; empty phrases/terms vanish. An all-empty query yields
-    zero disjuncts (callers treat it as no-match or raise in strict
-    mode, matching FTS5's error on an empty MATCH).
+    disjuncts; ``AND`` is a no-op separator (implicit AND); ``NOT``
+    excludes the NEXT unit (FTS5 binary NOT at highest precedence);
+    everything else is a term unit. Phrases that tokenize to one term
+    degrade to term units; empty phrases/terms vanish (a NOT whose unit
+    vanishes excludes nothing). An all-empty query yields zero disjuncts
+    (callers treat it as no-match or raise in strict mode, matching
+    FTS5's error on an empty MATCH).
     """
     # pull out quoted phrases, leaving placeholders to preserve position
     phrases: list[str] = []
@@ -88,24 +107,41 @@ def parse_query(text: str, analyzer: str = "simple") -> ParsedQuery:
 
     rest = _PHRASE_RE.sub(_stash, text or "")
 
-    disjuncts: list[tuple[Unit, ...]] = []
-    conj: list[Unit] = []
+    disjuncts: list[Conjunct] = []
+    inc: list[Unit] = []
+    exc: list[Unit] = []
+    neg_next = False
+
+    def _flush() -> None:
+        nonlocal inc, exc
+        if inc or exc:
+            disjuncts.append(Conjunct(tuple(inc), tuple(exc)))
+            inc, exc = [], []
+
+    def _add(units: list[Unit]) -> None:
+        nonlocal neg_next
+        # NOT binds every unit the next raw token yields (a raw word can
+        # tokenize to several terms under the code analyzer — all are
+        # part of the negated operand, as FTS5 phrases them)
+        (exc if neg_next else inc).extend(units)
+        neg_next = False
+
     for raw in rest.split():
         if raw == "OR":
-            if conj:
-                disjuncts.append(tuple(conj))
-                conj = []
+            _flush()
+            neg_next = False
             continue
         if raw == "AND":
+            continue
+        if raw == "NOT":
+            neg_next = True
             continue
         m = re.fullmatch("\x00(\\d+)\x00", raw)
         if m:
             terms = tuple(tokenize_py(phrases[int(m.group(1))], analyzer))
             if terms:
-                conj.append(Unit(terms))
+                _add([Unit(terms)])
             continue
-        for t in tokenize_py(raw, analyzer):
-            conj.append(Unit((t,)))
-    if conj:
-        disjuncts.append(tuple(conj))
+        _add([Unit((t,)) for t in tokenize_py(raw, analyzer)])
+    _flush()
     return ParsedQuery(tuple(disjuncts))

@@ -20,7 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from sparkgrep.functions.querylang import ParsedQuery, Unit, parse_query
+from sparkgrep.functions.querylang import Conjunct, ParsedQuery, Unit, parse_query
 from sparkgrep.functions.tokenizer import tokenize_py
 from sparkgrep.functions.varint import blocked_gap_decode, delta_decode_segments, varint_decode
 from sparkgrep.operators.index_build import IndexMeta, load_meta
@@ -269,7 +269,7 @@ class InvertedIndex:
                 raise ValueError("empty query (FTS5 parity: empty MATCH is an error)")
             return self.spark.createDataFrame([], "rank int, doc_id long, score double")
         if mode == "and":
-            pq = ParsedQuery(((tuple(Unit((t,)) for t in terms),)))
+            pq = ParsedQuery((Conjunct(tuple(Unit((t,)) for t in terms)),))
             return self._search_parsed(pq, k)
         if mode != "or":
             raise ValueError(f"unknown mode {mode!r} (or|and|expr)")
@@ -356,13 +356,18 @@ class InvertedIndex:
             g = contribs.groupBy("doc_id").agg(*aggs)
             match = None
             for conj in pq.disjuncts:
-                have = [u.uid for u in conj if u.uid in pos]
-                if len(have) < len(conj):
+                if not conj.includes:
+                    continue  # bare-NOT conjunct matches nothing
+                have = [u.uid for u in conj.includes if u.uid in pos]
+                if len(have) < len(conj.includes):
                     continue  # a unit matches nothing → conjunct unsatisfiable
                 c = None
                 for uid in have:
                     cond = F.col(f"_c{pos[uid]}").isNotNull()
                     c = cond if c is None else (c & cond)
+                for u in conj.excludes:
+                    if u.uid in pos:  # absent exclude unit is vacuous
+                        c = c & F.col(f"_c{pos[u.uid]}").isNull()
                 match = c if match is None else (match | c)
             if match is None:
                 return self.spark.createDataFrame(

@@ -25,10 +25,23 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 
+from sparkgrep.functions.querylang import parse_query
 from sparkgrep.functions.tokenizer import tokenize_py
-from sparkgrep.functions.varint import blocked_gap_decode, varint_decode
+from sparkgrep.functions.varint import (
+    blocked_gap_decode,
+    delta_decode_segments,
+    varint_decode,
+)
 from sparkgrep.operators.query import InvertedIndex
 from sparkgrep.operators.score import idf as idf_fn
+
+_EMPTY = pd.DataFrame(
+    {
+        "rank": pd.Series(dtype="int32"),
+        "doc_id": pd.Series(dtype="int64"),
+        "score": pd.Series(dtype="float64"),
+    }
+)
 
 
 class LocalServer:
@@ -40,6 +53,9 @@ class LocalServer:
         # term -> list of decoded shards [(df, doc_ids, tfs, dls)];
         # terms with no postings cache an empty list (negative cache)
         self._cache: dict[str, list[tuple[int, np.ndarray, np.ndarray, np.ndarray]]] = {}
+        # positional tier (phrase serving): term -> list of decoded
+        # shards [(df, doc_ids, tfs, dls, positions list-of-arrays)]
+        self._pcache: dict[str, list[tuple]] = {}
 
     def _fetch(self, terms: list[str]) -> None:
         missing = [t for t in terms if t not in self._cache]
@@ -64,10 +80,51 @@ class LocalServer:
                 )
             )
 
+    def _fetch_pos(self, terms: list[str]) -> None:
+        """Fetch postings WITH positions (phrase scoring tier)."""
+        missing = [t for t in terms if t not in self._pcache]
+        if not missing:
+            return
+        if not self.meta.has_positions:
+            raise ValueError(
+                "phrase queries need an index built with store_positions=True"
+            )
+        rows = (
+            self.index._matched(missing)
+            .select("term", "df", "n", "doc_ids", "tfs", "dls", "poss")
+            .collect()
+        )
+        for t in missing:
+            self._pcache[t] = []
+        for r in rows:
+            tfs = varint_decode(r["tfs"]).astype(np.int64)
+            flat = delta_decode_segments(r["poss"], tfs)
+            positions = np.split(flat, np.cumsum(tfs)[:-1])
+            self._pcache[r["term"]].append(
+                (
+                    int(r["df"]),
+                    blocked_gap_decode(
+                        r["doc_ids"], int(r["n"]), self.meta.block_size
+                    ).astype(np.int64),
+                    tfs,
+                    varint_decode(r["dls"]).astype(np.int64),
+                    positions,
+                )
+            )
+
     def warm(self, queries: list[str]) -> "LocalServer":
-        """Prefetch postings for a query workload in one Spark job."""
-        terms = sorted({t for q in queries for t in tokenize_py(q, self.meta.analyzer)})
-        self._fetch(terms)
+        """Prefetch postings for a query workload (one Spark job per
+        tier): bag-of-words terms and, for queries using the boolean/
+        phrase language, positional postings for phrase terms."""
+        terms: set[str] = set()
+        pterms: set[str] = set()
+        for q in queries:
+            pq = parse_query(q, self.meta.analyzer)
+            for u in pq.units():
+                (pterms if u.is_phrase else terms).update(u.terms)
+        self._fetch(sorted(terms))
+        if pterms:
+            self._fetch_pos(sorted(pterms))
         return self
 
     def search(self, query_text: str, k: int = 10) -> pd.DataFrame:
@@ -75,9 +132,7 @@ class LocalServer:
         resident; bitwise-equal to ``InvertedIndex.search``."""
         meta = self.meta
         terms = sorted(set(tokenize_py(query_text, meta.analyzer)))
-        empty = pd.DataFrame({"rank": pd.Series(dtype="int32"),
-                              "doc_id": pd.Series(dtype="int64"),
-                              "score": pd.Series(dtype="float64")})
+        empty = _EMPTY.copy()
         if not terms:
             return empty
         self._fetch(terms)
@@ -117,3 +172,129 @@ class LocalServer:
             }
         )
         return out
+
+    # -- boolean / phrase query language ------------------------------------
+
+    def _unit_postings(self, unit) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(doc_ids, tf, dl) for one query unit from the resident caches —
+        term units straight off the postings, phrase units via
+        slot-shifted position intersection (the numpy mirror of
+        ``InvertedIndex._phrase_tf``)."""
+        if not unit.is_phrase:
+            shards = self._cache.get(unit.terms[0], [])
+            if not shards:
+                return (np.empty(0, np.int64),) * 3
+            return (
+                np.concatenate([s[1] for s in shards]),
+                np.concatenate([s[2] for s in shards]),
+                np.concatenate([s[3] for s in shards]),
+            )
+        # per-term doc → (positions, dl) maps for the phrase's terms
+        maps = []
+        for t in unit.terms:
+            shards = self._pcache.get(t, [])
+            m: dict[int, tuple[np.ndarray, int]] = {}
+            for _, ids, _tfs, dls, positions in shards:
+                for j, d in enumerate(ids):
+                    m[int(d)] = (positions[j], int(dls[j]))
+            maps.append(m)
+        common = set(maps[0])
+        for m in maps[1:]:
+            common &= set(m)
+        out_ids, out_tf, out_dl = [], [], []
+        for d in sorted(common):
+            starts = maps[0][d][0]
+            for i in range(1, len(unit.terms)):
+                starts = np.intersect1d(starts, maps[i][d][0] - i)
+                if starts.size == 0:
+                    break
+            if starts.size:
+                out_ids.append(d)
+                out_tf.append(starts.size)
+                out_dl.append(maps[0][d][1])
+        return (
+            np.asarray(out_ids, np.int64),
+            np.asarray(out_tf, np.int64),
+            np.asarray(out_dl, np.int64),
+        )
+
+    def search_expr(self, query_text: str, k: int = 10, strict: bool = False) -> pd.DataFrame:
+        """Full query language (implicit/explicit AND, OR, NOT, quoted
+        phrases) on the serving tier — rank- and score-identical to
+        ``InvertedIndex.search_expr`` (same unit tf/df, same driver-side
+        idf, same uid-sorted left-associated fold via ``seq_fold``, same
+        tie-break), at in-process latency."""
+        from sparkgrep.operators.wand import seq_fold
+
+        meta = self.meta
+        pq = parse_query(query_text, meta.analyzer)
+        if not pq.disjuncts:
+            if strict:
+                raise ValueError("empty query (FTS5 parity: empty MATCH is an error)")
+            return _EMPTY.copy()
+        units = pq.units()
+        self._fetch(sorted({u.terms[0] for u in units if not u.is_phrase}))
+        pterms = sorted({t for u in units if u.is_phrase for t in u.terms})
+        if pterms:
+            self._fetch_pos(pterms)
+
+        # per-unit postings; unit df = matched-doc count (== stored df
+        # for terms); drop no-match units like the distributed path
+        per_unit = {}
+        for u in units:
+            ids, tfs, dls = self._unit_postings(u)
+            if ids.size:
+                per_unit[u.uid] = (ids, tfs, dls)
+        if not per_unit:
+            return _EMPTY.copy()
+        order = sorted(per_unit)
+        pos = {uid: i for i, uid in enumerate(order)}
+
+        # contributions per (unit, doc) — identical float-op order to
+        # bm25_contrib_col; idf driver-side like _search_parsed
+        k1, b, avgdl, n_docs = meta.k1, meta.b, meta.avgdl, meta.n_docs
+        ids_parts, tix_parts, contrib_parts = [], [], []
+        for uid in order:
+            ids, tfs, dls = per_unit[uid]
+            idf = float(idf_fn(n_docs, int(ids.size), meta.idf_variant))
+            tf = tfs.astype(np.float64)
+            dl = dls.astype(np.float64)
+            contrib = idf * (tf * (k1 + 1.0)) / (
+                tf + (k1 * ((1.0 - b) + ((b * dl) / avgdl)))
+            )
+            ids_parts.append(ids)
+            tix_parts.append(np.full(ids.size, pos[uid], dtype=np.int32))
+            contrib_parts.append(contrib)
+        docs, scores = seq_fold(
+            np.concatenate(ids_parts),
+            np.concatenate(tix_parts),
+            np.concatenate(contrib_parts),
+            len(order),
+        )
+
+        # boolean match: any conjunct with all includes present and no
+        # excludes present (absent units: include → unsatisfiable,
+        # exclude → vacuous)
+        match = np.zeros(docs.size, dtype=bool)
+        for conj in pq.disjuncts:
+            if not conj.includes:
+                continue  # bare-NOT conjunct matches nothing
+            have = [u.uid for u in conj.includes if u.uid in per_unit]
+            if len(have) < len(conj.includes):
+                continue
+            c = np.ones(docs.size, dtype=bool)
+            for uid in have:
+                c &= np.isin(docs, per_unit[uid][0])
+            for u in conj.excludes:
+                if u.uid in per_unit:
+                    c &= ~np.isin(docs, per_unit[u.uid][0])
+            match |= c
+        docs, scores = docs[match], scores[match]
+        sel = np.lexsort((docs, -scores))[:k]
+        return pd.DataFrame(
+            {
+                "rank": np.arange(1, len(sel) + 1, dtype=np.int32),
+                "doc_id": docs[sel],
+                "score": scores[sel],
+            }
+        )

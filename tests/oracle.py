@@ -110,7 +110,11 @@ def bm25_expr_oracle(
     rows = []
     for d in toks:
         matched = any(
-            all(u.uid in dfs and d in utf[u.uid] for u in conj)
+            conj.includes
+            and all(u.uid in dfs and d in utf[u.uid] for u in conj.includes)
+            and not any(
+                u.uid in dfs and d in utf[u.uid] for u in conj.excludes
+            )
             for conj in pq.disjuncts
         )
         if not matched:

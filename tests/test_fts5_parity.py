@@ -293,6 +293,31 @@ def test_phrase_rank_identical_to_reference_fts5(fts5_body, body_index, phrase):
         assert abs(-fts_score - eng_score) <= 1e-9, (phrase, fts_score, eng_score)
 
 
+NOT_QUERIES = [
+    'unsubscribe NOT "thank you"',
+    '"let me know" NOT meeting',
+    "you NOT thank",
+    "thank NOT you NOT know",   # chained NOT
+]
+
+
+@pytest.mark.parametrize("query", NOT_QUERIES)
+def test_not_rank_identical_to_reference_fts5(fts5_body, body_index, query):
+    """FTS5 binary NOT: matched set and bm25 ranking must both agree with
+    real SQLite FTS5 (the excluded operand contributes nothing to
+    surviving docs, so scores equal the include-unit sums)."""
+    k = 20
+    ref = fts5_body.execute(
+        "SELECT rowid, bm25(bodies) FROM bodies WHERE bodies MATCH ? "
+        "ORDER BY bm25(bodies) ASC, rowid ASC LIMIT ?",
+        (query, k),
+    ).fetchall()
+    got = body_index.search_expr(query, k=k).toPandas()
+    assert got["doc_id"].tolist() == [r[0] for r in ref], query
+    for (_, fts_score), eng_score in zip(ref, got["score"]):
+        assert abs(-fts_score - eng_score) <= 1e-9, (query, fts_score, eng_score)
+
+
 def test_phrase_parity_covers_nonempty_results(fts5_body):
     hits = sum(
         len(fts5_body.execute(

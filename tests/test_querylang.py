@@ -10,7 +10,7 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from sparkgrep.functions.querylang import Unit, parse_query
+from sparkgrep.functions.querylang import Conjunct, Unit, parse_query
 from sparkgrep.functions.varint import delta_decode_segments, delta_encode_segments
 from sparkgrep.operators.index_build import build_index
 from sparkgrep.operators.query import InvertedIndex
@@ -24,27 +24,50 @@ from tests.oracle import bm25_expr_oracle, bm25_oracle
 
 def test_parse_implicit_and():
     pq = parse_query("foo bar")
-    assert pq.disjuncts == ((Unit(("foo",)), Unit(("bar",))),)
+    assert pq.disjuncts == (Conjunct((Unit(("foo",)), Unit(("bar",)))),)
 
 
 def test_parse_explicit_and_or():
     pq = parse_query("foo AND bar OR baz")
     assert pq.disjuncts == (
-        (Unit(("foo",)), Unit(("bar",))),
-        (Unit(("baz",)),),
+        Conjunct((Unit(("foo",)), Unit(("bar",)))),
+        Conjunct((Unit(("baz",)),)),
     )
 
 
 def test_parse_phrase():
     pq = parse_query('"big data" spark')
-    assert pq.disjuncts == ((Unit(("big", "data")), Unit(("spark",))),)
+    assert pq.disjuncts == (Conjunct((Unit(("big", "data")), Unit(("spark",)))),)
     assert pq.has_phrase()
 
 
 def test_parse_single_word_phrase_degrades_to_term():
     pq = parse_query('"spark"')
-    assert pq.disjuncts == ((Unit(("spark",)),),)
+    assert pq.disjuncts == (Conjunct((Unit(("spark",)),)),)
     assert not pq.has_phrase()
+
+
+def test_parse_not():
+    pq = parse_query("foo NOT bar")
+    assert pq.disjuncts == (Conjunct((Unit(("foo",)),), (Unit(("bar",)),)),)
+    # NOT binds the next unit only (FTS5 highest precedence)
+    pq = parse_query("foo NOT bar baz")
+    assert pq.disjuncts == (
+        Conjunct((Unit(("foo",)), Unit(("baz",))), (Unit(("bar",)),)),
+    )
+    # chained NOTs, and NOT of a phrase
+    pq = parse_query('foo NOT bar NOT "big data"')
+    assert pq.disjuncts == (
+        Conjunct((Unit(("foo",)),), (Unit(("bar",)), Unit(("big", "data")))),
+    )
+    # per-disjunct scope
+    pq = parse_query("foo NOT bar OR baz")
+    assert pq.disjuncts == (
+        Conjunct((Unit(("foo",)),), (Unit(("bar",)),)),
+        Conjunct((Unit(("baz",)),)),
+    )
+    # exclude units participate in units() (their match sets are needed)
+    assert [u.uid for u in parse_query("foo NOT bar").units()] == ["t:bar", "t:foo"]
 
 
 def test_parse_empty_and_garbage():
@@ -102,6 +125,9 @@ EXPR_QUERIES = [
     '"hash join"',               # phrase
     '"hash join" OR window',     # phrase OR term
     '"the window" scan',         # phrase AND term
+    "hash NOT window",           # NOT term
+    'hash NOT "the window"',     # NOT phrase
+    "hash NOT window OR scan NOT table",  # NOT per disjunct
 ]
 
 
@@ -174,13 +200,59 @@ from hypothesis import strategies as st
 def test_parse_query_never_crashes(s):
     pq = parse_query(s)
     for conj in pq.disjuncts:
-        assert conj  # no empty conjuncts
-        for u in conj:
+        assert conj.includes or conj.excludes  # no empty conjuncts
+        for u in conj.includes + conj.excludes:
             assert u.terms  # no empty units
 
 
+def test_serve_expr_matches_distributed(pos_index):
+    """LocalServer.search_expr must be rank- AND score-identical (bitwise)
+    to the distributed search_expr for the full query language."""
+    from sparkgrep.operators.serve import LocalServer
+
+    srv = LocalServer(pos_index).warm(EXPR_QUERIES)
+    for q in EXPR_QUERIES + ["zqzqzq", "NOT hash", '"zq zq" OR hash']:
+        got = srv.search_expr(q, k=10)
+        want = pos_index.search_expr(q, k=10).toPandas()
+        assert got["doc_id"].tolist() == want["doc_id"].tolist(), q
+        assert (got["score"].to_numpy() == want["score"].to_numpy()).all(), q
+
+
+def test_serve_expr_strict_and_latency(pos_index):
+    import time
+
+    from sparkgrep.operators.serve import LocalServer
+
+    srv = LocalServer(pos_index).warm(EXPR_QUERIES)
+    with pytest.raises(ValueError, match="empty"):
+        srv.search_expr("", k=5, strict=True)
+    srv.search_expr(EXPR_QUERIES[0], k=10)
+    t0 = time.time()
+    for q in EXPR_QUERIES:
+        srv.search_expr(q, k=10)
+    per_q = (time.time() - t0) / len(EXPR_QUERIES)
+    assert per_q < 0.25, f"warm expr serve took {per_q:.3f}s/query"
+
+
+def test_bare_not_matches_nothing(pos_index):
+    # FTS5 errors on leading NOT; the relational reading is "no includes
+    # → unsatisfiable conjunct"
+    assert pos_index.search_expr("NOT hash", k=10).count() == 0
+
+
+def test_not_excludes_docs(pos_index, docs_pdf):
+    res = pos_index.search_expr("hash NOT window", k=1000).toPandas()
+    assert len(res) > 0
+    toks = {
+        int(r.doc_id): set(str(r.content).lower().split())
+        for r in docs_pdf.itertuples()
+    }
+    for d in res["doc_id"]:
+        assert "hash" in toks[int(d)] and "window" not in toks[int(d)]
+
+
 @settings(max_examples=100, deadline=None)
-@given(st.lists(st.sampled_from(["foo", "bar", '"a b"', "OR", "AND", "!!"]),
+@given(st.lists(st.sampled_from(["foo", "bar", '"a b"', "OR", "AND", "NOT", "!!"]),
                 max_size=8))
 def test_parse_query_grammar_tokens(parts):
     pq = parse_query(" ".join(parts))
