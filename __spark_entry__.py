@@ -175,6 +175,177 @@ LIMIT {k}
 """
 
 
+# ---------------------------------------------------------------------------
+# XXH64 in pure DuckDB SQL — the segment_metrics oracle needs Spark's
+# xxhash64 (seed 42) for (a) the segment assignment pmod(xxhash64(doc_id),
+# n_segments) and (b) the order-independent lineage hash
+# pmod(xxhash64(sha256(sha256(text))), 2^61). All arithmetic runs on
+# HUGEINT values kept in [0, 2^64); 64×64-bit products are split into
+# 32-bit halves so nothing exceeds the signed-128-bit range. Each hash
+# step becomes ONE nested projection level — DuckDB's binder textually
+# inlines lateral column aliases, which explodes exponentially for
+# chained references; nested SELECTs keep every step evaluated once.
+# Bit-parity with Spark is transitively pinned by tests/test_xxhash.py
+# (python ↔ JVM) plus the contract hash check (SQL ↔ engine output).
+
+_XP1 = 0x9E3779B185EBCA87
+_XP2 = 0xC2B2AE3D27D4EB4F
+_XP3 = 0x165667B19E3779F9
+_XP4 = 0x85EBCA77C2B2AE63
+_XP5 = 0x27D4EB2F165667C5
+_M64 = 1 << 64
+_XSEED = 42  # Spark's fixed seed
+
+
+def _sql_mul64(a: str, b: int) -> str:
+    bh, bl = b >> 32, b & 0xFFFFFFFF
+    return (
+        f"((((({a}) % 4294967296) * {bh} + (({a}) // 4294967296) * {bl})"
+        f" % 4294967296) * 4294967296 + (({a}) % 4294967296) * {bl})"
+        f" % 18446744073709551616"
+    )
+
+
+def _sql_rotl(a: str, r: int) -> str:
+    lo = 1 << (64 - r)
+    return f"((({a}) % {lo}) * {1 << r} + ({a}) // {lo})"
+
+
+def _sql_xor(a: str, b: str) -> str:
+    return f"xor(CAST({a} AS HUGEINT), CAST({b} AS HUGEINT))"
+
+
+def _sql_shr(a: str, r: int) -> str:
+    return f"(({a}) // {1 << r})"
+
+
+def _sql_add64(a: str, b: str) -> str:
+    return f"(({a}) + ({b})) % 18446744073709551616"
+
+
+def _sql_round(acc: str, w: str) -> str:
+    # XXH64 round: rotl(acc + w*P2, 31) * P1  (mod 2^64)
+    return _sql_mul64(_sql_rotl(_sql_add64(acc, _sql_mul64(w, _XP2)), 31), _XP1)
+
+
+def _sql_fmix(h: str, pfx: str) -> list[tuple[str, str]]:
+    return [
+        (f"{pfx}g0", _sql_xor(h, _sql_shr(h, 33))),
+        (f"{pfx}g1", _sql_mul64(f"{pfx}g0", _XP2)),
+        (f"{pfx}g2", _sql_xor(f"{pfx}g1", _sql_shr(f"{pfx}g1", 29))),
+        (f"{pfx}g3", _sql_mul64(f"{pfx}g2", _XP3)),
+        (f"{pfx}out", _sql_xor(f"{pfx}g3", _sql_shr(f"{pfx}g3", 32))),
+    ]
+
+
+def _xxh64_long_steps(inp: str, pfx: str) -> list[tuple[str, str]]:
+    """Chain for XXH64 of an 8-byte little-endian long ≥ 0 (Spark's
+    F.xxhash64 on LongType): len-8 path — one 8-byte round + fmix."""
+    h0 = (_XSEED + _XP5 + 8) % _M64
+    steps = [
+        (f"{pfx}k", _sql_round("0", inp)),
+        (f"{pfx}h0", _sql_xor(str(h0), f"{pfx}k")),
+        (f"{pfx}h1", _sql_rotl(f"{pfx}h0", 27)),
+        (f"{pfx}h2", _sql_add64(_sql_mul64(f"{pfx}h1", _XP1), str(_XP4))),
+    ]
+    return steps + _sql_fmix(f"{pfx}h2", pfx)
+
+
+def _xxh64_hex64_steps(col: str, pfx: str) -> list[tuple[str, str]]:
+    """Chain for XXH64 of a 64-char ASCII string column (a sha256 hex
+    digest = 64 bytes = two 32-byte stripes, no tail)."""
+
+    def word(j: int) -> str:
+        parts = [
+            f"ascii(substr({col}, {j * 8 + m + 1}, 1)) * {1 << (8 * m)}"
+            for m in range(8)
+        ]
+        return "CAST(" + " + ".join(parts) + " AS HUGEINT)"
+
+    v_init = {
+        1: (_XSEED + _XP1 + _XP2) % _M64,
+        2: (_XSEED + _XP2) % _M64,
+        3: _XSEED % _M64,
+        4: (_XSEED - _XP1) % _M64,
+    }
+    steps = [(f"{pfx}w{j}", word(j)) for j in range(8)]
+    for lane in range(1, 5):
+        steps.append((f"{pfx}v{lane}a", _sql_round(str(v_init[lane]), f"{pfx}w{lane - 1}")))
+        steps.append((f"{pfx}v{lane}b", _sql_round(f"{pfx}v{lane}a", f"{pfx}w{lane + 3}")))
+    steps.append(
+        (
+            f"{pfx}hh",
+            "(" + " + ".join(
+                _sql_rotl(f"{pfx}v{lane}b", r)
+                for lane, r in ((1, 1), (2, 7), (3, 12), (4, 18))
+            ) + ") % 18446744073709551616",
+        )
+    )
+    h = f"{pfx}hh"
+    for lane in range(1, 5):  # merge rounds
+        steps.append((f"{pfx}m{lane}x", _sql_xor(h, _sql_round("0", f"{pfx}v{lane}b"))))
+        steps.append((f"{pfx}m{lane}", _sql_add64(_sql_mul64(f"{pfx}m{lane}x", _XP1), str(_XP4))))
+        h = f"{pfx}m{lane}"
+    steps.append((f"{pfx}hl", _sql_add64(h, "64")))  # + input length
+    return steps + _sql_fmix(f"{pfx}hl", pfx)
+
+
+def _nest_steps(base_sql: str, keep: list[str], steps: list[tuple[str, str]]) -> str:
+    """One projection level per step (see module comment above)."""
+    sql = base_sql
+    done: list[str] = []
+    for alias, expr in steps:
+        cols = ", ".join(keep + done)
+        sql = f"SELECT {cols}, {expr} AS {alias} FROM ({sql})"
+        done.append(alias)
+    return sql
+
+
+def _segment_metrics_sql(n_segments: int) -> str:
+    """Oracle for the checkpointed build's lineage manifest: per segment
+    (pmod(xxhash64(doc_id), n_segments)) the doc/token/posting counts and
+    the order-independent content hash
+    hex(Σ pmod(xxhash64(sha256(sha256(text))), 2^61)) — engine source:
+    plans/manifest.py (wall_time_sec is non-deterministic and excluded)."""
+    assert n_segments & (n_segments - 1) == 0, "pmod == % needs a power of 2"
+    seg_sql = _nest_steps(
+        "SELECT doc_id, CAST(doc_id AS HUGEINT) AS did, sha256(sha256(text)) AS hstr FROM documents",
+        ["doc_id", "did", "hstr"],
+        _xxh64_long_steps("did", "s"),
+    )
+    both_sql = _nest_steps(
+        f"SELECT doc_id, sout % {n_segments} AS seg, hstr FROM ({seg_sql})",
+        ["doc_id", "seg", "hstr"],
+        _xxh64_hex64_steps("hstr", "c"),
+    )
+    return f"""
+WITH {_TOK_CTES},
+segmap AS (
+  SELECT doc_id, seg, cout % 2305843009213693952 AS ph
+  FROM ({both_sql})
+),
+postc AS (
+  SELECT s.seg, count(*) AS n_postings
+  FROM tf JOIN segmap s USING (doc_id) GROUP BY s.seg
+),
+agg AS (
+  SELECT s.seg,
+         count(*) AS n_docs,
+         CAST(sum(dl.dl) AS BIGINT) AS n_tokens,
+         CAST(sum(s.ph) AS HUGEINT) AS hsum
+  FROM segmap s JOIN dl USING (doc_id) GROUP BY s.seg
+)
+SELECT CAST(segs.seg AS VARCHAR) AS segment_id,
+       CAST(coalesce(agg.n_docs, 0) AS BIGINT) AS n_docs,
+       CAST(coalesce(agg.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(postc.n_postings, 0) AS BIGINT) AS n_postings,
+       lower(to_hex(coalesce(agg.hsum, 0))) AS content_hash
+FROM (SELECT CAST(unnest(range({n_segments})) AS HUGEINT) AS seg) segs
+LEFT JOIN agg ON agg.seg = segs.seg
+LEFT JOIN postc ON postc.seg = segs.seg
+"""
+
+
 def _tokenize(text: str) -> list[str]:
     from sparkgrep.functions.tokenizer import tokenize_py
 
@@ -674,14 +845,16 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_segment_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A7 (rows-only check — non-SQL operator): per-segment lineage of a
-    checkpointed resumable build."""
+    """A7: per-segment lineage of a checkpointed resumable build — fully
+    oracle-checked (incl. the xxhash64-based content hash; the oracle
+    implements XXH64 in pure SQL). wall_time_sec is the one
+    non-deterministic column and is excluded."""
     from sparkgrep.plans.manifest import build_index_checkpointed, segment_metrics
 
     out = tempfile.mkdtemp(prefix="sparkgrep_seg_") + "/idx"
     build_index_checkpointed(_corpus(spark, sf_dir), out, n_segments=4, n_buckets=8)
     return segment_metrics(spark, out).select(
-        "segment_id", "n_docs", "n_tokens", "n_postings"
+        "segment_id", "n_docs", "n_tokens", "n_postings", "content_hash"
     )
 
 
@@ -1127,8 +1300,7 @@ SELECT doc_id,
 FROM documents
 """,
         "bm25_pruned": _bm25_sql(flagship_terms, 10, idf_variant="lucene"),
-        # segment_metrics: intentionally no oracle (non-SQL checkpoint/
-        # lineage operator) → driver records the rows-only check
+        "segment_metrics": _segment_metrics_sql(4),
     }
     # the ANN index must reproduce brute-force top-10 exactly at this
     # scale (recall@10 = 1.0) — same oracle as the exact scan

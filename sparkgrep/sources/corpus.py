@@ -9,11 +9,12 @@ engine's primary input is the Iceberg-shaped source-code table
 
 Ingest derives:
 
-- ``doc_id``   — deterministic, dense, total-ordered. NEVER
+- ``doc_id``   — deterministic and dense. NEVER
   ``monotonically_increasing_id`` (partitioning-dependent → breaks
   rank-identity and the two-parallelism determinism gate). Either the
-  fixture's preassigned id, or ``row_number() over (order by repo, path,
-  commit)`` — one global sort, paid once at ingest.
+  fixture's preassigned id, or :func:`assign_doc_ids` — a hash-bucketed
+  partition-offset scheme (parallel windows + driver offsets), never a
+  global single-partition window.
 - ``content_sha256`` — the per-row invariant asserted before indexing
   (input_hint; reference's closest analogue is PK identity,
   ``message_manager.py:89``).
@@ -47,14 +48,58 @@ def documents_as_corpus(docs: DataFrame) -> DataFrame:
     )
 
 
+def assign_doc_ids(corpus: DataFrame, n_buckets: int = 256) -> DataFrame:
+    """Deterministic dense doc_id in [0, N) with NO global window.
+
+    ``row_number() over (order by key)`` is a single-partition window —
+    every row through one task, a scale-killer on a real corpus. Instead:
+
+    1. bucket = ``pmod(xxhash64(repo, path, commit), n_buckets)`` — a
+       pure hash of the key, so the assignment is identical under ANY
+       input partitioning or parallelism;
+    2. one tiny aggregate collects per-bucket counts; cumulative offsets
+       are computed driver-side (n_buckets integers);
+    3. rank within bucket via a window PARTITIONED by bucket (parallel,
+       no single-partition exchange), ordered by the key;
+       ``doc_id = offset[bucket] + rank - 1``.
+
+    ids are dense and deterministic for a given key set; their order
+    follows (bucket, key), not global key order — fine everywhere the
+    engine needs ids (identity, joins, rank tie-breaks). Duplicate
+    (repo, path, commit) keys get distinct ids with an unspecified
+    relative order within the key (as with any rank over equal keys)."""
+    b = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(n_buckets)).cast("int")
+    withb = corpus.withColumn("_b", b)
+    counts = {
+        r["_b"]: r["n"]
+        for r in withb.groupBy("_b").agg(F.count("*").alias("n")).collect()
+    }
+    if not counts:  # empty corpus: map() would be VOID-typed
+        return corpus.withColumn("doc_id", F.lit(0).cast("long"))
+    offsets, acc = {}, 0
+    for bk in sorted(counts):
+        offsets[bk] = acc
+        acc += counts[bk]
+    omap = F.create_map(
+        *[F.lit(x) for bk_off in sorted(offsets.items()) for x in bk_off]
+    )
+    w = Window.partitionBy("_b").orderBy("repo", "path", "commit")
+    return (
+        withb.withColumn(
+            "doc_id",
+            (omap[F.col("_b")] + F.row_number().over(w) - 1).cast("long"),
+        )
+        .drop("_b")
+    )
+
+
 def with_ingest_columns(corpus: DataFrame) -> DataFrame:
     """Derive doc_id (if absent) and content_sha256.
 
     sha256 is `F.sha2` — JVM-side, no UDF (SURVEY F11)."""
     out = corpus
     if "doc_id" not in out.columns:
-        w = Window.orderBy("repo", "path", "commit")
-        out = out.withColumn("doc_id", F.row_number().over(w).cast("long") - 1)
+        out = assign_doc_ids(out)
     return out.withColumn("content_sha256", F.sha2(F.col("content"), 256))
 
 

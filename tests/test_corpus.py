@@ -39,9 +39,39 @@ def test_doc_id_derivation_when_absent(spark):
         "repo string, path string, commit string, lang string, content string",
     )
     out = with_ingest_columns(df).orderBy("doc_id").collect()
-    # total order over (repo, path, commit): a.py before b.py
-    assert [r["path"] for r in out] == ["a.py", "b.py"]
-    assert [r["doc_id"] for r in out] == [0, 1]
+    # dense ids over the key set (order follows (bucket, key))
+    assert sorted(r["doc_id"] for r in out) == [0, 1]
+    assert len({r["path"] for r in out}) == 2
+
+
+def test_doc_id_assignment_partitioning_invariant(spark):
+    """assign_doc_ids must give each key the SAME id under any input
+    partitioning/parallelism (the two-cluster-size determinism gate) and
+    must not use a single-partition global window."""
+    rows = [
+        (f"org{i % 5}/proj", f"src/f_{i}.py", f"c{i}", "py", f"body {i}")
+        for i in range(200)
+    ]
+    schema = "repo string, path string, commit string, lang string, content string"
+    base = spark.createDataFrame(rows, schema)
+    a = (
+        with_ingest_columns(base.repartition(2))
+        .select("path", "doc_id").toPandas().sort_values("path").reset_index(drop=True)
+    )
+    b = (
+        with_ingest_columns(base.repartition(32).sortWithinPartitions("commit"))
+        .select("path", "doc_id").toPandas().sort_values("path").reset_index(drop=True)
+    )
+    assert a.equals(b)
+    assert sorted(a["doc_id"]) == list(range(200))  # dense 0..N-1
+    # plan audit: the rank window is partitioned (parallel), never a
+    # single-partition exchange
+    from sparkgrep.sources.corpus import assign_doc_ids
+
+    plan = (
+        assign_doc_ids(base)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SinglePartition" not in plan
 
 
 def test_assert_content_hashes_gate(spark):
