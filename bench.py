@@ -11,9 +11,16 @@ Phases (on $SPARK_GRAFT_SF_DIR, default /root/testdata/sf0.1):
                      (deterministic doc_id offsets; no external data)
 - bm25_p95         — p95 single-query latency over QUERY_SET against the
                      built index (serving path)
-- bm25_batch       — all queries in one batched scan
-- minhash_lsh      — LSH candidate-pair job
-- simhash          — corpus simhash job
+- bm25_batch       — all queries in one batched scan (min of 3 reps)
+- code_index_build — code-analyzer build over the 24k-term synthetic
+                     code corpus (hot keywords + identifier long tail)
+- bm25_code_p50 / bm25_pruned_p50 — exact vs MaxScore-pruned serving on
+                     the SAME code index and query mix (half all-hot →
+                     planner falls back to exact; half selective →
+                     2-job pruned path); *_sel_p50 isolate the
+                     selective half. min of 3 interleaved reps
+- minhash_lsh      — LSH candidate-pair job (min of 3 reps)
+- simhash          — corpus simhash job (min of 3 reps)
 
 Scaling evidence (north rule's N vs 4N clusters, sandbox substitution
 per driver instruction): the SAME warmed index-build job runs in fresh
@@ -132,6 +139,44 @@ def _stat() -> tuple[int, int]:
     return busy, (v[7] if len(v) > 7 else 0)  # (busy, steal) jiffies
 
 
+def _tree_cpu(root_pid: int) -> float:
+    """utime+stime+cutime+cstime (sec) summed over root + descendants —
+    the ENGINE's own CPU (JVM + python workers), immune to other
+    processes in the VM, unlike the system-wide /proc/stat busy count."""
+    children: dict[int, list[int]] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            ppid = int(open(f"/proc/{d}/stat").read().rsplit(")", 1)[1].split()[1])
+            children.setdefault(ppid, []).append(int(d))
+        except OSError:
+            continue
+    pids, todo = set(), [root_pid]
+    while todo:
+        p = todo.pop()
+        if p in pids:
+            continue
+        pids.add(p)
+        todo.extend(children.get(p, []))
+    total = 0.0
+    for p in pids:
+        try:
+            f = open(f"/proc/{p}/stat").read().rsplit(")", 1)[1].split()
+            total += (int(f[11]) + int(f[12]) + int(f[13]) + int(f[14])) / 100
+        except OSError:
+            continue
+    return total
+
+
+def _jvm_beans(spark) -> tuple[float, float]:
+    """(gc_sec, jit_sec) cumulative from the JVM management beans."""
+    mf = spark._jvm.java.lang.management.ManagementFactory
+    gc_ms = sum(b.getCollectionTime() for b in mf.getGarbageCollectorMXBeans())
+    jit = mf.getCompilationMXBean()
+    return gc_ms / 1000, (jit.getTotalCompilationTime() / 1000 if jit else 0.0)
+
+
 def scale_build_subprocess() -> None:
     """--scale-build mode: one warmed, timed index build at local[N].
     Run in a FRESH subprocess whose CPU affinity the parent pinned to N
@@ -153,24 +198,40 @@ def scale_build_subprocess() -> None:
               merge_partitions=64)
     s = get_spark(f"sparkgrep-scale-{cpus}", master=f"local[{cpus}]",
                   shuffle_partitions=32)
-    # untimed JIT/codegen warmup in the same JVM
-    build_index(s.read.parquet(wpath),
-                tempfile.mkdtemp(prefix="sparkgrep_warm_", dir=scratch) + "/idx",
-                **kw)
+    # untimed JIT/codegen warmup in the same JVM — TWO builds: round-3
+    # probing showed a single small warmup leaves the C2 compiler burning
+    # 15-20 CPU-s inside the timed region (compiler threads run in
+    # parallel, flattering wide levels and inflating cpu_work at narrow
+    # ones). jit_sec below records what still leaks.
+    for i in range(2):
+        build_index(s.read.parquet(wpath),
+                    tempfile.mkdtemp(prefix="sparkgrep_warm_", dir=scratch) + "/idx",
+                    **kw)
     corpus = s.read.parquet(cpath)
     n_docs = corpus.count()
+    me = os.getpid()
+    gc0, jit0 = _jvm_beans(s)
+    tree0 = _tree_cpu(me)
     load0, (b0, st0), t0 = _load1(), _stat(), _t.time()
     build_index(corpus,
                 tempfile.mkdtemp(prefix=f"sparkgrep_scale_{cpus}_", dir=scratch) + "/idx",
                 **kw)
     wall = _t.time() - t0
     b1, st1 = _stat()
+    tree1 = _tree_cpu(me)
+    gc1, jit1 = _jvm_beans(s)
     s.stop()
     print("RESULT " + json.dumps({
         "cpus": cpus,
         "n_docs": n_docs,
         "sec": round(wall, 3),
         "docs_per_sec": round(n_docs / wall, 1),
+        # engine-work audit: process-tree CPU (JVM + python workers);
+        # cpu_sec kept for continuity = system-wide busy (includes other
+        # VM processes and co-tenant-inflated kernel time)
+        "tree_cpu_sec": round(tree1 - tree0, 1),
+        "gc_sec": round(gc1 - gc0, 2),
+        "jit_sec": round(jit1 - jit0, 2),
         "cpu_sec": round((b1 - b0) / 100, 1),
         "steal_sec": round((st1 - st0) / 100, 1),
         "loadavg_before": load0,
@@ -240,20 +301,26 @@ def main() -> None:
         slat.append(time.time() - t0)
     timings["bm25_p50_serve_local"] = round(statistics.median(slat), 4)
 
-    # --- batched serving
-    t0 = time.time()
-    idx.search_batch([(f"q{i}", q, 10) for i, q in enumerate(QUERY_SET)]).collect()
-    timings["bm25_batch"] = round(time.time() - t0, 3)
-
+    # --- batched serving (3 pre-declared reps, min — one-shot numbers
+    # masqueraded as regressions in round 2 on this co-tenant box)
+    blat = []
+    for _ in range(3):
+        t0 = time.time()
+        idx.search_batch([(f"q{i}", q, 10) for i, q in enumerate(QUERY_SET)]).collect()
+        blat.append(time.time() - t0)
+    timings["bm25_batch"] = round(min(blat), 3)
 
     # --- code-analyzer build (north-star workload: identifier splitting,
     # lang stoplists, hot-token sharding) on the deterministic synthetic
-    # code corpus
+    # code corpus. synth_code_corpus (NOT the 32-term synth_corpus): a
+    # Zipf keyword head plus a ~24k-term identifier long tail, so the
+    # merge actually fans out and the index has both hot and selective
+    # terms — the workload shape pruned serving exists for.
     from sparkgrep.operators.index_build import build_index
-    from sparkgrep.sources.corpus import synth_corpus
+    from sparkgrep.sources.corpus import synth_code_corpus
 
     code_n = 20000
-    code_corpus = synth_corpus(spark, code_n, seed=3).repartition(CPUS * 2).cache()
+    code_corpus = synth_code_corpus(spark, code_n, seed=42).repartition(CPUS * 2).cache()
     code_corpus.count()  # materialize outside the timed window
     code_out = tempfile.mkdtemp(prefix="sparkgrep_code_") + "/idx"
     t0 = time.time()
@@ -270,25 +337,62 @@ def main() -> None:
     code_docs_per_sec = round(code_n / dt, 1)
     code_corpus.unpersist()
 
-    # --- MaxScore + block-skipping pruned serving (lucene-idf index)
+    # --- MaxScore + block-skipping pruned serving vs the exact path on
+    # the SAME index and queries (apples-to-apples). Half the queries are
+    # all-hot (the planner must fall back to exact in one job), half are
+    # selective rare-anchor + hot-context (the MaxScore case: pass 1 over
+    # the rare terms, block-skipped pass 2). 3 interleaved reps, min.
     from sparkgrep.operators.wand import search_pruned
 
+    code_hot = [
+        "parse join index merge1",
+        "def import return class",
+        "query scan batch spill",
+        "stream buffer1 cache2 plan1",
+    ]
+    code_sel = [
+        "spill0 join parse",
+        "token21 def import",
+        "index1 query scan",
+        "stream1 batch spill",
+    ]
+    code_queries = code_hot + code_sel
     idx_code = InvertedIndex(spark, code_out)
-    plat = []
-    for q in QUERY_SET:
-        t0 = time.time()
-        search_pruned(idx_code, q, k=10).collect()
-        plat.append(time.time() - t0)
-    timings["bm25_pruned_p50"] = round(statistics.median(plat), 3)
+    for q in code_queries:  # untimed warmup (JIT + term_ubs sidecar load)
+        idx_code.search(q, k=10).collect()
+    search_pruned(idx_code, code_queries[0], k=10).collect()
+    elat: dict[str, float] = {}
+    plat: dict[str, float] = {}
+    for _ in range(3):
+        for q in code_queries:
+            t0 = time.time()
+            idx_code.search(q, k=10).collect()
+            elat[q] = min(elat.get(q, 1e9), time.time() - t0)
+        for q in code_queries:
+            t0 = time.time()
+            search_pruned(idx_code, q, k=10).collect()
+            plat[q] = min(plat.get(q, 1e9), time.time() - t0)
+    timings["bm25_code_p50"] = round(statistics.median(elat.values()), 3)
+    timings["bm25_pruned_p50"] = round(statistics.median(plat.values()), 3)
+    timings["bm25_pruned_sel_p50"] = round(
+        statistics.median(plat[q] for q in code_sel), 3
+    )
+    timings["bm25_code_sel_p50"] = round(
+        statistics.median(elat[q] for q in code_sel), 3
+    )
 
-    # --- pipeline ops on raw sf documents
+    # --- pipeline ops on raw sf documents (3 interleaved reps, min)
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    t0 = time.time()
-    lsh_candidate_pairs(docs, n_hashes=16, bands=4).count()
-    timings["minhash_lsh"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    simhash32(docs).count()
-    timings["simhash"] = round(time.time() - t0, 3)
+    llat, shlat = [], []
+    for _ in range(3):
+        t0 = time.time()
+        lsh_candidate_pairs(docs, n_hashes=16, bands=4).count()
+        llat.append(time.time() - t0)
+        t0 = time.time()
+        simhash32(docs).count()
+        shlat.append(time.time() - t0)
+    timings["minhash_lsh"] = round(min(llat), 3)
+    timings["simhash"] = round(min(shlat), 3)
     spark.stop()
 
     # --- scaling evidence: the N-vs-4N criterion (north rule, sandbox
@@ -333,14 +437,32 @@ def main() -> None:
                 sys.executable, os.path.abspath(__file__), "--scale-build",
                 "--cpus", str(cpus), "--corpus", scale_in, "--warm", warm_in,
             ]
-            p = subprocess.run(
+
+            def _pre():
+                # own process group (killable as a unit if the rep wedges)
+                os.setsid()
+                os.sched_setaffinity(0, set(range(cpus)))
+
+            p = subprocess.Popen(
                 cmd,
-                capture_output=True,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.DEVNULL,
                 text=True,
-                preexec_fn=lambda: os.sched_setaffinity(0, set(range(cpus))),
+                preexec_fn=_pre,
                 env=os.environ.copy(),
             )
-            for line in p.stdout.splitlines():
+            try:
+                # generous ceiling ≈ 5× an expected 1-core rep: a crashed
+                # JVM can orphan pyspark.daemon workers that hold the
+                # stdout pipe open forever (observed once) — without a
+                # timeout the whole bench hangs on communicate()
+                out, _ = p.communicate(timeout=1800)
+            except subprocess.TimeoutExpired:
+                import signal
+
+                os.killpg(p.pid, signal.SIGKILL)
+                out, _ = p.communicate()
+            for line in (out or "").splitlines():
                 if line.startswith("RESULT "):
                     return json.loads(line[len("RESULT "):])
             return None
@@ -384,8 +506,14 @@ def main() -> None:
                 # burns vs N (1.0 = perfectly flat work). Wall-clock
                 # efficiency tracks hypervisor co-tenant windows (see
                 # steal_sec); this tracks the engine's own parallel
-                # decomposition.
+                # decomposition. Round 3: based on the process-TREE cpu
+                # of the pinned JVM + python workers (immune to other VM
+                # processes); the system-wide variant is kept for
+                # comparison with earlier rounds.
                 "efficiency_cpu_work": round(
+                    runs[n_lo]["tree_cpu_sec"] / max(runs[n_hi]["tree_cpu_sec"], 0.1), 3
+                ),
+                "efficiency_cpu_work_sysbusy": round(
                     runs[n_lo]["cpu_sec"] / max(runs[n_hi]["cpu_sec"], 0.1), 3
                 ),
             }

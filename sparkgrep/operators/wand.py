@@ -1,7 +1,8 @@
 """Pruned top-k serving: a MaxScore-style two-pass over the block-max
-metadata stored in the index (north star's block-max WAND serving path;
-doc-granularity pruning in v1, block-aligned skipping is future work —
-blocks are position-aligned per shard, not docID-aligned across terms).
+metadata stored in the index (north star's block-max WAND serving path),
+with TRUE block skipping in pass 2 — v2 postings are block-addressable
+(per-block offsets + block_min), so only candidate-touching blocks are
+ever decoded.
 
 Soundness requires non-negative per-term contributions (idf variants
 ``fts5``/``lucene``; raw ``okapi`` can go negative, where the algorithm
