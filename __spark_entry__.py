@@ -105,6 +105,7 @@ def _units_sql(
     k: int,
     match_having: str = "",
     exclude_terms: list[str] | None = None,
+    prefix_units: list[str] | None = None,
 ) -> str:
     """DuckDB oracle for the unit-scoring query language (querylang.py):
     each phrase/term is a BM25 atom with its own tf/df; a doc's score is
@@ -131,6 +132,12 @@ def _units_sql(
         tlist = ", ".join(f"'{t}'" for t in sorted(set(term_units)))
         ph_selects.append(
             f"SELECT 't:' || term AS uid, doc_id, tf FROM tf WHERE term IN ({tlist})"
+        )
+    for stem in sorted(set(prefix_units or [])):
+        # FTS5 prefix scoring: ONE atom, tf = Σ tf(term startswith stem)
+        ph_selects.append(
+            f"SELECT 'x:{stem}' AS uid, doc_id, CAST(sum(tf) AS BIGINT) AS tf "
+            f"FROM tf WHERE term LIKE '{stem}%' GROUP BY doc_id"
         )
     unit_union = "\n  UNION ALL\n  ".join(ph_selects)
     ph_block = (",\n".join(ph_ctes) + ",") if ph_ctes else ""
@@ -509,6 +516,7 @@ def q_bm25_phrase_and(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NOT_QUERY = "hash NOT window"
+PREFIX_QUERY = "wind* scan"
 
 
 def q_bm25_serve_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -533,6 +541,20 @@ def q_bm25_not(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="sparkgrep_not_") + "/idx"
     build_index(_corpus(spark, sf_dir), out, analyzer="simple", n_buckets=8)
     res = InvertedIndex(spark, out).search_expr(NOT_QUERY, k=10)
+    return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
+
+
+def q_bm25_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FTS5 prefix unit: ``wind*`` is one scoring atom whose per-doc tf
+    sums the tfs of every index term starting with the stem (pinned vs
+    SQLite FTS5 in tests/test_fts5_parity.py), implicit-ANDed with a
+    plain term."""
+    from sparkgrep.operators.index_build import build_index
+    from sparkgrep.operators.query import InvertedIndex
+
+    out = tempfile.mkdtemp(prefix="sparkgrep_px_") + "/idx"
+    build_index(_corpus(spark, sf_dir), out, analyzer="simple", n_buckets=8)
+    res = InvertedIndex(spark, out).search_expr(PREFIX_QUERY, k=10)
     return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
 
 
@@ -890,6 +912,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_phrase_and": q_bm25_phrase_and,
     "bm25_serve_expr": q_bm25_serve_expr,
     "bm25_not": q_bm25_not,
+    "bm25_prefix": q_bm25_prefix,
     "dedup_exact": q_dedup_exact,
     "minhash_lsh": q_minhash_lsh,
     "ngram_jaccard": q_ngram_jaccard,
@@ -998,6 +1021,10 @@ ORDER BY cf DESC, term ASC LIMIT 20
         "bm25_serve_expr": _units_sql([("hash", "join")], ["window"], 10),
         "bm25_not": _units_sql(
             [], ["hash"], 10, exclude_terms=["window"],
+        ),
+        "bm25_prefix": _units_sql(
+            [], ["scan"], 10, prefix_units=["wind"],
+            match_having="count(DISTINCT uid) = 2",
         ),
         "dedup_exact": """
 SELECT md5(text) AS content_md5, count(*) AS n_dups, min(doc_id) AS keeper

@@ -8,6 +8,8 @@ the reference's own tests, ``test_message_manager.py:417-435``):
 - ``foo OR bar``       — either term
 - ``foo NOT bar``      — docs matching foo but not bar (FTS5 binary NOT,
                          highest precedence: applies to the NEXT unit)
+- ``foo*``             — prefix match: one scoring atom covering every
+                         index term starting with the stem
 - ``"foo bar"``        — quoted phrase: adjacent tokens in order
 - combinations: ``"big data" OR spark``, ``spark NOT "big data"`` etc.
 
@@ -39,9 +41,15 @@ _PHRASE_RE = re.compile(r'"([^"]*)"')
 
 @dataclass(frozen=True)
 class Unit:
-    """One scoring atom: a single term, or an ordered phrase of terms."""
+    """One scoring atom: a single term, an ordered phrase of terms, or a
+    term PREFIX (``tok*``). A prefix unit scores like FTS5's: one atom
+    whose per-doc tf is the SUM of tfs of every index term starting with
+    the (analyzer-processed) stem, and whose df is the count of docs
+    containing at least one such term — pinned against SQLite FTS5 in
+    tests/test_fts5_parity.py."""
 
     terms: tuple[str, ...]  # analyzer-tokenized, order preserved
+    prefix: bool = False    # prefix units are always single-stem
 
     @property
     def is_phrase(self) -> bool:
@@ -50,6 +58,8 @@ class Unit:
     @property
     def uid(self) -> str:
         # deterministic sort key shared with the SQL oracle
+        if self.prefix:
+            return "x:" + self.terms[0]
         return ("p:" if self.is_phrase else "t:") + " ".join(self.terms)
 
 
@@ -141,6 +151,20 @@ def parse_query(text: str, analyzer: str = "simple") -> ParsedQuery:
             terms = tuple(tokenize_py(phrases[int(m.group(1))], analyzer))
             if terms:
                 _add([Unit(terms)])
+            continue
+        if raw.endswith("*"):
+            # FTS5 prefix token: the stem goes THROUGH the tokenizer
+            # (stemming included — verified against SQLite), then
+            # prefix-matches stored terms. A '*' inside quotes is
+            # stripped by the tokenizer (literal — also FTS5's
+            # behavior). Multi-token stems (code analyzer splitting)
+            # keep all but the last token as plain terms.
+            toks = tokenize_py(raw.rstrip("*"), analyzer)
+            if toks:
+                _add(
+                    [Unit((t,)) for t in toks[:-1]]
+                    + [Unit((toks[-1],), prefix=True)]
+                )
             continue
         _add([Unit((t,)) for t in tokenize_py(raw, analyzer)])
     _flush()

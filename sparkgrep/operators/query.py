@@ -210,6 +210,23 @@ class InvertedIndex:
             _decode_raw_gen(self.meta, with_positions), schema
         )
 
+    def _prefix_tf(self, stem: str) -> DataFrame:
+        """(doc_id, tf, dl) for a prefix unit ``stem*``: decode every
+        posting whose term starts with the stem and SUM tfs per doc
+        (FTS5's prefix scoring model). The scan cannot bucket-prune —
+        terms sharing a prefix hash to arbitrary buckets — so this is a
+        full postings-metadata scan with a pushed StartsWith filter on
+        the term column (payload columns of non-matching rows are never
+        decoded); an index meant primarily for prefix workloads would
+        bucket by term RANGE instead (documented trade-off)."""
+        matched = self.postings.filter(F.col("term").startswith(stem))
+        raw = matched.mapInPandas(
+            _decode_raw_gen(self.meta), "term string, doc_id long, tf int, dl int"
+        )
+        return raw.groupBy("doc_id").agg(
+            F.sum("tf").cast("int").alias("tf"), F.first("dl").alias("dl")
+        )
+
     def _phrase_tf(self, terms: tuple[str, ...]) -> DataFrame:
         """(doc_id, tf, dl) for an ordered phrase: decode positions of the
         constituent terms, pivot per doc into a term→positions map, and
@@ -297,7 +314,7 @@ class InvertedIndex:
         # per-unit per-doc (tf, dl): terms straight off the postings
         # decode; phrases via position intersection
         parts = []
-        term_units = [u for u in units if not u.is_phrase]
+        term_units = [u for u in units if not u.is_phrase and not u.prefix]
         if term_units:
             terms = sorted({u.terms[0] for u in term_units})
             raw = self._raw_units(terms)
@@ -308,7 +325,13 @@ class InvertedIndex:
                 )
             )
         for u in units:
-            if u.is_phrase:
+            if u.prefix:
+                parts.append(
+                    self._prefix_tf(u.terms[0]).select(
+                        F.lit(u.uid).alias("uid"), "doc_id", "tf", "dl"
+                    )
+                )
+            elif u.is_phrase:
                 parts.append(
                     self._phrase_tf(u.terms).select(
                         F.lit(u.uid).alias("uid"), "doc_id", "tf", "dl"

@@ -56,6 +56,9 @@ class LocalServer:
         # positional tier (phrase serving): term -> list of decoded
         # shards [(df, doc_ids, tfs, dls, positions list-of-arrays)]
         self._pcache: dict[str, list[tuple]] = {}
+        # prefix tier: stem -> (doc_ids, summed tfs, dls) aggregated over
+        # every index term starting with the stem
+        self._xcache: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
 
     def _fetch(self, terms: list[str]) -> None:
         missing = [t for t in terms if t not in self._cache]
@@ -112,6 +115,44 @@ class LocalServer:
                 )
             )
 
+    def _fetch_prefix(self, stem: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Aggregated (doc_ids, tf, dl) for ``stem*`` — one pruned-column
+        postings scan (StartsWith on term; no bucket pruning possible),
+        decoded and tf-summed per doc driver-side, cached per stem."""
+        hit = self._xcache.get(stem)
+        if hit is not None:
+            return hit
+        rows = (
+            self.index.postings.filter(F.col("term").startswith(stem))
+            .select("term", "n", "doc_ids", "tfs", "dls")
+            .collect()
+        )
+        ids_parts, tf_parts, dl_parts = [], [], []
+        for r in rows:
+            ids_parts.append(
+                blocked_gap_decode(
+                    r["doc_ids"], int(r["n"]), self.meta.block_size
+                ).astype(np.int64)
+            )
+            tf_parts.append(varint_decode(r["tfs"]).astype(np.int64))
+            dl_parts.append(varint_decode(r["dls"]).astype(np.int64))
+        if not ids_parts:
+            out = (np.empty(0, np.int64),) * 3
+            self._xcache[stem] = out
+            return out
+        ids = np.concatenate(ids_parts)
+        tfs = np.concatenate(tf_parts)
+        dls = np.concatenate(dl_parts)
+        docs = np.unique(ids)
+        pos = np.searchsorted(docs, ids)
+        tf_sum = np.zeros(docs.size, dtype=np.int64)
+        np.add.at(tf_sum, pos, tfs)  # integer sum — order-free
+        dl_out = np.zeros(docs.size, dtype=np.int64)
+        dl_out[pos] = dls  # dl identical across a doc's term rows
+        out = (docs, tf_sum, dl_out)
+        self._xcache[stem] = out
+        return out
+
     def warm(self, queries: list[str]) -> "LocalServer":
         """Prefetch postings for a query workload (one Spark job per
         tier): bag-of-words terms and, for queries using the boolean/
@@ -121,7 +162,10 @@ class LocalServer:
         for q in queries:
             pq = parse_query(q, self.meta.analyzer)
             for u in pq.units():
-                (pterms if u.is_phrase else terms).update(u.terms)
+                if u.prefix:
+                    self._fetch_prefix(u.terms[0])
+                else:
+                    (pterms if u.is_phrase else terms).update(u.terms)
         self._fetch(sorted(terms))
         if pterms:
             self._fetch_pos(sorted(pterms))
@@ -179,7 +223,10 @@ class LocalServer:
         """(doc_ids, tf, dl) for one query unit from the resident caches —
         term units straight off the postings, phrase units via
         slot-shifted position intersection (the numpy mirror of
-        ``InvertedIndex._phrase_tf``)."""
+        ``InvertedIndex._phrase_tf``), prefix units via the stem-scan
+        cache (tf summed over matching terms per doc)."""
+        if unit.prefix:
+            return self._fetch_prefix(unit.terms[0])
         if not unit.is_phrase:
             shards = self._cache.get(unit.terms[0], [])
             if not shards:
@@ -233,7 +280,9 @@ class LocalServer:
                 raise ValueError("empty query (FTS5 parity: empty MATCH is an error)")
             return _EMPTY.copy()
         units = pq.units()
-        self._fetch(sorted({u.terms[0] for u in units if not u.is_phrase}))
+        self._fetch(
+            sorted({u.terms[0] for u in units if not u.is_phrase and not u.prefix})
+        )
         pterms = sorted({t for u in units if u.is_phrase for t in u.terms})
         if pterms:
             self._fetch_pos(pterms)

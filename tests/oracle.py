@@ -84,6 +84,8 @@ def bm25_expr_oracle(
     avgdl = sum(dls.values()) / n if n else 0.0
 
     def unit_tf(doc_toks, unit) -> int:
+        if unit.prefix:
+            return sum(1 for t in doc_toks if t.startswith(unit.terms[0]))
         if len(unit.terms) == 1:
             return sum(1 for t in doc_toks if t == unit.terms[0])
         cnt = 0

@@ -298,6 +298,10 @@ NOT_QUERIES = [
     '"let me know" NOT meeting',
     "you NOT thank",
     "thank NOT you NOT know",   # chained NOT
+    "unsub*",                   # prefix (one atom, tf summed over matches)
+    "meet* OR thank",           # prefix in a disjunction
+    "order* NOT meeting",       # prefix + NOT
+    "runn*",                    # stems through porter first (FTS5 behavior)
 ]
 
 

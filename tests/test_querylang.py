@@ -128,6 +128,10 @@ EXPR_QUERIES = [
     "hash NOT window",           # NOT term
     'hash NOT "the window"',     # NOT phrase
     "hash NOT window OR scan NOT table",  # NOT per disjunct
+    "wind*",                     # prefix
+    "ha* scan",                  # prefix AND term
+    '"hash join" OR wind*',      # phrase OR prefix
+    "scan NOT wind*",            # NOT prefix
 ]
 
 
@@ -234,6 +238,31 @@ def test_serve_expr_strict_and_latency(pos_index):
     assert per_q < 0.25, f"warm expr serve took {per_q:.3f}s/query"
 
 
+def test_parse_prefix():
+    pq = parse_query("wind* scan")
+    assert pq.disjuncts == (
+        Conjunct((Unit(("wind",), prefix=True), Unit(("scan",)))),
+    )
+    assert [u.uid for u in pq.units()] == ["t:scan", "x:wind"]
+    # '*' inside quotes is literal (tokenizer strips it): plain phrase
+    assert not any(
+        u.prefix for c in parse_query('"wind* scan"').disjuncts for u in c.includes
+    )
+    # bare '*' vanishes
+    assert parse_query("*").disjuncts == ()
+
+
+def test_prefix_matches_term_expansion(pos_index, docs_pdf):
+    """wind* must score each doc with tf = Σ tf(term startswith wind)."""
+    res = pos_index.search_expr("wind*", k=1000).toPandas()
+    toks = {
+        int(r.doc_id): [t for t in str(r.content).lower().split()]
+        for r in docs_pdf.itertuples()
+    }
+    want = {d for d, ts in toks.items() if any(t.startswith("wind") for t in ts)}
+    assert set(res["doc_id"]) == want and len(want) > 0
+
+
 def test_bare_not_matches_nothing(pos_index):
     # FTS5 errors on leading NOT; the relational reading is "no includes
     # → unsatisfiable conjunct"
@@ -252,7 +281,8 @@ def test_not_excludes_docs(pos_index, docs_pdf):
 
 
 @settings(max_examples=100, deadline=None)
-@given(st.lists(st.sampled_from(["foo", "bar", '"a b"', "OR", "AND", "NOT", "!!"]),
+@given(st.lists(st.sampled_from(["foo", "bar", '"a b"', "OR", "AND", "NOT", "!!",
+                                 "run*", "*"]),
                 max_size=8))
 def test_parse_query_grammar_tokens(parts):
     pq = parse_query(" ".join(parts))
