@@ -517,6 +517,7 @@ def q_bm25_phrase_and(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NOT_QUERY = "hash NOT window"
 PREFIX_QUERY = "wind* scan"
+PARENS_QUERY = "(hash OR window) scan"
 
 
 def q_bm25_serve_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -555,6 +556,19 @@ def q_bm25_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="sparkgrep_px_") + "/idx"
     build_index(_corpus(spark, sf_dir), out, analyzer="simple", n_buckets=8)
     res = InvertedIndex(spark, out).search_expr(PREFIX_QUERY, k=10)
+    return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
+
+
+def q_bm25_parens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parenthesized grouping: ``(hash OR window) scan`` — the parser
+    normalizes to DNF ((hash AND scan) OR (window AND scan)); scoring is
+    FTS5's global unit sum, unchanged by grouping."""
+    from sparkgrep.operators.index_build import build_index
+    from sparkgrep.operators.query import InvertedIndex
+
+    out = tempfile.mkdtemp(prefix="sparkgrep_par_") + "/idx"
+    build_index(_corpus(spark, sf_dir), out, analyzer="simple", n_buckets=8)
+    res = InvertedIndex(spark, out).search_expr(PARENS_QUERY, k=10)
     return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
 
 
@@ -913,6 +927,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_serve_expr": q_bm25_serve_expr,
     "bm25_not": q_bm25_not,
     "bm25_prefix": q_bm25_prefix,
+    "bm25_parens": q_bm25_parens,
     "dedup_exact": q_dedup_exact,
     "minhash_lsh": q_minhash_lsh,
     "ngram_jaccard": q_ngram_jaccard,
@@ -1025,6 +1040,13 @@ ORDER BY cf DESC, term ASC LIMIT 20
         "bm25_prefix": _units_sql(
             [], ["scan"], 10, prefix_units=["wind"],
             match_having="count(DISTINCT uid) = 2",
+        ),
+        "bm25_parens": _units_sql(
+            [], ["hash", "window", "scan"], 10,
+            match_having=(
+                "(bool_or(uid = 't:hash') AND bool_or(uid = 't:scan'))"
+                " OR (bool_or(uid = 't:window') AND bool_or(uid = 't:scan'))"
+            ),
         ),
         "dedup_exact": """
 SELECT md5(text) AS content_md5, count(*) AS n_dups, min(doc_id) AS keeper

@@ -95,62 +95,25 @@ class ParsedQuery:
         return any(u.is_phrase for u in self.units())
 
 
-def parse_query(text: str, analyzer: str = "simple") -> ParsedQuery:
-    """Parse a query string into OR-of-AND units.
+# complexity ceiling for DNF expansion of parenthesized queries — real
+# queries are tiny; this guards against adversarial OR-nesting blowup
+_MAX_DISJUNCTS = 64
 
-    Quoted segments become phrase units (tokenized with the index
-    analyzer, order preserved). Outside quotes, the token ``OR`` splits
-    disjuncts; ``AND`` is a no-op separator (implicit AND); ``NOT``
-    excludes the NEXT unit (FTS5 binary NOT at highest precedence);
-    everything else is a term unit. Phrases that tokenize to one term
-    degrade to term units; empty phrases/terms vanish (a NOT whose unit
-    vanishes excludes nothing). An all-empty query yields zero disjuncts
-    (callers treat it as no-match or raise in strict mode, matching
-    FTS5's error on an empty MATCH).
-    """
-    # pull out quoted phrases, leaving placeholders to preserve position
-    phrases: list[str] = []
 
-    def _stash(m: re.Match) -> str:
-        phrases.append(m.group(1))
-        return f" \x00{len(phrases) - 1}\x00 "
-
-    rest = _PHRASE_RE.sub(_stash, text or "")
-
-    disjuncts: list[Conjunct] = []
-    inc: list[Unit] = []
-    exc: list[Unit] = []
-    neg_next = False
-
-    def _flush() -> None:
-        nonlocal inc, exc
-        if inc or exc:
-            disjuncts.append(Conjunct(tuple(inc), tuple(exc)))
-            inc, exc = [], []
-
-    def _add(units: list[Unit]) -> None:
-        nonlocal neg_next
-        # NOT binds every unit the next raw token yields (a raw word can
-        # tokenize to several terms under the code analyzer — all are
-        # part of the negated operand, as FTS5 phrases them)
-        (exc if neg_next else inc).extend(units)
-        neg_next = False
-
-    for raw in rest.split():
-        if raw == "OR":
-            _flush()
-            neg_next = False
-            continue
-        if raw == "AND":
-            continue
-        if raw == "NOT":
-            neg_next = True
+def _lex(text: str, analyzer: str, phrases: list[str]) -> list:
+    """Token stream: '(' / ')' / 'OR' / 'AND' / 'NOT' markers, or lists
+    of Units (what one raw word/phrase contributes)."""
+    out: list = []
+    padded = (text or "").replace("(", " ( ").replace(")", " ) ")
+    for raw in padded.split():
+        if raw in ("(", ")", "OR", "AND", "NOT"):
+            out.append(raw)
             continue
         m = re.fullmatch("\x00(\\d+)\x00", raw)
         if m:
             terms = tuple(tokenize_py(phrases[int(m.group(1))], analyzer))
             if terms:
-                _add([Unit(terms)])
+                out.append([Unit(terms)])
             continue
         if raw.endswith("*"):
             # FTS5 prefix token: the stem goes THROUGH the tokenizer
@@ -161,11 +124,161 @@ def parse_query(text: str, analyzer: str = "simple") -> ParsedQuery:
             # keep all but the last token as plain terms.
             toks = tokenize_py(raw.rstrip("*"), analyzer)
             if toks:
-                _add(
+                out.append(
                     [Unit((t,)) for t in toks[:-1]]
                     + [Unit((toks[-1],), prefix=True)]
                 )
             continue
-        _add([Unit((t,)) for t in tokenize_py(raw, analyzer)])
-    _flush()
-    return ParsedQuery(tuple(disjuncts))
+        units = [Unit((t,)) for t in tokenize_py(raw, analyzer)]
+        if units:
+            out.append(units)
+    return out
+
+
+def _dnf_or(a: list[Conjunct], b: list[Conjunct]) -> list[Conjunct]:
+    return a + b
+
+
+def _dnf_and(a: list[Conjunct], b: list[Conjunct]) -> list[Conjunct]:
+    out = [
+        Conjunct(x.includes + y.includes, x.excludes + y.excludes)
+        for x in a
+        for y in b
+    ]
+    if len(out) > _MAX_DISJUNCTS:
+        raise ValueError(
+            f"query too complex: DNF expansion exceeds {_MAX_DISJUNCTS} conjuncts"
+        )
+    return out
+
+
+class _Parser:
+    """Recursive descent over the token stream; produces DNF directly
+    (lists of Conjunct). Precedence (FTS5): NOT > AND (implicit on
+    adjacency) > OR. Error recovery, not rejection, for unbalanced
+    parens: a stray ')' ends the innermost group; an unclosed '(' is
+    closed at end of input — arbitrary garbage never raises. ValueError
+    is raised only for two DOCUMENTED unsupported constructs: a NOT
+    operand that is not unit-like (an AND/nested group cannot be
+    expressed as unit-level exclusion), and DNF blowup past the
+    complexity ceiling."""
+
+    def __init__(self, toks: list):
+        self.toks = toks
+        self.i = 0
+
+    def _peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def _next(self):
+        t = self._peek()
+        self.i += 1
+        return t
+
+    def expr(self) -> list[Conjunct]:
+        out = self.and_expr()
+        while self._peek() == "OR":
+            self._next()
+            out = _dnf_or(out, self.and_expr())
+        return out
+
+    def and_expr(self) -> list[Conjunct]:
+        out: list[Conjunct] | None = None
+        while True:
+            t = self._peek()
+            if t is None or t in ("OR", ")"):
+                break
+            if t == "AND":
+                self._next()
+                continue
+            nxt = self.not_expr()
+            if not nxt:
+                continue
+            out = nxt if out is None else _dnf_and(out, nxt)
+        return out if out is not None else []
+
+    def not_expr(self) -> list[Conjunct]:
+        out = self.atom()
+        while self._peek() == "NOT":
+            self._next()
+            rhs = self.atom()
+            # Exclusion is UNIT-level: every unit of the operand is
+            # excluded individually. Exact for a bare unit/phrase/prefix
+            # and for OR-groups of units (absent-any-of ≡ not-matching
+            # the group); CONSERVATIVE (over-excluding) for AND-semantics
+            # operands — consistent with this engine's reading of
+            # multi-token words as implicit AND on the include side.
+            # Nested NOT inside a NOT operand cancels into nothing
+            # exclusion can express — those excludes are dropped (the
+            # operand's match set only shrinks; exclusion stays
+            # conservative).
+            excl: list[Unit] = []
+            for c in rhs:
+                excl.extend(c.includes)
+            if not out:
+                # bare NOT (no LHS): FTS5 errors; keep an exclude-only
+                # conjunct, which matches nothing downstream
+                out = [Conjunct((), tuple(excl))]
+            else:
+                out = [
+                    Conjunct(c.includes, c.excludes + tuple(excl)) for c in out
+                ]
+        return out
+
+    def atom(self) -> list[Conjunct]:
+        t = self._peek()
+        if t == "(":
+            self._next()
+            inner = self.expr()
+            if self._peek() == ")":
+                self._next()
+            return inner
+        if t == ")":
+            self._next()  # stray ')': ignore
+            return []
+        if isinstance(t, list):
+            self._next()
+            return [Conjunct(tuple(t))]
+        if t in ("OR", "AND", "NOT", None):
+            return []
+        self._next()
+        return []
+
+
+def parse_query(text: str, analyzer: str = "simple") -> ParsedQuery:
+    """Parse a query string into OR-of-AND units (DNF).
+
+    Quoted segments become phrase units (tokenized with the index
+    analyzer, order preserved); ``tok*`` becomes a prefix unit; ``OR``
+    joins disjuncts; ``AND`` is a no-op separator (implicit AND);
+    ``NOT`` excludes its right operand (FTS5 binary NOT at highest
+    precedence); parentheses group arbitrarily — the parser normalizes
+    to disjunctive normal form, so ``(a OR b) c`` executes as
+    ``(a c) OR (b c)`` with FTS5's global unit-sum scoring unchanged.
+    Phrases that tokenize to one term degrade to term units; empty
+    phrases/terms vanish. An all-empty query yields zero disjuncts
+    (callers treat it as no-match or raise in strict mode, matching
+    FTS5's error on an empty MATCH). Unbalanced parentheses are
+    recovered, never fatal; ValueError is raised only for a non-unit
+    NOT operand or DNF blowup past 64 conjuncts (documented limits).
+    """
+    phrases: list[str] = []
+
+    def _stash(m: re.Match) -> str:
+        phrases.append(m.group(1))
+        return f" \x00{len(phrases) - 1}\x00 "
+
+    rest = _PHRASE_RE.sub(_stash, text or "")
+    parser = _Parser(_lex(rest, analyzer, phrases))
+    disjuncts: list[Conjunct] = []
+    while parser._peek() is not None:  # recover across stray ')' at top level
+        part = parser.expr()
+        disjuncts.extend(c for c in part if c.includes or c.excludes)
+        if parser._peek() == ")":
+            parser._next()
+    # dedupe identical conjuncts (DNF distribution can repeat them)
+    seen: list[Conjunct] = []
+    for c in disjuncts:
+        if c not in seen:
+            seen.append(c)
+    return ParsedQuery(tuple(seen))

@@ -302,6 +302,11 @@ NOT_QUERIES = [
     "meet* OR thank",           # prefix in a disjunction
     "order* NOT meeting",       # prefix + NOT
     "runn*",                    # stems through porter first (FTS5 behavior)
+    '("thank you" OR unsubscribe) NOT meeting',  # parens + NOT
+    # FTS5 needs explicit AND after a ')' (implicit AND is a syntax
+    # error there); the engine accepts both forms
+    "(thank OR know) AND you",                    # parens → DNF
+    "(unsubscribe OR meeting) AND (you OR thank)",  # product of groups
 ]
 
 

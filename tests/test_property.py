@@ -32,10 +32,19 @@ def test_analyzers_total_and_idempotent_tokens(text):
     for analyzer in ("simple", "fts5", "code"):
         toks = tokenize_py(text, analyzer)
         assert all(isinstance(t, str) and t for t in toks)
-        # re-analyzing a produced token yields itself (index/query
-        # agreement: query-side tokenization is a fixpoint)
+        # re-analyzing a produced token yields itself for the
+        # non-stemming analyzers (index/query agreement: query-side
+        # tokenization is a fixpoint). Porter stemming is NOT idempotent
+        # (porter('ubee')='ube' but porter('ube')='ub' — hypothesis
+        # found 'UBeÈ') and real FTS5 shares this: agreement holds
+        # because BOTH sides tokenize raw text exactly once, never
+        # because stemming is a fixpoint. For fts5, assert the weaker
+        # invariant that tokens re-analyze to exactly one token.
         for t in toks[:10]:
-            assert tokenize_py(t, analyzer) == [t], (analyzer, t)
+            if analyzer == "fts5":
+                assert len(tokenize_py(t, analyzer)) == 1, (analyzer, t)
+            else:
+                assert tokenize_py(t, analyzer) == [t], (analyzer, t)
 
 
 @settings(max_examples=300, deadline=None)

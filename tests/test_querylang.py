@@ -132,6 +132,9 @@ EXPR_QUERIES = [
     "ha* scan",                  # prefix AND term
     '"hash join" OR wind*',      # phrase OR prefix
     "scan NOT wind*",            # NOT prefix
+    "(hash OR window) scan",     # parens → DNF
+    '("hash join" OR window) NOT table',  # parens + phrase + NOT
+    "(hash OR wind*) (scan OR table)",    # product of groups
 ]
 
 
@@ -202,7 +205,10 @@ from hypothesis import strategies as st
 @settings(max_examples=300, deadline=None)
 @given(st.text(max_size=200))
 def test_parse_query_never_crashes(s):
-    pq = parse_query(s)
+    try:
+        pq = parse_query(s)
+    except ValueError:
+        return  # documented: DNF complexity ceiling
     for conj in pq.disjuncts:
         assert conj.includes or conj.excludes  # no empty conjuncts
         for u in conj.includes + conj.excludes:
@@ -236,6 +242,39 @@ def test_serve_expr_strict_and_latency(pos_index):
         srv.search_expr(q, k=10)
     per_q = (time.time() - t0) / len(EXPR_QUERIES)
     assert per_q < 0.25, f"warm expr serve took {per_q:.3f}s/query"
+
+
+def test_parse_parens():
+    # (a OR b) c → DNF: (a c) OR (b c)
+    pq = parse_query("(foo OR bar) baz")
+    assert pq.disjuncts == (
+        Conjunct((Unit(("foo",)), Unit(("baz",)))),
+        Conjunct((Unit(("bar",)), Unit(("baz",)))),
+    )
+    # nesting + phrases
+    pq = parse_query('("big data" OR spark) AND (fast OR slow)')
+    assert len(pq.disjuncts) == 4
+    assert all(len(c.includes) == 2 for c in pq.disjuncts)
+    # NOT of an OR-group of units: exact unit-level exclusion
+    pq = parse_query("foo NOT (bar OR baz)")
+    assert pq.disjuncts == (
+        Conjunct((Unit(("foo",)),), (Unit(("bar",)), Unit(("baz",)))),
+    )
+    # unbalanced parens recover, never raise
+    assert parse_query("(foo bar").disjuncts == (
+        Conjunct((Unit(("foo",)), Unit(("bar",)))),
+    )
+    assert parse_query("foo) (bar").disjuncts == (
+        Conjunct((Unit(("foo",)),)),
+        Conjunct((Unit(("bar",)),)),
+    )
+    # identical conjuncts deduped after distribution
+    pq = parse_query("(foo OR foo) bar")
+    assert len(pq.disjuncts) == 1
+    # complexity ceiling is a documented error
+    blowup = " ".join(["(a OR b OR c OR d)"] * 4)  # 4^4 = 256 conjuncts
+    with pytest.raises(ValueError, match="too complex"):
+        parse_query(blowup)
 
 
 def test_parse_prefix():
@@ -282,7 +321,7 @@ def test_not_excludes_docs(pos_index, docs_pdf):
 
 @settings(max_examples=100, deadline=None)
 @given(st.lists(st.sampled_from(["foo", "bar", '"a b"', "OR", "AND", "NOT", "!!",
-                                 "run*", "*"]),
+                                 "run*", "*", "(", ")"]),
                 max_size=8))
 def test_parse_query_grammar_tokens(parts):
     pq = parse_query(" ".join(parts))
