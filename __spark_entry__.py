@@ -106,6 +106,7 @@ def _units_sql(
     match_having: str = "",
     exclude_terms: list[str] | None = None,
     prefix_units: list[str] | None = None,
+    near2: tuple[str, str, int] | None = None,
 ) -> str:
     """DuckDB oracle for the unit-scoring query language (querylang.py):
     each phrase/term is a BM25 atom with its own tf/df; a doc's score is
@@ -147,6 +148,18 @@ def _units_sql(
         xlist = ", ".join(f"'{t}'" for t in sorted(set(exclude_terms)))
         not_filter = (
             f"WHERE doc_id NOT IN (SELECT doc_id FROM tf WHERE term IN ({xlist}))"
+        )
+    if near2:
+        # two-single-term NEAR: ≤ N token positions between some instance
+        # pair (|p1 - p2| - 1 <= N) — mirrors querylang.near_ok for k=2
+        t1, t2, nn = near2
+        clause = (
+            f"doc_id IN (SELECT p1.doc_id FROM pos p1 JOIN pos p2 USING (doc_id) "
+            f"WHERE p1.term = '{t1}' AND p2.term = '{t2}' "
+            f"AND greatest(p1.pos, p2.pos) - least(p1.pos, p2.pos) - 1 <= {nn})"
+        )
+        not_filter = (
+            f"{not_filter} AND {clause}" if not_filter else f"WHERE {clause}"
         )
     return f"""
 WITH {_TOK_CTES},
@@ -572,6 +585,19 @@ def q_bm25_parens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
 
 
+NEAR_QUERY = "NEAR(hash window, 4)"
+
+
+def q_bm25_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FTS5 NEAR: members score as ordinary atoms; the group restricts
+    the match set to docs where some instance selection has ≤N token
+    positions between the earliest-ending and latest-starting member
+    (semantics pinned vs SQLite FTS5 in tests/test_fts5_parity.py).
+    Needs a positional index."""
+    res = _pos_index(spark, sf_dir).search_expr(NEAR_QUERY, k=10)
+    return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkgrep.operators.dedup import exact_dup_groups
 
@@ -928,6 +954,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_not": q_bm25_not,
     "bm25_prefix": q_bm25_prefix,
     "bm25_parens": q_bm25_parens,
+    "bm25_near": q_bm25_near,
     "dedup_exact": q_dedup_exact,
     "minhash_lsh": q_minhash_lsh,
     "ngram_jaccard": q_ngram_jaccard,
@@ -1047,6 +1074,11 @@ ORDER BY cf DESC, term ASC LIMIT 20
                 "(bool_or(uid = 't:hash') AND bool_or(uid = 't:scan'))"
                 " OR (bool_or(uid = 't:window') AND bool_or(uid = 't:scan'))"
             ),
+        ),
+        "bm25_near": _units_sql(
+            [], ["hash", "window"], 10,
+            match_having="count(DISTINCT uid) = 2",
+            near2=("hash", "window", 4),
         ),
         "dedup_exact": """
 SELECT md5(text) AS content_md5, count(*) AS n_dups, min(doc_id) AS keeper

@@ -11,6 +11,9 @@ the reference's own tests, ``test_message_manager.py:417-435``):
 - ``foo*``             — prefix match: one scoring atom covering every
                          index term starting with the stem
 - ``"foo bar"``        — quoted phrase: adjacent tokens in order
+- ``NEAR(a "b c", 5)`` — proximity: all members within ≤N intervening
+                         token positions (default 10); members score as
+                         ordinary atoms
 - combinations: ``"big data" OR spark``, ``spark NOT "big data"`` etc.
 
 Grammar here (deliberately the same flat shape FTS5 gives these tests —
@@ -64,12 +67,49 @@ class Unit:
 
 
 @dataclass(frozen=True)
+class NearGroup:
+    """FTS5 ``NEAR(p1 p2 ... pk, N)``: a PROXIMITY PREDICATE over k
+    units (terms, phrases, or prefixes). A doc satisfies the group iff
+    some selection of one instance per unit has
+    ``max(start) - min(end) - 1 <= n`` (i.e. at most n token positions
+    between the earliest-ending and latest-starting instance — pinned
+    against SQLite FTS5). Scoring is untouched: the member units score
+    as ordinary atoms with their full tfs (also FTS5's behavior)."""
+
+    phrases: tuple[Unit, ...]
+    n: int = 10  # FTS5 default
+
+
+def near_ok(starts: list, lens: list[int], n: int) -> bool:
+    """FTS5's NEAR test (the fts5ExprNearIsMatch sliding algorithm):
+    repeatedly measure the current selection's span and advance the
+    phrase with the smallest END — complete, because any selection
+    keeping that instance spans at least as wide."""
+    k = len(starts)
+    idx = [0] * k
+    sizes = [len(s) for s in starts]
+    if any(sz == 0 for sz in sizes):
+        return False
+    while True:
+        ends = [starts[i][idx[i]] + lens[i] - 1 for i in range(k)]
+        mx = max(starts[i][idx[i]] for i in range(k))
+        j = min(range(k), key=lambda i: ends[i])
+        if mx - ends[j] - 1 <= n:
+            return True
+        idx[j] += 1
+        if idx[j] >= sizes[j]:
+            return False
+
+
+@dataclass(frozen=True)
 class Conjunct:
     """One AND group: every include unit present, no exclude unit
-    present (excludes come from FTS5's binary NOT)."""
+    present (excludes come from FTS5's binary NOT), every NEAR group
+    satisfied."""
 
     includes: tuple[Unit, ...]
     excludes: tuple[Unit, ...] = ()
+    nears: tuple[NearGroup, ...] = ()
 
 
 @dataclass(frozen=True)
@@ -80,8 +120,8 @@ class ParsedQuery:
 
     def units(self) -> list[Unit]:
         """All distinct units (includes AND excludes — exclusion needs
-        the unit's match set too), ordered by uid (deterministic fold
-        order)."""
+        the unit's match set too; NEAR members are includes), ordered by
+        uid (deterministic fold order)."""
         seen: dict[str, Unit] = {}
         for conj in self.disjuncts:
             for u in conj.includes + conj.excludes:
@@ -100,12 +140,63 @@ class ParsedQuery:
 _MAX_DISJUNCTS = 64
 
 
+_NEAR_RE = re.compile(r"\bNEAR\(([^()]*?)(?:\s*,\s*(\d+))?\)")
+
+
+def _parse_near(body: str, n: str | None, analyzer: str, phrases: list[str]):
+    """NEAR(member member ..., N) → NearGroup (or a plain unit list when
+    fewer than 2 members survive tokenization — no predicate needed)."""
+    units: list[Unit] = []
+    for raw in body.split():
+        m = re.fullmatch("\x00(\\d+)\x00", raw)
+        if m:
+            terms = tuple(tokenize_py(phrases[int(m.group(1))], analyzer))
+            if terms:
+                units.append(Unit(terms))
+            continue
+        if raw.endswith("*"):
+            toks = tokenize_py(raw.rstrip("*"), analyzer)
+            if toks:
+                # inside NEAR a multi-token stem is one phrase... but a
+                # prefix phrase isn't supported — keep FTS5's reading of
+                # the common case (single-token stem → prefix unit)
+                units.extend(
+                    [Unit(tuple(toks[:-1]))] if len(toks) > 1 else []
+                )
+                units.append(Unit((toks[-1],), prefix=True))
+            continue
+        toks = tokenize_py(raw, analyzer)
+        if toks:
+            # a multi-token raw word inside NEAR is ONE phrase (FTS5)
+            units.append(Unit(tuple(toks)))
+    if len(units) < 2:
+        return units  # degenerate: no proximity constraint
+    return NearGroup(tuple(units), int(n) if n is not None else 10)
+
+
 def _lex(text: str, analyzer: str, phrases: list[str]) -> list:
-    """Token stream: '(' / ')' / 'OR' / 'AND' / 'NOT' markers, or lists
-    of Units (what one raw word/phrase contributes)."""
+    """Token stream: '(' / ')' / 'OR' / 'AND' / 'NOT' markers, NearGroup
+    predicates, or lists of Units (what one raw word/phrase
+    contributes)."""
+    nears: list = []
+
+    def _stash_near(m: re.Match) -> str:
+        nears.append(_parse_near(m.group(1), m.group(2), analyzer, phrases))
+        return f" \x02{len(nears) - 1}\x02 "
+
+    text = _NEAR_RE.sub(_stash_near, text or "")
+
     out: list = []
-    padded = (text or "").replace("(", " ( ").replace(")", " ) ")
+    padded = text.replace("(", " ( ").replace(")", " ) ")
     for raw in padded.split():
+        m2 = re.fullmatch("\x02(\\d+)\x02", raw)
+        if m2:
+            g = nears[int(m2.group(1))]
+            if isinstance(g, NearGroup):
+                out.append(g)
+            elif g:  # degenerate NEAR: plain unit list
+                out.append(list(g))
+            continue
         if raw in ("(", ")", "OR", "AND", "NOT"):
             out.append(raw)
             continue
@@ -141,7 +232,11 @@ def _dnf_or(a: list[Conjunct], b: list[Conjunct]) -> list[Conjunct]:
 
 def _dnf_and(a: list[Conjunct], b: list[Conjunct]) -> list[Conjunct]:
     out = [
-        Conjunct(x.includes + y.includes, x.excludes + y.excludes)
+        Conjunct(
+            x.includes + y.includes,
+            x.excludes + y.excludes,
+            x.nears + y.nears,
+        )
         for x in a
         for y in b
     ]
@@ -221,12 +316,18 @@ class _Parser:
                 out = [Conjunct((), tuple(excl))]
             else:
                 out = [
-                    Conjunct(c.includes, c.excludes + tuple(excl)) for c in out
+                    Conjunct(c.includes, c.excludes + tuple(excl), c.nears)
+                    for c in out
                 ]
         return out
 
     def atom(self) -> list[Conjunct]:
         t = self._peek()
+        if isinstance(t, NearGroup):
+            self._next()
+            # members are ordinary scoring includes; the group itself is
+            # the extra proximity predicate
+            return [Conjunct(tuple(t.phrases), (), (t,))]
         if t == "(":
             self._next()
             inner = self.expr()

@@ -227,12 +227,13 @@ class InvertedIndex:
             F.sum("tf").cast("int").alias("tf"), F.first("dl").alias("dl")
         )
 
-    def _phrase_tf(self, terms: tuple[str, ...]) -> DataFrame:
-        """(doc_id, tf, dl) for an ordered phrase: decode positions of the
-        constituent terms, pivot per doc into a term→positions map, and
-        intersect slot-shifted position sets natively (array_intersect in
-        codegen — phrase tf = |{p : term_i at p+i ∀i}|). Only docs
-        containing ALL constituent terms reach the intersection."""
+    def _phrase_starts(self, terms: tuple[str, ...]) -> DataFrame:
+        """(doc_id, dl, starts array<int>) for an ordered phrase: decode
+        positions of the constituent terms, pivot per doc into a
+        term→positions map, and intersect slot-shifted position sets
+        natively (array_intersect in codegen). Only docs containing ALL
+        constituent terms reach the intersection; only docs with ≥1
+        phrase occurrence survive."""
         if not self.meta.has_positions:
             raise ValueError(
                 "phrase queries need an index built with store_positions=True"
@@ -256,9 +257,72 @@ class InvertedIndex:
                 starts, F.transform(F.element_at(F.col("pmap"), F.lit(t)), _shift_by(i))
             )
         return (
-            g.select("doc_id", "dl", F.size(starts).cast("int").alias("tf"))
-            .filter(F.col("tf") > 0)
+            g.select("doc_id", "dl", F.array_sort(starts).alias("starts"))
+            .filter(F.size("starts") > 0)
         )
+
+    def _phrase_tf(self, terms: tuple[str, ...]) -> DataFrame:
+        """(doc_id, tf, dl): phrase tf = |{p : term_i at p+i ∀i}|."""
+        return self._phrase_starts(terms).select(
+            "doc_id", "dl", F.size("starts").cast("int").alias("tf")
+        ).select("doc_id", "tf", "dl")
+
+    def _unit_starts(self, u) -> DataFrame:
+        """(doc_id, starts array<int>, asc) of a unit's instance START
+        positions — term: its positions; phrase: intersected starts;
+        prefix: union of matching terms' positions."""
+        if u.prefix:
+            if not self.meta.has_positions:
+                raise ValueError(
+                    "NEAR queries need an index built with store_positions=True"
+                )
+            matched = self.postings.filter(F.col("term").startswith(u.terms[0]))
+            raw = matched.mapInPandas(
+                _decode_raw_gen(self.meta, with_positions=True),
+                "term string, doc_id long, tf int, dl int, positions array<int>",
+            )
+            return raw.groupBy("doc_id").agg(
+                F.array_sort(F.flatten(F.collect_list("positions"))).alias("starts")
+            )
+        if u.is_phrase:
+            return self._phrase_starts(u.terms).select("doc_id", "starts")
+        return self._raw_units(list(u.terms), with_positions=True).select(
+            "doc_id", F.array_sort(F.col("positions")).alias("starts")
+        )
+
+    def _near_docs(self, group) -> DataFrame:
+        """doc_ids satisfying a NEAR proximity group (querylang.near_ok —
+        FTS5's sliding min-end test, ≤ N intervening token positions
+        across the best instance selection). One inner join chain over
+        the members' per-doc start arrays (docs missing any member can't
+        match), then an Arrow-batched predicate."""
+        from sparkgrep.functions.querylang import near_ok
+
+        if not self.meta.has_positions:
+            raise ValueError(
+                "NEAR queries need an index built with store_positions=True"
+            )
+        k = len(group.phrases)
+        joined = None
+        for i, u in enumerate(group.phrases):
+            s = self._unit_starts(u).select(
+                "doc_id", F.col("starts").alias(f"s{i}")
+            )
+            joined = s if joined is None else joined.join(s, "doc_id")
+        lens = [1 if u.prefix else len(u.terms) for u in group.phrases]
+        n = group.n
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                ok = [
+                    r.doc_id
+                    for r in pdf.itertuples()
+                    if near_ok([getattr(r, f"s{i}") for i in range(k)], lens, n)
+                ]
+                if ok:
+                    yield pd.DataFrame({"doc_id": np.asarray(ok, dtype=np.int64)})
+
+        return joined.mapInPandas(gen, "doc_id long")
 
     # -- public API ---------------------------------------------------------
 
@@ -377,6 +441,16 @@ class InvertedIndex:
                 for i, uid in enumerate(order)
             ]
             g = contribs.groupBy("doc_id").agg(*aggs)
+            # NEAR predicates: one satisfied-docs relation per distinct
+            # group, left-joined as a marker column
+            groups: list = []
+            for conj in pq.disjuncts:
+                for grp in conj.nears:
+                    if grp not in groups:
+                        groups.append(grp)
+            for j, grp in enumerate(groups):
+                nd = self._near_docs(grp).withColumn(f"_n{j}", F.lit(1))
+                g = g.join(nd, "doc_id", "left")
             match = None
             for conj in pq.disjuncts:
                 if not conj.includes:
@@ -391,6 +465,8 @@ class InvertedIndex:
                 for u in conj.excludes:
                     if u.uid in pos:  # absent exclude unit is vacuous
                         c = c & F.col(f"_c{pos[u.uid]}").isNull()
+                for grp in conj.nears:
+                    c = c & F.col(f"_n{groups.index(grp)}").isNotNull()
                 match = c if match is None else (match | c)
             if match is None:
                 return self.spark.createDataFrame(

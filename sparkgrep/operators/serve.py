@@ -59,6 +59,9 @@ class LocalServer:
         # prefix tier: stem -> (doc_ids, summed tfs, dls) aggregated over
         # every index term starting with the stem
         self._xcache: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        # prefix positional tier (NEAR): stem -> {doc: sorted union of
+        # matching terms' positions}
+        self._xpcache: dict[str, dict[int, np.ndarray]] = {}
 
     def _fetch(self, terms: list[str]) -> None:
         missing = [t for t in terms if t not in self._cache]
@@ -151,6 +154,62 @@ class LocalServer:
         dl_out[pos] = dls  # dl identical across a doc's term rows
         out = (docs, tf_sum, dl_out)
         self._xcache[stem] = out
+        return out
+
+    def _fetch_prefix_pos(self, stem: str) -> dict[int, np.ndarray]:
+        """{doc: sorted positions} over every term starting with stem
+        (NEAR with a prefix member)."""
+        hit = self._xpcache.get(stem)
+        if hit is not None:
+            return hit
+        if not self.meta.has_positions:
+            raise ValueError(
+                "NEAR queries need an index built with store_positions=True"
+            )
+        rows = (
+            self.index.postings.filter(F.col("term").startswith(stem))
+            .select("term", "n", "doc_ids", "tfs", "poss")
+            .collect()
+        )
+        acc: dict[int, list[np.ndarray]] = {}
+        for r in rows:
+            tfs = varint_decode(r["tfs"]).astype(np.int64)
+            ids = blocked_gap_decode(
+                r["doc_ids"], int(r["n"]), self.meta.block_size
+            ).astype(np.int64)
+            flat = delta_decode_segments(r["poss"], tfs)
+            positions = np.split(flat, np.cumsum(tfs)[:-1])
+            for j, d in enumerate(ids):
+                acc.setdefault(int(d), []).append(positions[j])
+        out = {d: np.sort(np.concatenate(ps)) for d, ps in acc.items()}
+        self._xpcache[stem] = out
+        return out
+
+    def _local_unit_starts(self, unit) -> dict[int, np.ndarray]:
+        """{doc: instance start positions, ascending} for a NEAR member."""
+        if unit.prefix:
+            return self._fetch_prefix_pos(unit.terms[0])
+        maps = []
+        for t in unit.terms:
+            m: dict[int, np.ndarray] = {}
+            for _, ids, _tfs, _dls, positions in self._pcache.get(t, []):
+                for j, d in enumerate(ids):
+                    m[int(d)] = positions[j]
+            maps.append(m)
+        if len(maps) == 1:
+            return maps[0]
+        common = set(maps[0])
+        for m in maps[1:]:
+            common &= set(m)
+        out: dict[int, np.ndarray] = {}
+        for d in common:
+            starts = maps[0][d]
+            for i in range(1, len(unit.terms)):
+                starts = np.intersect1d(starts, maps[i][d] - i)
+                if starts.size == 0:
+                    break
+            if starts.size:
+                out[d] = starts
         return out
 
     def warm(self, queries: list[str]) -> "LocalServer":
@@ -283,7 +342,22 @@ class LocalServer:
         self._fetch(
             sorted({u.terms[0] for u in units if not u.is_phrase and not u.prefix})
         )
-        pterms = sorted({t for u in units if u.is_phrase for t in u.terms})
+        near_groups: list = []
+        for conj in pq.disjuncts:
+            for grp in conj.nears:
+                if grp not in near_groups:
+                    near_groups.append(grp)
+        # phrase terms AND non-prefix NEAR members need positions
+        pterms = sorted(
+            {t for u in units if u.is_phrase for t in u.terms}
+            | {
+                t
+                for grp in near_groups
+                for u in grp.phrases
+                if not u.prefix
+                for t in u.terms
+            }
+        )
         if pterms:
             self._fetch_pos(pterms)
 
@@ -321,9 +395,26 @@ class LocalServer:
             len(order),
         )
 
-        # boolean match: any conjunct with all includes present and no
-        # excludes present (absent units: include → unsatisfiable,
-        # exclude → vacuous)
+        # NEAR predicates: satisfied-doc sets per distinct group
+        from sparkgrep.functions.querylang import near_ok
+
+        near_docs: list[np.ndarray] = []
+        for grp in near_groups:
+            starts_maps = [self._local_unit_starts(u) for u in grp.phrases]
+            lens = [1 if u.prefix else len(u.terms) for u in grp.phrases]
+            common = set(starts_maps[0])
+            for m in starts_maps[1:]:
+                common &= set(m)
+            ok = [
+                d
+                for d in common
+                if near_ok([m[d] for m in starts_maps], lens, grp.n)
+            ]
+            near_docs.append(np.asarray(sorted(ok), dtype=np.int64))
+
+        # boolean match: any conjunct with all includes present, no
+        # excludes present, every NEAR group satisfied (absent units:
+        # include → unsatisfiable, exclude → vacuous)
         match = np.zeros(docs.size, dtype=bool)
         for conj in pq.disjuncts:
             if not conj.includes:
@@ -337,6 +428,8 @@ class LocalServer:
             for u in conj.excludes:
                 if u.uid in per_unit:
                     c &= ~np.isin(docs, per_unit[u.uid][0])
+            for grp in conj.nears:
+                c &= np.isin(docs, near_docs[near_groups.index(grp)])
             match |= c
         docs, scores = docs[match], scores[match]
         sel = np.lexsort((docs, -scores))[:k]

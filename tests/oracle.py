@@ -109,6 +109,23 @@ def bm25_expr_oracle(
             return v if v > 0.0 else 1e-6
         return math.log1p(x)
 
+    from sparkgrep.functions.querylang import near_ok
+
+    def unit_starts(doc_toks, unit):
+        if unit.prefix:
+            return [i for i, t in enumerate(doc_toks) if t.startswith(unit.terms[0])]
+        L = len(unit.terms)
+        return [
+            i
+            for i in range(len(doc_toks) - L + 1)
+            if tuple(doc_toks[i : i + L]) == unit.terms
+        ]
+
+    def near_sat(doc_toks, grp) -> bool:
+        starts = [unit_starts(doc_toks, u) for u in grp.phrases]
+        lens = [1 if u.prefix else len(u.terms) for u in grp.phrases]
+        return near_ok(starts, lens, grp.n)
+
     rows = []
     for d in toks:
         matched = any(
@@ -117,6 +134,7 @@ def bm25_expr_oracle(
             and not any(
                 u.uid in dfs and d in utf[u.uid] for u in conj.excludes
             )
+            and all(near_sat(toks[d], grp) for grp in conj.nears)
             for conj in pq.disjuncts
         )
         if not matched:

@@ -307,6 +307,12 @@ NOT_QUERIES = [
     # error there); the engine accepts both forms
     "(thank OR know) AND you",                    # parens → DNF
     "(unsubscribe OR meeting) AND (you OR thank)",  # product of groups
+    "NEAR(thank you, 2)",                         # proximity
+    "NEAR(thank you, 0)",                         # adjacency only
+    'NEAR("let me" know, 4)',                     # phrase member
+    "NEAR(meet* you, 6)",                         # prefix member
+    "NEAR(you know, 5) NOT meeting",              # NEAR + NOT
+    "NEAR(you thank know, 8)",                    # 3 members
 ]
 
 

@@ -135,6 +135,12 @@ EXPR_QUERIES = [
     "(hash OR window) scan",     # parens → DNF
     '("hash join" OR window) NOT table',  # parens + phrase + NOT
     "(hash OR wind*) (scan OR table)",    # product of groups
+    "NEAR(hash window, 4)",      # proximity
+    "NEAR(hash window)",         # default N=10
+    'NEAR("hash join" table, 6)',  # phrase member
+    "NEAR(hash wind*, 5)",       # prefix member
+    "NEAR(hash window, 3) OR scan",  # NEAR in a disjunction
+    "NEAR(hash window, 8) NOT table",  # NEAR + NOT
 ]
 
 
@@ -275,6 +281,49 @@ def test_parse_parens():
     blowup = " ".join(["(a OR b OR c OR d)"] * 4)  # 4^4 = 256 conjuncts
     with pytest.raises(ValueError, match="too complex"):
         parse_query(blowup)
+
+
+def test_parse_near_and_near_ok():
+    from sparkgrep.functions.querylang import NearGroup, near_ok
+
+    pq = parse_query("NEAR(foo bar, 4)")
+    (conj,) = pq.disjuncts
+    assert conj.includes == (Unit(("foo",)), Unit(("bar",)))
+    assert conj.nears == (NearGroup((Unit(("foo",)), Unit(("bar",))), 4),)
+    # default N, phrase member, degenerate single member
+    assert parse_query('NEAR("a b" c)').disjuncts[0].nears[0].n == 10
+    assert parse_query("NEAR(foo, 3)").disjuncts == (
+        Conjunct((Unit(("foo",)),)),
+    )
+    # the FTS5 sliding test: between-token count, best selection
+    assert near_ok([[0], [4]], [1, 1], 3) and not near_ok([[0], [4]], [1, 1], 2)
+    assert near_ok([[0, 9], [4]], [1, 1], 3)     # second 'a' irrelevant
+    assert near_ok([[1], [4]], [2, 1], 1)        # phrase end participates
+    assert not near_ok([[], [4]], [1, 1], 99)    # absent member
+    assert near_ok([[0], [2], [4]], [1, 1, 1], 3)
+    assert not near_ok([[0], [2], [4]], [1, 1, 1], 2)
+
+
+def test_near_matches_pandas_oracle_matchset(pos_index, docs_pdf):
+    """NEAR restricts the match set only; scores equal the plain AND of
+    its members for surviving docs."""
+    near = pos_index.search_expr("NEAR(hash window, 3)", k=1000).toPandas()
+    anded = pos_index.search_expr("hash window", k=1000).toPandas()
+    assert set(near["doc_id"]) <= set(anded["doc_id"])
+    merged = near.merge(anded, on="doc_id", suffixes=("_n", "_a"))
+    assert (merged["score_n"] == merged["score_a"]).all()
+    # positions honestly checked against raw text
+    toks = {
+        int(r.doc_id): str(r.content).lower().split()
+        for r in docs_pdf.itertuples()
+    }
+    from sparkgrep.functions.querylang import near_ok
+
+    for d, ts in toks.items():
+        hp = [i for i, t in enumerate(ts) if t == "hash"]
+        wp = [i for i, t in enumerate(ts) if t == "window"]
+        expect = bool(hp and wp and near_ok([hp, wp], [1, 1], 3))
+        assert (d in set(near["doc_id"])) == expect, d
 
 
 def test_parse_prefix():
