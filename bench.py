@@ -301,6 +301,37 @@ def main() -> None:
         slat.append(time.time() - t0)
     timings["bm25_p50_serve_local"] = round(statistics.median(slat), 4)
 
+    # full-query-language serving latency: positional index over the
+    # UNREPLICATED sf documents (positions ≈ +1 varint/token), then the
+    # in-process tier answers phrases / NOT / prefix / parens / NEAR
+    from sparkgrep.operators.index_build import build_index as _build_pos
+    from sparkgrep.sources.corpus import load_corpus as _load_c
+
+    pos_out = tempfile.mkdtemp(prefix="sparkgrep_pos_") + "/idx"
+    t0 = time.time()
+    _build_pos(
+        _load_c(spark, SF_DIR), pos_out, analyzer="simple", n_buckets=32,
+        store_positions=True,
+    )
+    timings["pos_index_build"] = round(time.time() - t0, 3)
+    EXPR_SET = [
+        '"hash join" OR window',
+        "hash NOT window",
+        "(hash OR wind*) scan",
+        "NEAR(hash window, 4)",
+        'NEAR("hash join" table, 6) OR scan',
+        "spark AND query AND filter",
+    ]
+    esrv = LocalServer(InvertedIndex(spark, pos_out)).warm(EXPR_SET)
+    for q in EXPR_SET:
+        esrv.search_expr(q, k=10)  # untimed first pass
+    elat2 = []
+    for q in EXPR_SET:
+        t0 = time.time()
+        esrv.search_expr(q, k=10)
+        elat2.append(time.time() - t0)
+    timings["bm25_p50_serve_expr"] = round(statistics.median(elat2), 4)
+
     # --- batched serving (3 pre-declared reps, min — one-shot numbers
     # masqueraded as regressions in round 2 on this co-tenant box)
     blat = []

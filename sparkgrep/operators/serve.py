@@ -225,6 +225,13 @@ class LocalServer:
                     self._fetch_prefix(u.terms[0])
                 else:
                     (pterms if u.is_phrase else terms).update(u.terms)
+            for conj in pq.disjuncts:
+                for grp in conj.nears:  # NEAR members need positions
+                    for u in grp.phrases:
+                        if u.prefix:
+                            self._fetch_prefix_pos(u.terms[0])
+                        else:
+                            pterms.update(u.terms)
         self._fetch(sorted(terms))
         if pterms:
             self._fetch_pos(sorted(pterms))
