@@ -335,8 +335,10 @@ class InvertedIndex:
                       matched terms (match-or-drop, reference P5).
         mode='and'  — conjunctive: docs containing ALL terms (the
                       reference's implicit-AND MATCH default).
-        mode='expr' — full query language: implicit/explicit AND, OR,
-                      quoted phrases (see functions/querylang.py).
+        mode='expr' — the complete FTS5 query grammar: implicit/explicit
+                      AND, OR, binary NOT, quoted phrases, prefix
+                      (tok*), parentheses, NEAR groups (see
+                      functions/querylang.py).
 
         strict=True raises on an empty/no-term query, matching FTS5's
         error on an empty MATCH (test_message_manager.py:599-610);
@@ -362,9 +364,12 @@ class InvertedIndex:
         )
 
     def search_expr(self, query_text: str, k: int = 10, strict: bool = False) -> DataFrame:
-        """Query-language search: OR-of-AND over term/phrase units with
-        FTS5's scoring model (every unit is a BM25 atom; a doc's score
-        sums the contributions of the query units it contains)."""
+        """Query-language search: the parser normalizes the full FTS5
+        grammar to OR-of-AND over term/phrase/prefix units with
+        unit-level exclusions and NEAR predicates; scoring is FTS5's
+        model (every unit is a BM25 atom; a doc's score sums the
+        contributions of the query units it contains — NOT/NEAR only
+        restrict the match set)."""
         pq = parse_query(query_text, self.meta.analyzer)
         if not pq.disjuncts:
             if strict:
