@@ -423,7 +423,11 @@ def merge_and_write(
             F.max(F.array_max("block_max")).cast("double").alias("ub"),
         )
     )
-    ubs.write.mode(mode).parquet(f"{out_dir}/term_ubs")
+    # ALWAYS overwrite: the sidecar is a full snapshot recomputed from the
+    # complete postings — honoring a caller's mode='append' here would
+    # stack snapshots, leaving duplicate rows per term (stale smaller ubs
+    # could then understate the MaxScore bound → unsound pruning)
+    ubs.write.mode("overwrite").parquet(f"{out_dir}/term_ubs")
     n_terms = (
         spark.read.schema(TERM_UBS_SCHEMA).parquet(f"{out_dir}/term_ubs").count()
     )

@@ -69,7 +69,10 @@ def assign_doc_ids(corpus: DataFrame, n_buckets: int = 256) -> DataFrame:
     (repo, path, commit) keys get distinct ids with an unspecified
     relative order within the key (as with any rank over equal keys)."""
     b = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(n_buckets)).cast("int")
-    withb = corpus.withColumn("_b", b)
+    # persisted: the counts aggregate below and the downstream rank pass
+    # would otherwise each evaluate the (potentially expensive, uncached)
+    # corpus lineage; Spark evicts the blocks LRU once consumers finish
+    withb = corpus.withColumn("_b", b).persist()
     counts = {
         r["_b"]: r["n"]
         for r in withb.groupBy("_b").agg(F.count("*").alias("n")).collect()
