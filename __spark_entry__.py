@@ -107,6 +107,8 @@ def _units_sql(
     exclude_terms: list[str] | None = None,
     prefix_units: list[str] | None = None,
     near2: tuple[str, str, int] | None = None,
+    caret_units: list[str] | None = None,
+    exclude_group: list[str] | None = None,
 ) -> str:
     """DuckDB oracle for the unit-scoring query language (querylang.py):
     each phrase/term is a BM25 atom with its own tf/df; a doc's score is
@@ -115,8 +117,16 @@ def _units_sql(
     empty = any unit present (OR). ``exclude_terms`` removes docs
     containing any of those terms (NOT semantics) — excluded units score
     0 in surviving docs by construction, so the uid-ordered sum over
-    include units is unchanged."""
+    include units is unchanged. ``exclude_group`` removes docs containing
+    ALL of those terms (exact NOT-of-group). ``caret_units`` are FTS5
+    '^'-anchored terms (tf=1 where the doc's first token matches, df =
+    anchored-doc count). ``near2`` emits the two CONSTRAINED member atoms
+    of a single-term 2-member NEAR group (uid ``n0:t:<term>``): tf counts
+    instances with a partner within N intervening positions, df stays
+    the member's full presence — FTS5 semantics, pinned by the parity
+    suite."""
     ph_ctes, ph_selects = [], []
+    udf_overrides = []
     for pi, pterms in enumerate(phrase_units):
         joins = "\n  ".join(
             f"JOIN pos p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.pos = p0.pos + {i} "
@@ -140,6 +150,31 @@ def _units_sql(
             f"SELECT 'x:{stem}' AS uid, doc_id, CAST(sum(tf) AS BIGINT) AS tf "
             f"FROM tf WHERE term LIKE '{stem}%' GROUP BY doc_id"
         )
+    for t in sorted(set(caret_units or [])):
+        # '^t': matches only where t is the doc's FIRST token (DuckDB
+        # list positions are 1-based), tf = 1
+        ph_selects.append(
+            f"SELECT 'c:{t}' AS uid, doc_id, CAST(1 AS BIGINT) AS tf "
+            f"FROM pos WHERE term = '{t}' AND pos = 1"
+        )
+    if near2:
+        # CONSTRAINED member atoms (FTS5): an instance counts iff some
+        # partner instance is within N intervening positions; df stays
+        # the member's full corpus presence
+        t1, t2, nn = near2
+        for me, other in ((t1, t2), (t2, t1)):
+            ph_selects.append(
+                f"SELECT 'n0:t:{me}' AS uid, p1.doc_id, "
+                f"CAST(count(DISTINCT p1.pos) AS BIGINT) AS tf "
+                f"FROM pos p1 JOIN pos p2 USING (doc_id) "
+                f"WHERE p1.term = '{me}' AND p2.term = '{other}' "
+                f"AND greatest(p1.pos, p2.pos) - least(p1.pos, p2.pos) - 1 <= {nn} "
+                f"GROUP BY p1.doc_id"
+            )
+            udf_overrides.append(
+                f"SELECT 'n0:t:{me}' AS uid, count(*) AS df FROM tf "
+                f"WHERE term = '{me}'"
+            )
     unit_union = "\n  UNION ALL\n  ".join(ph_selects)
     ph_block = (",\n".join(ph_ctes) + ",") if ph_ctes else ""
     having = f"HAVING {match_having}" if match_having else ""
@@ -149,17 +184,23 @@ def _units_sql(
         not_filter = (
             f"WHERE doc_id NOT IN (SELECT doc_id FROM tf WHERE term IN ({xlist}))"
         )
-    if near2:
-        # two-single-term NEAR: ≤ N token positions between some instance
-        # pair (|p1 - p2| - 1 <= N) — mirrors querylang.near_ok for k=2
-        t1, t2, nn = near2
+    if exclude_group:
+        glist = ", ".join(f"'{t}'" for t in sorted(set(exclude_group)))
         clause = (
-            f"doc_id IN (SELECT p1.doc_id FROM pos p1 JOIN pos p2 USING (doc_id) "
-            f"WHERE p1.term = '{t1}' AND p2.term = '{t2}' "
-            f"AND greatest(p1.pos, p2.pos) - least(p1.pos, p2.pos) - 1 <= {nn})"
+            f"doc_id NOT IN (SELECT doc_id FROM tf WHERE term IN ({glist}) "
+            f"GROUP BY doc_id HAVING count(DISTINCT term) = {len(set(exclude_group))})"
         )
         not_filter = (
             f"{not_filter} AND {clause}" if not_filter else f"WHERE {clause}"
+        )
+    udf_sql = "SELECT uid, count(*) AS df FROM unit_tf GROUP BY uid"
+    if udf_overrides:
+        # n-atoms keep full-presence df; their unit_tf rows (satisfied
+        # docs only) must not define it
+        udf_sql = (
+            "SELECT uid, count(*) AS df FROM unit_tf "
+            "WHERE uid NOT LIKE 'n%:%' GROUP BY uid"
+            + "".join(f"\n  UNION ALL\n  {o}" for o in udf_overrides)
         )
     return f"""
 WITH {_TOK_CTES},
@@ -167,7 +208,7 @@ WITH {_TOK_CTES},
 unit_tf AS (
   {unit_union}
 ),
-udf AS (SELECT uid, count(*) AS df FROM unit_tf GROUP BY uid),
+udf AS ({udf_sql}),
 matched AS (
   SELECT doc_id FROM (SELECT doc_id FROM unit_tf GROUP BY doc_id {having})
   {not_filter}
@@ -585,6 +626,36 @@ def q_bm25_parens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
 
 
+NOT_GROUP_QUERY = "hash NOT (sort merge)"
+
+
+def q_bm25_not_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FTS5 NOT with a GROUPED operand (exact semantics, pinned vs
+    SQLite in tests/test_fts5_parity.py): ``hash NOT (sort merge)``
+    excludes only docs matching sort AND merge — the operand's full
+    match set is subtracted, and its units contribute nothing to
+    surviving docs' scores."""
+    from sparkgrep.operators.index_build import build_index
+    from sparkgrep.operators.query import InvertedIndex
+
+    out = tempfile.mkdtemp(prefix="sparkgrep_ng_") + "/idx"
+    build_index(_corpus(spark, sf_dir), out, analyzer="simple", n_buckets=8)
+    res = InvertedIndex(spark, out).search_expr(NOT_GROUP_QUERY, k=10)
+    return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
+
+
+CARET_QUERY = "^hash join"
+
+
+def q_bm25_caret(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FTS5 '^' initial-token anchor: ``^hash`` is its own BM25 atom
+    matching only docs whose FIRST token is hash (tf=1, df = anchored-doc
+    count — pinned vs SQLite), implicit-ANDed with a plain term. Needs a
+    positional index."""
+    res = _pos_index(spark, sf_dir).search_expr(CARET_QUERY, k=10)
+    return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
+
+
 NEAR_QUERY = "NEAR(hash window, 4)"
 
 
@@ -955,6 +1026,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_prefix": q_bm25_prefix,
     "bm25_parens": q_bm25_parens,
     "bm25_near": q_bm25_near,
+    "bm25_not_group": q_bm25_not_group,
+    "bm25_caret": q_bm25_caret,
     "dedup_exact": q_dedup_exact,
     "minhash_lsh": q_minhash_lsh,
     "ngram_jaccard": q_ngram_jaccard,
@@ -1076,9 +1149,19 @@ ORDER BY cf DESC, term ASC LIMIT 20
             ),
         ),
         "bm25_near": _units_sql(
-            [], ["hash", "window"], 10,
-            match_having="count(DISTINCT uid) = 2",
+            # CONSTRAINED member atoms only (n0:t:hash / n0:t:window) —
+            # the engine's underlying term units are gated to 0 for a
+            # pure-NEAR query, so they are omitted here
+            [], [], 10,
+            match_having="count(*) = 2",
             near2=("hash", "window", 4),
+        ),
+        "bm25_not_group": _units_sql(
+            [], ["hash"], 10, exclude_group=["merge", "sort"],
+        ),
+        "bm25_caret": _units_sql(
+            [], ["join"], 10, caret_units=["hash"],
+            match_having="count(*) = 2",
         ),
         "dedup_exact": """
 SELECT md5(text) AS content_md5, count(*) AS n_dups, min(doc_id) AS keeper

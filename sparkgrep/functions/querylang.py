@@ -11,10 +11,21 @@ the reference's own tests, ``test_message_manager.py:417-435``):
 - ``foo*``             — prefix match: one scoring atom covering every
                          index term starting with the stem
 - ``"foo bar"``        — quoted phrase: adjacent tokens in order
+- ``^foo`` / ``^"a b"``— initial-token anchor: matches only instances
+                         starting at token position 0 (tf ∈ {0,1})
 - ``NEAR(a "b c", 5)`` — proximity: all members within ≤N intervening
                          token positions (default 10); members score as
-                         ordinary atoms
+                         CONSTRAINED atoms (only instances participating
+                         in a valid selection count toward tf)
+- ``a NOT (b c)``      — exact group exclusion: subtracts the operand's
+                         full match set (docs matching b AND c)
 - combinations: ``"big data" OR spark``, ``spark NOT "big data"`` etc.
+
+Known documented divergence from SQLite FTS5: duplicated atoms in one
+query (``alpha alpha``, or the same phrase repeated across subtrees)
+are DEDUPED here, where FTS5 scores each occurrence separately
+(double-counting); every other construct is pinned ≤1e-9 against real
+SQLite in tests/test_fts5_parity.py.
 
 Grammar here (deliberately the same flat shape FTS5 gives these tests —
 no parentheses): a query is a disjunction of conjunctions; each
@@ -24,12 +35,15 @@ NOT the highest precedence, so ``a NOT b c`` ≡ (a NOT b) AND c — which
 is exactly the flat include/exclude reading. A conjunct with only
 excludes (``NOT a`` — an FTS5 syntax error) matches nothing here.
 
-Scoring model (FTS5's): every unit is a scoring atom with its own
-within-doc frequency (tf = occurrences of the term / of the whole
-phrase) and document frequency (docs containing the unit). A matched
-doc's score is the sum of BM25 contributions of the query's units
-present in it. AND requires all units of some conjunct; OR unions
-conjunct match-sets.
+Scoring model (FTS5's, pinned against SQLite): every unit is a scoring
+atom with its own within-doc frequency (tf = occurrences of the term /
+of the whole phrase; constrained for NEAR members and anchored units)
+and document frequency (docs containing the unit). A matched doc's
+score is the sum of BM25 contributions of the atoms GATED per disjunct:
+an atom contributes only when some disjunct scoring it (containing it
+as an include, or via its NEAR group) matches the doc — a present unit
+whose own subexpression fails adds nothing. AND requires all units of
+some conjunct; OR unions conjunct match-sets.
 """
 
 from __future__ import annotations
@@ -39,7 +53,9 @@ from dataclasses import dataclass
 
 from sparkgrep.functions.tokenizer import tokenize_py
 
-_PHRASE_RE = re.compile(r'"([^"]*)"')
+# optional '^' captured so the anchor stays attached to the phrase
+# placeholder through lexing (FTS5 '^"a b"')
+_PHRASE_RE = re.compile(r'(\^?)"([^"]*)"')
 
 
 @dataclass(frozen=True)
@@ -49,10 +65,19 @@ class Unit:
     whose per-doc tf is the SUM of tfs of every index term starting with
     the (analyzer-processed) stem, and whose df is the count of docs
     containing at least one such term — pinned against SQLite FTS5 in
-    tests/test_fts5_parity.py."""
+    tests/test_fts5_parity.py.
+
+    ``anchored`` is FTS5's ``^`` initial-token anchor: the unit matches
+    only instances starting at token position 0. Pinned against SQLite:
+    an anchored unit is its own atom whose tf counts ONLY the anchored
+    instances (a single term/phrase can start a doc at most once, so
+    tf ∈ {0, 1}) and whose df is the count of docs with an anchored
+    instance — a doc with the term at positions 0 and 5 scores exactly
+    like one with it at position 0 only."""
 
     terms: tuple[str, ...]  # analyzer-tokenized, order preserved
     prefix: bool = False    # prefix units are always single-stem
+    anchored: bool = False  # FTS5 '^': instances at token position 0 only
 
     @property
     def is_phrase(self) -> bool:
@@ -60,7 +85,12 @@ class Unit:
 
     @property
     def uid(self) -> str:
-        # deterministic sort key shared with the SQL oracle
+        # deterministic sort key shared with the SQL oracle ('c' < 'p' <
+        # 't' < 'x' in ASCII and in DuckDB's binary collation, so the
+        # uid-ordered fold agrees on both sides)
+        if self.anchored:
+            base = "x:" if self.prefix else ("p:" if self.is_phrase else ":")
+            return "c" + base + " ".join(self.terms)
         if self.prefix:
             return "x:" + self.terms[0]
         return ("p:" if self.is_phrase else "t:") + " ".join(self.terms)
@@ -78,6 +108,57 @@ class NearGroup:
 
     phrases: tuple[Unit, ...]
     n: int = 10  # FTS5 default
+
+
+def near_supported(starts: list, lens: list[int], n: int) -> list[int] | None:
+    """Per-member SUPPORTED-instance counts for a NEAR group, or None if
+    the group is unsatisfied. An instance is supported iff it belongs to
+    at least one selection (one instance per member) whose span satisfies
+    ``max(start) - min(end) - 1 <= n``. Pinned against SQLite FTS5
+    (randomized 300-case probe): a NEAR member scores as a BM25 atom
+    whose per-doc tf counts ONLY its supported instances (df stays the
+    member's full corpus presence) — e.g. in ``NEAR(a x, 1)`` over
+    ``a . x x``, the second x cannot pair with a, so x's tf is 1.
+
+    Polynomial test (no selection enumeration): instance (s, e) of
+    member m is supported iff some window floor E — always the end of
+    some instance — has E <= e, s <= n+1+E, and every other member j
+    has an instance with end >= E and start <= n+1+E. Sufficiency: the
+    chosen instances' actual span is within [E, n+1+E]; necessity: take
+    E = the valid selection's min end."""
+    k = len(starts)
+    if any(len(s) == 0 for s in starts):
+        return None
+    ends_all = sorted({
+        int(s) + lens[m] - 1 for m in range(k) for s in starts[m]
+    })
+    out = []
+    for m in range(k):
+        cnt = 0
+        for s in starts[m]:
+            e = int(s) + lens[m] - 1
+            ok = False
+            for E in ends_all:
+                if E > e:
+                    break
+                if int(s) > n + 1 + E:
+                    continue
+                if all(
+                    any(
+                        int(sj) + lens[j] - 1 >= E and int(sj) <= n + 1 + E
+                        for sj in starts[j]
+                    )
+                    for j in range(k)
+                    if j != m
+                ):
+                    ok = True
+                    break
+            if ok:
+                cnt += 1
+        if cnt == 0:
+            return None  # no supported instance for a member ⇒ no valid selection
+        out.append(cnt)
+    return out
 
 
 def near_ok(starts: list, lens: list[int], n: int) -> bool:
@@ -105,11 +186,41 @@ def near_ok(starts: list, lens: list[int], n: int) -> bool:
 class Conjunct:
     """One AND group: every include unit present, no exclude unit
     present (excludes come from FTS5's binary NOT), every NEAR group
-    satisfied."""
+    satisfied, and no exclude EXPRESSION matched.
+
+    ``excludes`` carries unit-like NOT operands (a single term / phrase /
+    prefix, or an OR of such — excluding each member is exact there).
+    ``exclude_exprs`` carries every other NOT operand as a sub-expression
+    in DNF (a tuple of Conjuncts, possibly nested): a doc is excluded iff
+    it MATCHES the sub-expression — FTS5's exact semantics for
+    ``a NOT (b c)`` (excludes docs matching b AND c) and
+    ``a NOT NEAR(b c, n)`` (excludes docs satisfying the proximity
+    group), pinned against SQLite in tests/test_fts5_parity.py."""
 
     includes: tuple[Unit, ...]
     excludes: tuple[Unit, ...] = ()
     nears: tuple[NearGroup, ...] = ()
+    exclude_exprs: tuple[tuple["Conjunct", ...], ...] = ()
+
+
+def _collect_units(conjs, seen: dict) -> None:
+    for conj in conjs:
+        for u in conj.includes + conj.excludes:
+            seen.setdefault(u.uid, u)
+        for grp in conj.nears:
+            for u in grp.phrases:  # member presence feeds the atom's df
+                seen.setdefault(u.uid, u)
+        for e in conj.exclude_exprs:
+            _collect_units(e, seen)
+
+
+def _collect_nears(conjs, out: list) -> None:
+    for conj in conjs:
+        for grp in conj.nears:
+            if grp not in out:
+                out.append(grp)
+        for e in conj.exclude_exprs:
+            _collect_nears(e, out)
 
 
 @dataclass(frozen=True)
@@ -119,14 +230,20 @@ class ParsedQuery:
     disjuncts: tuple[Conjunct, ...]
 
     def units(self) -> list[Unit]:
-        """All distinct units (includes AND excludes — exclusion needs
-        the unit's match set too; NEAR members are includes), ordered by
-        uid (deterministic fold order)."""
+        """All distinct units (includes AND excludes, recursing into
+        exclude expressions — exclusion needs the unit's match set too;
+        NEAR members are includes), ordered by uid (deterministic fold
+        order)."""
         seen: dict[str, Unit] = {}
-        for conj in self.disjuncts:
-            for u in conj.includes + conj.excludes:
-                seen.setdefault(u.uid, u)
+        _collect_units(self.disjuncts, seen)
         return [seen[k] for k in sorted(seen)]
+
+    def near_groups(self) -> list[NearGroup]:
+        """All distinct NEAR groups, including those inside exclude
+        expressions, in deterministic first-seen order."""
+        out: list[NearGroup] = []
+        _collect_nears(self.disjuncts, out)
+        return out
 
     def all_terms(self) -> list[str]:
         return sorted({t for u in self.units() for t in u.terms})
@@ -148,6 +265,12 @@ def _parse_near(body: str, n: str | None, analyzer: str, phrases: list[str]):
     fewer than 2 members survive tokenization — no predicate needed)."""
     units: list[Unit] = []
     for raw in body.split():
+        if raw.startswith("^"):
+            # FTS5 rejects '^' inside NEAR ("syntax error near ^");
+            # accepted here as a plain member (documented superset)
+            raw = raw.lstrip("^")
+            if not raw:
+                continue
         m = re.fullmatch("\x00(\\d+)\x00", raw)
         if m:
             terms = tuple(tokenize_py(phrases[int(m.group(1))], analyzer))
@@ -200,11 +323,18 @@ def _lex(text: str, analyzer: str, phrases: list[str]) -> list:
         if raw in ("(", ")", "OR", "AND", "NOT"):
             out.append(raw)
             continue
+        # FTS5 '^' initial-token anchor: applies to the unit it prefixes
+        # (term, quoted phrase, or prefix stem)
+        anchored = raw.startswith("^")
+        if anchored:
+            raw = raw.lstrip("^")
+            if not raw:
+                continue
         m = re.fullmatch("\x00(\\d+)\x00", raw)
         if m:
             terms = tuple(tokenize_py(phrases[int(m.group(1))], analyzer))
             if terms:
-                out.append([Unit(terms)])
+                out.append([Unit(terms, anchored=anchored)])
             continue
         if raw.endswith("*"):
             # FTS5 prefix token: the stem goes THROUGH the tokenizer
@@ -212,17 +342,37 @@ def _lex(text: str, analyzer: str, phrases: list[str]) -> list:
             # prefix-matches stored terms. A '*' inside quotes is
             # stripped by the tokenizer (literal — also FTS5's
             # behavior). Multi-token stems (code analyzer splitting)
-            # keep all but the last token as plain terms.
+            # keep all but the last token as plain terms; under '^' the
+            # leading tokens become one anchored phrase (engine reading —
+            # FTS5-valid stems are single-token, where '^stem*' is exact).
             toks = tokenize_py(raw.rstrip("*"), analyzer)
             if toks:
-                out.append(
-                    [Unit((t,)) for t in toks[:-1]]
-                    + [Unit((toks[-1],), prefix=True)]
-                )
+                if len(toks) == 1:
+                    out.append([Unit((toks[0],), prefix=True, anchored=anchored)])
+                elif anchored:
+                    out.append(
+                        [Unit(tuple(toks[:-1]), anchored=True)]
+                        + [Unit((toks[-1],), prefix=True)]
+                    )
+                else:
+                    out.append(
+                        [Unit((t,)) for t in toks[:-1]]
+                        + [Unit((toks[-1],), prefix=True)]
+                    )
             continue
-        units = [Unit((t,)) for t in tokenize_py(raw, analyzer)]
-        if units:
-            out.append(units)
+        toks = tokenize_py(raw, analyzer)
+        if not toks:
+            continue
+        if anchored and len(toks) > 1:
+            # an anchored multi-token word reads as one anchored phrase
+            # (FTS5 treats a multi-token string as a phrase)
+            out.append([Unit(tuple(toks), anchored=True)])
+        else:
+            out.append(
+                [Unit((toks[0],), anchored=True)]
+                if anchored
+                else [Unit((t,)) for t in toks]
+            )
     return out
 
 
@@ -236,6 +386,7 @@ def _dnf_and(a: list[Conjunct], b: list[Conjunct]) -> list[Conjunct]:
             x.includes + y.includes,
             x.excludes + y.excludes,
             x.nears + y.nears,
+            x.exclude_exprs + y.exclude_exprs,
         )
         for x in a
         for y in b
@@ -252,11 +403,11 @@ class _Parser:
     (lists of Conjunct). Precedence (FTS5): NOT > AND (implicit on
     adjacency) > OR. Error recovery, not rejection, for unbalanced
     parens: a stray ')' ends the innermost group; an unclosed '(' is
-    closed at end of input — arbitrary garbage never raises. ValueError
-    is raised only for two DOCUMENTED unsupported constructs: a NOT
-    operand that is not unit-like (an AND/nested group cannot be
-    expressed as unit-level exclusion), and DNF blowup past the
-    complexity ceiling."""
+    closed at end of input — arbitrary garbage never raises. NOT
+    operands of any shape are exact: unit-like operands become
+    unit-level excludes, grouped/NEAR/nested operands keep their full
+    match-set as an exclude expression. ValueError is raised only for
+    DNF blowup past the complexity ceiling (documented limit)."""
 
     def __init__(self, toks: list):
         self.toks = toks
@@ -297,26 +448,40 @@ class _Parser:
         while self._peek() == "NOT":
             self._next()
             rhs = self.atom()
-            # Exclusion is UNIT-level: every unit of the operand is
-            # excluded individually. Exact for a bare unit/phrase/prefix
-            # and for OR-groups of units (absent-any-of ≡ not-matching
-            # the group); CONSERVATIVE (over-excluding) for AND-semantics
-            # operands — consistent with this engine's reading of
-            # multi-token words as implicit AND on the include side.
-            # Nested NOT inside a NOT operand cancels into nothing
-            # exclusion can express — those excludes are dropped (the
-            # operand's match set only shrinks; exclusion stays
-            # conservative).
-            excl: list[Unit] = []
-            for c in rhs:
-                excl.extend(c.includes)
+            # UNIT-LIKE operands (a single unit, or an OR of single
+            # units) become unit-level excludes: excluding each member
+            # individually is exact there (absent-any-of ≡ not-matching
+            # the group). Every OTHER operand — AND groups, NEAR groups,
+            # nested NOTs — is kept as a full exclude EXPRESSION whose
+            # match set is subtracted downstream: FTS5's exact semantics
+            # (pinned by parity tests; 'a NOT (b c)' excludes only docs
+            # matching b AND c).
+            excl_units: list[Unit] = []
+            excl_exprs: list[tuple[Conjunct, ...]] = []
+            unitlike = bool(rhs) and all(
+                len(c.includes) == 1
+                and not c.excludes
+                and not c.nears
+                and not c.exclude_exprs
+                for c in rhs
+            )
+            if unitlike:
+                for c in rhs:
+                    excl_units.extend(c.includes)
+            elif rhs:
+                excl_exprs.append(tuple(rhs))
             if not out:
                 # bare NOT (no LHS): FTS5 errors; keep an exclude-only
                 # conjunct, which matches nothing downstream
-                out = [Conjunct((), tuple(excl))]
+                out = [Conjunct((), tuple(excl_units), (), tuple(excl_exprs))]
             else:
                 out = [
-                    Conjunct(c.includes, c.excludes + tuple(excl), c.nears)
+                    Conjunct(
+                        c.includes,
+                        c.excludes + tuple(excl_units),
+                        c.nears,
+                        c.exclude_exprs + tuple(excl_exprs),
+                    )
                     for c in out
                 ]
         return out
@@ -325,9 +490,11 @@ class _Parser:
         t = self._peek()
         if isinstance(t, NearGroup):
             self._next()
-            # members are ordinary scoring includes; the group itself is
-            # the extra proximity predicate
-            return [Conjunct(tuple(t.phrases), (), (t,))]
+            # the group is self-contained: satisfaction implies every
+            # member is present, and members score as CONSTRAINED atoms
+            # (supported instances only — near_supported), so they are
+            # NOT duplicated into the includes
+            return [Conjunct((), (), (t,))]
         if t == "(":
             self._next()
             inner = self.expr()
@@ -350,31 +517,39 @@ def parse_query(text: str, analyzer: str = "simple") -> ParsedQuery:
     """Parse a query string into OR-of-AND units (DNF).
 
     Quoted segments become phrase units (tokenized with the index
-    analyzer, order preserved); ``tok*`` becomes a prefix unit; ``OR``
-    joins disjuncts; ``AND`` is a no-op separator (implicit AND);
-    ``NOT`` excludes its right operand (FTS5 binary NOT at highest
-    precedence); parentheses group arbitrarily — the parser normalizes
-    to disjunctive normal form, so ``(a OR b) c`` executes as
-    ``(a c) OR (b c)`` with FTS5's global unit-sum scoring unchanged.
+    analyzer, order preserved); ``tok*`` becomes a prefix unit; ``^``
+    anchors the unit it prefixes to token position 0 (FTS5 initial-token
+    anchor); ``OR`` joins disjuncts; ``AND`` is a no-op separator
+    (implicit AND); ``NOT`` excludes its right operand (FTS5 binary NOT
+    at highest precedence) — exactly: unit-like operands as unit
+    excludes, grouped/NEAR/nested operands as full exclude expressions
+    whose match set is subtracted; parentheses group arbitrarily — the
+    parser normalizes to disjunctive normal form, so ``(a OR b) c``
+    executes as ``(a c) OR (b c)`` with FTS5's per-subexpression scoring
+    preserved via disjunct-level contribution gating in the engines.
     Phrases that tokenize to one term degrade to term units; empty
     phrases/terms vanish. An all-empty query yields zero disjuncts
     (callers treat it as no-match or raise in strict mode, matching
     FTS5's error on an empty MATCH). Unbalanced parentheses are
-    recovered, never fatal; ValueError is raised only for a non-unit
-    NOT operand or DNF blowup past 64 conjuncts (documented limits).
+    recovered, never fatal; ValueError is raised only for DNF blowup
+    past 64 conjuncts (documented limit).
     """
     phrases: list[str] = []
 
     def _stash(m: re.Match) -> str:
-        phrases.append(m.group(1))
-        return f" \x00{len(phrases) - 1}\x00 "
+        phrases.append(m.group(2))
+        return f" {m.group(1)}\x00{len(phrases) - 1}\x00 "
 
     rest = _PHRASE_RE.sub(_stash, text or "")
     parser = _Parser(_lex(rest, analyzer, phrases))
     disjuncts: list[Conjunct] = []
     while parser._peek() is not None:  # recover across stray ')' at top level
         part = parser.expr()
-        disjuncts.extend(c for c in part if c.includes or c.excludes)
+        disjuncts.extend(
+            c
+            for c in part
+            if c.includes or c.excludes or c.nears or c.exclude_exprs
+        )
         if parser._peek() == ")":
             parser._next()
     # dedupe identical conjuncts (DNF distribution can repeat them)

@@ -268,9 +268,9 @@ class InvertedIndex:
         ).select("doc_id", "tf", "dl")
 
     def _unit_starts(self, u) -> DataFrame:
-        """(doc_id, starts array<int>, asc) of a unit's instance START
-        positions — term: its positions; phrase: intersected starts;
-        prefix: union of matching terms' positions."""
+        """(doc_id, dl, starts array<int>, asc) of a unit's instance
+        START positions — term: its positions; phrase: intersected
+        starts; prefix: union of matching terms' positions."""
         if u.prefix:
             if not self.meta.has_positions:
                 raise ValueError(
@@ -282,21 +282,59 @@ class InvertedIndex:
                 "term string, doc_id long, tf int, dl int, positions array<int>",
             )
             return raw.groupBy("doc_id").agg(
-                F.array_sort(F.flatten(F.collect_list("positions"))).alias("starts")
+                F.first("dl").alias("dl"),
+                F.array_sort(F.flatten(F.collect_list("positions"))).alias("starts"),
             )
         if u.is_phrase:
-            return self._phrase_starts(u.terms).select("doc_id", "starts")
+            return self._phrase_starts(u.terms).select("doc_id", "dl", "starts")
         return self._raw_units(list(u.terms), with_positions=True).select(
-            "doc_id", F.array_sort(F.col("positions")).alias("starts")
+            "doc_id", "dl", F.array_sort(F.col("positions")).alias("starts")
         )
 
-    def _near_docs(self, group) -> DataFrame:
-        """doc_ids satisfying a NEAR proximity group (querylang.near_ok —
-        FTS5's sliding min-end test, ≤ N intervening token positions
-        across the best instance selection). One inner join chain over
-        the members' per-doc start arrays (docs missing any member can't
-        match), then an Arrow-batched predicate."""
-        from sparkgrep.functions.querylang import near_ok
+    def _anchored_tf(self, u) -> DataFrame:
+        """(doc_id, tf, dl) for an anchored unit ``^u`` (FTS5 '^'): only
+        instances starting at token position 0 count, so tf ∈ {1} for
+        matching docs and df is the anchored-doc count — pinned against
+        SQLite FTS5 (a doc with the term at positions 0 and 5 scores as
+        tf=1)."""
+        if not self.meta.has_positions:
+            raise ValueError(
+                "anchored (^) queries need an index built with store_positions=True"
+            )
+        if u.prefix:
+            matched = self.postings.filter(F.col("term").startswith(u.terms[0]))
+            raw = matched.mapInPandas(
+                _decode_raw_gen(self.meta, with_positions=True),
+                "term string, doc_id long, tf int, dl int, positions array<int>",
+            )
+            return (
+                raw.groupBy("doc_id")
+                .agg(
+                    F.max(F.array_contains("positions", 0).cast("int")).alias("_hit"),
+                    F.first("dl").alias("dl"),
+                )
+                .filter(F.col("_hit") == 1)
+                .select("doc_id", F.lit(1).cast("int").alias("tf"), "dl")
+            )
+        if u.is_phrase:
+            return self._phrase_starts(u.terms).filter(
+                F.array_contains("starts", 0)
+            ).select("doc_id", F.lit(1).cast("int").alias("tf"), "dl")
+        raw = self._raw_units(list(u.terms), with_positions=True)
+        return raw.filter(F.array_contains("positions", 0)).select(
+            "doc_id", F.lit(1).cast("int").alias("tf"), "dl"
+        )
+
+    def _near_eval(self, group) -> DataFrame:
+        """(member int, doc_id, tf, dl) for a NEAR group's CONSTRAINED
+        member atoms (FTS5 semantics, ``querylang.near_supported``): rows
+        exist only for docs satisfying the proximity predicate, and tf
+        counts the member's SUPPORTED instances — those participating in
+        at least one selection spanning ≤ N intervening token positions.
+        One inner join chain over the members' per-doc start arrays
+        (docs missing any member can't match), then an Arrow-batched
+        kernel."""
+        from sparkgrep.functions.querylang import near_supported
 
         if not self.meta.has_positions:
             raise ValueError(
@@ -305,24 +343,37 @@ class InvertedIndex:
         k = len(group.phrases)
         joined = None
         for i, u in enumerate(group.phrases):
-            s = self._unit_starts(u).select(
-                "doc_id", F.col("starts").alias(f"s{i}")
-            )
+            cols = ["doc_id"] + (["dl"] if i == 0 else [])
+            s = self._unit_starts(u).select(*cols, F.col("starts").alias(f"s{i}"))
             joined = s if joined is None else joined.join(s, "doc_id")
         lens = [1 if u.prefix else len(u.terms) for u in group.phrases]
         n = group.n
 
         def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
-                ok = [
-                    r.doc_id
-                    for r in pdf.itertuples()
-                    if near_ok([getattr(r, f"s{i}") for i in range(k)], lens, n)
-                ]
-                if ok:
-                    yield pd.DataFrame({"doc_id": np.asarray(ok, dtype=np.int64)})
+                mi, di, tfs, dls = [], [], [], []
+                for r in pdf.itertuples():
+                    sup = near_supported(
+                        [getattr(r, f"s{i}") for i in range(k)], lens, n
+                    )
+                    if sup is None:
+                        continue
+                    for i, cnt in enumerate(sup):
+                        mi.append(i)
+                        di.append(r.doc_id)
+                        tfs.append(cnt)
+                        dls.append(r.dl)
+                if di:
+                    yield pd.DataFrame(
+                        {
+                            "member": np.asarray(mi, np.int32),
+                            "doc_id": np.asarray(di, np.int64),
+                            "tf": np.asarray(tfs, np.int32),
+                            "dl": np.asarray(dls, np.int32),
+                        }
+                    )
 
-        return joined.mapInPandas(gen, "doc_id long")
+        return joined.mapInPandas(gen, "member int, doc_id long, tf int, dl int")
 
     # -- public API ---------------------------------------------------------
 
@@ -383,7 +434,9 @@ class InvertedIndex:
         # per-unit per-doc (tf, dl): terms straight off the postings
         # decode; phrases via position intersection
         parts = []
-        term_units = [u for u in units if not u.is_phrase and not u.prefix]
+        term_units = [
+            u for u in units if not u.is_phrase and not u.prefix and not u.anchored
+        ]
         if term_units:
             terms = sorted({u.terms[0] for u in term_units})
             raw = self._raw_units(terms)
@@ -394,7 +447,13 @@ class InvertedIndex:
                 )
             )
         for u in units:
-            if u.prefix:
+            if u.anchored:
+                parts.append(
+                    self._anchored_tf(u).select(
+                        F.lit(u.uid).alias("uid"), "doc_id", "tf", "dl"
+                    )
+                )
+            elif u.prefix:
                 parts.append(
                     self._prefix_tf(u.terms[0]).select(
                         F.lit(u.uid).alias("uid"), "doc_id", "tf", "dl"
@@ -406,6 +465,21 @@ class InvertedIndex:
                         F.lit(u.uid).alias("uid"), "doc_id", "tf", "dl"
                     )
                 )
+        # NEAR groups (including those inside exclude expressions): one
+        # constrained-atom relation per distinct group — rows only for
+        # satisfying docs, tf = supported instances (FTS5 semantics)
+        groups = pq.near_groups()
+        near_uids: dict[int, list[str]] = {}
+        for gid, grp in enumerate(groups):
+            uids_g = [f"n{gid}:{u.uid}" for u in grp.phrases]
+            near_uids[gid] = uids_g
+            uid_arr = F.array(*[F.lit(x) for x in uids_g])
+            parts.append(
+                self._near_eval(grp).select(
+                    F.element_at(uid_arr, F.col("member") + 1).alias("uid"),
+                    "doc_id", "tf", "dl",
+                )
+            )
         unit_tf = parts[0]
         for p in parts[1:]:
             unit_tf = unit_tf.unionByName(p)
@@ -418,14 +492,20 @@ class InvertedIndex:
                 r["uid"]: r["df"]
                 for r in unit_tf.groupBy("uid").agg(F.count("*").alias("df")).collect()
             }
-            uids = [u.uid for u in units if u.uid in dfs]
-            if not uids:
+            # NEAR member atoms keep the member's FULL corpus presence as
+            # df (pinned against SQLite) even though their rows cover
+            # only satisfying docs
+            for gid, grp in enumerate(groups):
+                for u, nuid in zip(grp.phrases, near_uids[gid]):
+                    if nuid in dfs:
+                        dfs[nuid] = dfs[u.uid]
+            if not dfs:
                 return self.spark.createDataFrame(
                     [], "rank int, doc_id long, score double"
                 )
             idf_rows = [
                 (uid, float(idf_fn(meta.n_docs, dfs[uid], meta.idf_variant)))
-                for uid in sorted(uids)
+                for uid in sorted(dfs)
             ]
             idf_df = self.spark.createDataFrame(idf_rows, "uid string, idf double")
             from sparkgrep.operators.score import bm25_contrib_col
@@ -446,40 +526,79 @@ class InvertedIndex:
                 for i, uid in enumerate(order)
             ]
             g = contribs.groupBy("doc_id").agg(*aggs)
-            # NEAR predicates: one satisfied-docs relation per distinct
-            # group, left-joined as a marker column
-            groups: list = []
-            for conj in pq.disjuncts:
-                for grp in conj.nears:
-                    if grp not in groups:
-                        groups.append(grp)
-            for j, grp in enumerate(groups):
-                nd = self._near_docs(grp).withColumn(f"_n{j}", F.lit(1))
-                g = g.join(nd, "doc_id", "left")
-            match = None
-            for conj in pq.disjuncts:
-                if not conj.includes:
-                    continue  # bare-NOT conjunct matches nothing
-                have = [u.uid for u in conj.includes if u.uid in pos]
-                if len(have) < len(conj.includes):
-                    continue  # a unit matches nothing → conjunct unsatisfiable
+
+            def conj_cond(conj):
+                # None = statically unsatisfiable (an include unit or
+                # NEAR group with no matches anywhere)
                 c = None
-                for uid in have:
-                    cond = F.col(f"_c{pos[uid]}").isNotNull()
+                for u in conj.includes:
+                    if u.uid not in pos:
+                        return None
+                    cond = F.col(f"_c{pos[u.uid]}").isNotNull()
                     c = cond if c is None else (c & cond)
+                for grp in conj.nears:
+                    # group satisfied ⟺ its (first) member atom present —
+                    # constrained rows exist exactly for satisfying docs
+                    nuid = near_uids[groups.index(grp)][0]
+                    if nuid not in pos:
+                        return None
+                    cond = F.col(f"_c{pos[nuid]}").isNotNull()
+                    c = cond if c is None else (c & cond)
+                if c is None:
+                    return None  # bare-NOT conjunct matches nothing
                 for u in conj.excludes:
                     if u.uid in pos:  # absent exclude unit is vacuous
                         c = c & F.col(f"_c{pos[u.uid]}").isNull()
-                for grp in conj.nears:
-                    c = c & F.col(f"_n{groups.index(grp)}").isNotNull()
-                match = c if match is None else (match | c)
+                for e in conj.exclude_exprs:
+                    ec = expr_cond(e)
+                    if ec is not None:  # unmatchable exclusion is vacuous
+                        c = c & ~ec
+                return c
+
+            def expr_cond(conjs):
+                c = None
+                for conj in conjs:
+                    cc = conj_cond(conj)
+                    if cc is not None:
+                        c = cc if c is None else (c | cc)
+                return c
+
+            match = expr_cond(pq.disjuncts)
             if match is None:
                 return self.spark.createDataFrame(
                     [], "rank int, doc_id long, score double"
                 )
+            # FTS5 scoring gate (pinned against SQLite): a unit
+            # contributes to a doc's score only when some disjunct
+            # containing it as an INCLUDE matches the doc — a present
+            # unit whose own subexpression fails (NOT fired, co-include
+            # missing) adds nothing. For monotone queries this reduces to
+            # presence, and for single-disjunct queries to the match
+            # condition itself, so the fold is bitwise-unchanged there.
+            scoring_uids = []  # per top-level conjunct: the atoms it scores
+            for conj in pq.disjuncts:
+                s = {u.uid for u in conj.includes}
+                for grp in conj.nears:
+                    s.update(near_uids[groups.index(grp)])
+                scoring_uids.append(s)
+            gates = {}
+            for uid in order:
+                gate = None
+                for conj, s in zip(pq.disjuncts, scoring_uids):
+                    if uid in s:
+                        cc = conj_cond(conj)
+                        if cc is not None:
+                            gate = cc if gate is None else (gate | cc)
+                gates[uid] = gate
             expr = None
-            for i in range(len(order)):
-                col = F.coalesce(F.col(f"_c{i}"), F.lit(0.0))
+            for i, uid in enumerate(order):
+                gate = gates[uid]
+                contrib_i = F.coalesce(F.col(f"_c{i}"), F.lit(0.0))
+                col = (
+                    F.when(gate, contrib_i).otherwise(F.lit(0.0))
+                    if gate is not None
+                    else F.lit(0.0)
+                )
                 expr = col if expr is None else expr + col
             scored = g.filter(match).select("doc_id", expr.alias("score"))
             top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

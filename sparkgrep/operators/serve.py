@@ -223,15 +223,18 @@ class LocalServer:
             for u in pq.units():
                 if u.prefix:
                     self._fetch_prefix(u.terms[0])
+                    if u.anchored:
+                        self._fetch_prefix_pos(u.terms[0])
+                elif u.anchored:
+                    pterms.update(u.terms)  # anchored units need positions
                 else:
                     (pterms if u.is_phrase else terms).update(u.terms)
-            for conj in pq.disjuncts:
-                for grp in conj.nears:  # NEAR members need positions
-                    for u in grp.phrases:
-                        if u.prefix:
-                            self._fetch_prefix_pos(u.terms[0])
-                        else:
-                            pterms.update(u.terms)
+            for grp in pq.near_groups():  # NEAR members need positions
+                for u in grp.phrases:
+                    if u.prefix:
+                        self._fetch_prefix_pos(u.terms[0])
+                    else:
+                        pterms.update(u.terms)
         self._fetch(sorted(terms))
         if pterms:
             self._fetch_pos(sorted(pterms))
@@ -290,7 +293,10 @@ class LocalServer:
         term units straight off the postings, phrase units via
         slot-shifted position intersection (the numpy mirror of
         ``InvertedIndex._phrase_tf``), prefix units via the stem-scan
-        cache (tf summed over matching terms per doc)."""
+        cache (tf summed over matching terms per doc), anchored units
+        (FTS5 '^') by filtering instance starts to position 0 (tf=1)."""
+        if unit.anchored:
+            return self._anchored_postings(unit)
         if unit.prefix:
             return self._fetch_prefix(unit.terms[0])
         if not unit.is_phrase:
@@ -331,6 +337,49 @@ class LocalServer:
             np.asarray(out_dl, np.int64),
         )
 
+    def _anchored_postings(self, unit) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Numpy mirror of ``InvertedIndex._anchored_tf``: docs whose
+        anchored instance set contains token position 0; tf=1 (a doc
+        starts at most once)."""
+        if unit.prefix:
+            pos_map = self._fetch_prefix_pos(unit.terms[0])
+            ids_all, _tfs, dls_all = self._fetch_prefix(unit.terms[0])
+            dl_of = dict(zip(ids_all.tolist(), dls_all.tolist()))
+            docs = sorted(
+                d for d, p in pos_map.items() if p.size and p[0] == 0
+            )
+            return (
+                np.asarray(docs, np.int64),
+                np.ones(len(docs), np.int64),
+                np.asarray([dl_of[d] for d in docs], np.int64),
+            )
+        # term/phrase: instance starts from the positional cache
+        maps = []
+        for t in unit.terms:
+            m: dict[int, tuple[np.ndarray, int]] = {}
+            for _, ids, _tfs, dls, positions in self._pcache.get(t, []):
+                for j, d in enumerate(ids):
+                    m[int(d)] = (positions[j], int(dls[j]))
+            maps.append(m)
+        common = set(maps[0])
+        for m in maps[1:]:
+            common &= set(m)
+        out_ids, out_dl = [], []
+        for d in sorted(common):
+            starts = maps[0][d][0]
+            for i in range(1, len(unit.terms)):
+                starts = np.intersect1d(starts, maps[i][d][0] - i)
+                if starts.size == 0:
+                    break
+            if starts.size and starts.min() == 0:
+                out_ids.append(d)
+                out_dl.append(maps[0][d][1])
+        return (
+            np.asarray(out_ids, np.int64),
+            np.ones(len(out_ids), np.int64),
+            np.asarray(out_dl, np.int64),
+        )
+
     def search_expr(self, query_text: str, k: int = 10, strict: bool = False) -> pd.DataFrame:
         """Full query language (implicit/explicit AND, OR, NOT, quoted
         phrases) on the serving tier — rank- and score-identical to
@@ -347,16 +396,18 @@ class LocalServer:
             return _EMPTY.copy()
         units = pq.units()
         self._fetch(
-            sorted({u.terms[0] for u in units if not u.is_phrase and not u.prefix})
+            sorted({
+                u.terms[0]
+                for u in units
+                if not u.is_phrase and not u.prefix and not u.anchored
+            })
         )
-        near_groups: list = []
-        for conj in pq.disjuncts:
-            for grp in conj.nears:
-                if grp not in near_groups:
-                    near_groups.append(grp)
-        # phrase terms AND non-prefix NEAR members need positions
+        near_groups = pq.near_groups()
+        # phrase terms, anchored term/phrase units, and non-prefix NEAR
+        # members need positions
         pterms = sorted(
-            {t for u in units if u.is_phrase for t in u.terms}
+            {t for u in units if u.is_phrase and not u.prefix for t in u.terms}
+            | {t for u in units if u.anchored and not u.prefix for t in u.terms}
             | {
                 t
                 for grp in near_groups
@@ -367,6 +418,10 @@ class LocalServer:
         )
         if pterms:
             self._fetch_pos(pterms)
+        for u in units:
+            if u.anchored and u.prefix:
+                self._fetch_prefix(u.terms[0])
+                self._fetch_prefix_pos(u.terms[0])
 
         # per-unit postings; unit df = matched-doc count (== stored df
         # for terms); drop no-match units like the distributed path
@@ -375,69 +430,134 @@ class LocalServer:
             ids, tfs, dls = self._unit_postings(u)
             if ids.size:
                 per_unit[u.uid] = (ids, tfs, dls)
-        if not per_unit:
-            return _EMPTY.copy()
-        order = sorted(per_unit)
-        pos = {uid: i for i, uid in enumerate(order)}
 
-        # contributions per (unit, doc) — identical float-op order to
-        # bm25_contrib_col; idf driver-side like _search_parsed
-        k1, b, avgdl, n_docs = meta.k1, meta.b, meta.avgdl, meta.n_docs
-        ids_parts, tix_parts, contrib_parts = [], [], []
-        for uid in order:
-            ids, tfs, dls = per_unit[uid]
-            idf = float(idf_fn(n_docs, int(ids.size), meta.idf_variant))
-            tf = tfs.astype(np.float64)
-            dl = dls.astype(np.float64)
-            contrib = idf * (tf * (k1 + 1.0)) / (
-                tf + (k1 * ((1.0 - b) + ((b * dl) / avgdl)))
-            )
-            ids_parts.append(ids)
-            tix_parts.append(np.full(ids.size, pos[uid], dtype=np.int32))
-            contrib_parts.append(contrib)
-        docs, scores = seq_fold(
-            np.concatenate(ids_parts),
-            np.concatenate(tix_parts),
-            np.concatenate(contrib_parts),
-            len(order),
-        )
+        # NEAR groups (including those inside exclude expressions):
+        # CONSTRAINED member atoms — rows only for satisfying docs, tf =
+        # supported instances, df = the member's full presence (numpy
+        # mirror of InvertedIndex._near_eval)
+        from sparkgrep.functions.querylang import near_supported
 
-        # NEAR predicates: satisfied-doc sets per distinct group
-        from sparkgrep.functions.querylang import near_ok
-
-        near_docs: list[np.ndarray] = []
-        for grp in near_groups:
+        df_of = {}  # uid → df used for idf (n-atoms override below)
+        near_uids: dict[int, list[str]] = {}
+        for gid, grp in enumerate(near_groups):
+            uids_g = [f"n{gid}:{u.uid}" for u in grp.phrases]
+            near_uids[gid] = uids_g
             starts_maps = [self._local_unit_starts(u) for u in grp.phrases]
             lens = [1 if u.prefix else len(u.terms) for u in grp.phrases]
             common = set(starts_maps[0])
             for m in starts_maps[1:]:
                 common &= set(m)
-            ok = [
-                d
-                for d in common
-                if near_ok([m[d] for m in starts_maps], lens, grp.n)
-            ]
-            near_docs.append(np.asarray(sorted(ok), dtype=np.int64))
+            ids0, _tf0, dls0 = self._unit_postings(grp.phrases[0])
+            dl_of = dict(zip(ids0.tolist(), dls0.tolist()))
+            per_member: list[list] = [[] for _ in grp.phrases]
+            sat_docs = []
+            for d in sorted(common):
+                sup = near_supported(
+                    [m[d] for m in starts_maps], lens, grp.n
+                )
+                if sup is None:
+                    continue
+                sat_docs.append(d)
+                for i, cnt in enumerate(sup):
+                    per_member[i].append(cnt)
+            if sat_docs:
+                ids_a = np.asarray(sat_docs, np.int64)
+                dls_a = np.asarray([dl_of[d] for d in sat_docs], np.int64)
+                for i, (u, nuid) in enumerate(zip(grp.phrases, uids_g)):
+                    per_unit[nuid] = (
+                        ids_a,
+                        np.asarray(per_member[i], np.int64),
+                        dls_a,
+                    )
+                    # df = the member's FULL presence (SQLite-pinned)
+                    df_of[nuid] = int(per_unit[u.uid][0].size)
 
-        # boolean match: any conjunct with all includes present, no
-        # excludes present, every NEAR group satisfied (absent units:
-        # include → unsatisfiable, exclude → vacuous)
-        match = np.zeros(docs.size, dtype=bool)
-        for conj in pq.disjuncts:
-            if not conj.includes:
-                continue  # bare-NOT conjunct matches nothing
-            have = [u.uid for u in conj.includes if u.uid in per_unit]
-            if len(have) < len(conj.includes):
-                continue
-            c = np.ones(docs.size, dtype=bool)
-            for uid in have:
-                c &= np.isin(docs, per_unit[uid][0])
+        if not per_unit:
+            return _EMPTY.copy()
+        order = sorted(per_unit)
+        docs = np.unique(np.concatenate([per_unit[uid][0] for uid in order]))
+
+        # boolean masks over `docs` — numpy mirror of the distributed
+        # conj_cond/expr_cond recursion (exclude EXPRESSIONS subtract
+        # their exact match set)
+        present = {uid: np.isin(docs, per_unit[uid][0]) for uid in order}
+
+        def conj_mask(conj):
+            m = None
+            for u in conj.includes:
+                if u.uid not in per_unit:
+                    return None
+                mm = present[u.uid]
+                m = mm.copy() if m is None else (m & mm)
+            for grp in conj.nears:
+                nuid = near_uids[near_groups.index(grp)][0]
+                if nuid not in per_unit:
+                    return None
+                mm = present[nuid]
+                m = mm.copy() if m is None else (m & mm)
+            if m is None:
+                return None  # bare-NOT conjunct matches nothing
             for u in conj.excludes:
                 if u.uid in per_unit:
-                    c &= ~np.isin(docs, per_unit[u.uid][0])
+                    m &= ~present[u.uid]
+            for e in conj.exclude_exprs:
+                em = expr_mask(e)
+                if em is not None:
+                    m &= ~em
+            return m
+
+        def expr_mask(conjs):
+            m = None
+            for conj in conjs:
+                mm = conj_mask(conj)
+                if mm is not None:
+                    m = mm if m is None else (m | mm)
+            return m
+
+        match = expr_mask(pq.disjuncts)
+        if match is None:
+            return _EMPTY.copy()
+
+        # FTS5 scoring gate (same rule as _search_parsed): an atom
+        # contributes only where a disjunct scoring it matches
+        scoring_uids = []
+        for conj in pq.disjuncts:
+            s = {u.uid for u in conj.includes}
             for grp in conj.nears:
-                c &= np.isin(docs, near_docs[near_groups.index(grp)])
-            match |= c
+                s.update(near_uids[near_groups.index(grp)])
+            scoring_uids.append(s)
+        gates = {}
+        for uid in order:
+            gate = None
+            for conj, s in zip(pq.disjuncts, scoring_uids):
+                if uid in s:
+                    cm = conj_mask(conj)
+                    if cm is not None:
+                        gate = cm if gate is None else (gate | cm)
+            gates[uid] = gate
+
+        # gated fold — contributions per (unit, doc) in uid order,
+        # identical float-op order to the distributed gated sum (adding
+        # a gated-out contribution of 0.0 is a bitwise identity)
+        k1, b, avgdl, n_docs = meta.k1, meta.b, meta.avgdl, meta.n_docs
+        scores = np.zeros(docs.size, dtype=np.float64)
+        for uid in order:
+            gate = gates[uid]
+            if gate is None:
+                continue
+            ids, tfs, dls = per_unit[uid]
+            idf = float(
+                idf_fn(n_docs, df_of.get(uid, int(ids.size)), meta.idf_variant)
+            )
+            tf = tfs.astype(np.float64)
+            dl = dls.astype(np.float64)
+            contrib = idf * (tf * (k1 + 1.0)) / (
+                tf + (k1 * ((1.0 - b) + ((b * dl) / avgdl)))
+            )
+            p = np.searchsorted(docs, ids)
+            sel = gate[p]
+            scores[p[sel]] += contrib[sel]
+
         docs, scores = docs[match], scores[match]
         sel = np.lexsort((docs, -scores))[:k]
         return pd.DataFrame(

@@ -84,6 +84,12 @@ def bm25_expr_oracle(
     avgdl = sum(dls.values()) / n if n else 0.0
 
     def unit_tf(doc_toks, unit) -> int:
+        if unit.anchored:
+            # FTS5 '^': only instances at token position 0 count → tf∈{0,1}
+            if unit.prefix:
+                return int(bool(doc_toks) and doc_toks[0].startswith(unit.terms[0]))
+            L = len(unit.terms)
+            return int(tuple(doc_toks[:L]) == unit.terms)
         if unit.prefix:
             return sum(1 for t in doc_toks if t.startswith(unit.terms[0]))
         if len(unit.terms) == 1:
@@ -100,16 +106,7 @@ def bm25_expr_oracle(
     utf = {uid: {d: c for d, c in m.items() if c > 0} for uid, m in utf.items()}
     dfs = {uid: len(m) for uid, m in utf.items() if m}
 
-    def idf(df_):
-        x = (n - df_ + 0.5) / (df_ + 0.5)
-        if idf_variant == "okapi":
-            return math.log(x)
-        if idf_variant == "fts5":
-            v = math.log(x)
-            return v if v > 0.0 else 1e-6
-        return math.log1p(x)
-
-    from sparkgrep.functions.querylang import near_ok
+    from sparkgrep.functions.querylang import near_ok, near_supported
 
     def unit_starts(doc_toks, unit):
         if unit.prefix:
@@ -121,28 +118,77 @@ def bm25_expr_oracle(
             if tuple(doc_toks[i : i + L]) == unit.terms
         ]
 
-    def near_sat(doc_toks, grp) -> bool:
-        starts = [unit_starts(doc_toks, u) for u in grp.phrases]
+    # NEAR groups → constrained member atoms (rows only for satisfying
+    # docs, tf = supported instances, df = member's full presence)
+    near_groups = pq.near_groups()
+    near_uids = {}
+    for gid, grp in enumerate(near_groups):
+        uids_g = [f"n{gid}:{u.uid}" for u in grp.phrases]
+        near_uids[gid] = uids_g
         lens = [1 if u.prefix else len(u.terms) for u in grp.phrases]
-        return near_ok(starts, lens, grp.n)
+        maps = [dict() for _ in grp.phrases]
+        any_sat = False
+        for d, t in toks.items():
+            sup = near_supported(
+                [unit_starts(t, u) for u in grp.phrases], lens, grp.n
+            )
+            if sup is None:
+                continue
+            any_sat = True
+            for i, cnt in enumerate(sup):
+                maps[i][d] = cnt
+        if any_sat:
+            for i, (u, nuid) in enumerate(zip(grp.phrases, uids_g)):
+                utf[nuid] = maps[i]
+                dfs[nuid] = dfs[u.uid]  # FULL presence df (SQLite-pinned)
+
+    def idf(df_):
+        x = (n - df_ + 0.5) / (df_ + 0.5)
+        if idf_variant == "okapi":
+            return math.log(x)
+        if idf_variant == "fts5":
+            v = math.log(x)
+            return v if v > 0.0 else 1e-6
+        return math.log1p(x)
+
+    def conj_sat(d, conj) -> bool:
+        if not conj.includes and not conj.nears:
+            return False  # bare-NOT conjunct matches nothing
+        return (
+            all(u.uid in dfs and d in utf[u.uid] for u in conj.includes)
+            and all(
+                near_uids[near_groups.index(grp)][0] in utf
+                and d in utf[near_uids[near_groups.index(grp)][0]]
+                for grp in conj.nears
+            )
+            and not any(u.uid in dfs and d in utf[u.uid] for u in conj.excludes)
+            and not any(
+                any(conj_sat(d, c) for c in e) for e in conj.exclude_exprs
+            )
+        )
+
+    scoring_uids = []  # per top-level conjunct: the atoms it scores
+    for conj in pq.disjuncts:
+        s = {u.uid for u in conj.includes}
+        for grp in conj.nears:
+            s.update(near_uids[near_groups.index(grp)])
+        scoring_uids.append(s)
 
     rows = []
     for d in toks:
-        matched = any(
-            conj.includes
-            and all(u.uid in dfs and d in utf[u.uid] for u in conj.includes)
-            and not any(
-                u.uid in dfs and d in utf[u.uid] for u in conj.excludes
-            )
-            and all(near_sat(toks[d], grp) for grp in conj.nears)
-            for conj in pq.disjuncts
-        )
+        matched = any(conj_sat(d, conj) for conj in pq.disjuncts)
         if not matched:
             continue
         score = 0.0
         for uid in sorted(dfs):  # uid-sorted fold order, engine-identical
             tf = utf[uid].get(d, 0)
-            if tf == 0:
+            # FTS5 gating: an atom contributes only when some disjunct
+            # scoring it matches this doc
+            gated = any(
+                uid in s and conj_sat(d, conj)
+                for conj, s in zip(pq.disjuncts, scoring_uids)
+            )
+            if tf == 0 or not gated:
                 score += 0.0
                 continue
             denom = tf + (k1 * ((1.0 - b) + ((b * dls[d]) / avgdl)))

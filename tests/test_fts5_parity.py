@@ -313,6 +313,26 @@ NOT_QUERIES = [
     "NEAR(meet* you, 6)",                         # prefix member
     "NEAR(you know, 5) NOT meeting",              # NEAR + NOT
     "NEAR(you thank know, 8)",                    # 3 members
+    "NEAR(you thank, 1)",                         # constrained member tf
+    "NEAR(you your, 2) OR unsubscribe",           # NEAR in a disjunction
+    "thank OR NEAR(thank you, 0)",                # plain + member atom mix
+    # exact NOT-of-group semantics (AND / NEAR / nested operands)
+    "you NOT (thank meeting)",
+    "unsubscribe NOT (thank AND you)",
+    "you NOT NEAR(thank meeting, 5)",
+    "you NOT (thank NOT meeting)",
+    'know NOT ("thank you" OR meeting)',          # OR-of-units operand
+    # per-disjunct contribution gating (unit present, subtree unmatched)
+    "meeting OR (you NOT thank)",
+    "(meeting you) OR unsubscribe",
+    "thank OR (meeting NOT you)",
+    # '^' initial-token anchor
+    "^thank",
+    '^"thank you"',
+    "^thank*",
+    "^hi OR ^hello",
+    "you NOT ^thank",
+    "^thank OR meeting",
 ]
 
 
