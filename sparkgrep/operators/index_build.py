@@ -97,9 +97,14 @@ POSTINGS_OUT_SCHEMA = (
 # delta+varint encoded, concatenated in doc order; segment lengths == tfs
 POSTINGS_OUT_SCHEMA_POS = POSTINGS_OUT_SCHEMA + ", poss binary"
 
-# per-term sidecar consumed by pruned serving (operators/wand.py): global
-# df + the global BM25 upper bound (max block_max across shards)
-TERM_UBS_SCHEMA = "term string, df long, ub double"
+# per-term sidecar: (a) MaxScore planning (operators/wand.py) reads the
+# global df + BM25 upper bound; (b) it doubles as the sorted TERM
+# DICTIONARY for prefix-query pruning — bucket tells the reader which
+# hash-bucket partitions hold a resolved term, so `stem*` never sweeps
+# the whole postings table (query.py:prefix_terms). Written
+# range-partitioned and sorted by term: parquet row-group min/max stats
+# prune a StartsWith pushdown to the matching files
+TERM_UBS_SCHEMA = "term string, df long, ub double, bucket int"
 
 
 def spimi_term_freqs(
@@ -421,13 +426,18 @@ def merge_and_write(
         .agg(
             F.first("df").alias("df"),  # df is global, same on every shard
             F.max(F.array_max("block_max")).cast("double").alias("ub"),
+            F.first("bucket").alias("bucket"),  # pure hash of term
         )
     )
     # ALWAYS overwrite: the sidecar is a full snapshot recomputed from the
     # complete postings — honoring a caller's mode='append' here would
     # stack snapshots, leaving duplicate rows per term (stale smaller ubs
-    # could then understate the MaxScore bound → unsound pruning)
-    ubs.write.mode("overwrite").parquet(f"{out_dir}/term_ubs")
+    # could then understate the MaxScore bound → unsound pruning).
+    # Range-partitioned + sorted by term so a prefix StartsWith pushdown
+    # prunes to the matching files/row-groups (term-dictionary role).
+    ubs.repartitionByRange(8, "term").sortWithinPartitions("term").write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/term_ubs")
     n_terms = (
         spark.read.schema(TERM_UBS_SCHEMA).parquet(f"{out_dir}/term_ubs").count()
     )

@@ -116,6 +116,10 @@ class InvertedIndex:
         # driver-side (df, ub) cache for MaxScore planning — see term_ubs()
         self._ub_cache: dict[str, tuple[int, float] | None] = {}
         self._ub_full = False
+        # term dictionary for prefix pruning (term → hash bucket; sorted
+        # term list for driver-side bisect) — see prefix_terms()
+        self._bucket_cache: dict[str, int | None] = {}
+        self._sorted_terms: list[str] | None = None
 
     def warm(self) -> "InvertedIndex":
         """Serving mode: pin the postings table in executor memory
@@ -148,6 +152,31 @@ class InvertedIndex:
     # the query's own terms are fetched (predicate-pushdown scan)
     _UB_FULL_LOAD_MAX = 2_000_000
 
+    def _ensure_full_ubs(self) -> bool:
+        """Memoize the WHOLE term_ubs sidecar driver-side (df/ub for
+        MaxScore planning + the sorted term→bucket dictionary for prefix
+        resolution). True when fully resident; False when the sidecar is
+        absent or the vocabulary exceeds the driver budget."""
+        if self._ub_full:
+            return True
+        from sparkgrep.operators.index_build import TERM_UBS_SCHEMA
+        from sparkgrep.sources import fsio
+
+        path = f"{self.index_dir}/term_ubs"
+        if not fsio.exists(path) or not (
+            0 <= self.meta.n_terms <= self._UB_FULL_LOAD_MAX
+        ):
+            return False
+        rows = self.spark.read.schema(TERM_UBS_SCHEMA).parquet(path).collect()
+        for r in rows:
+            self._ub_cache[r["term"]] = (int(r["df"]), float(r["ub"]))
+            self._bucket_cache[r["term"]] = (
+                int(r["bucket"]) if r["bucket"] is not None else None
+            )
+        self._sorted_terms = sorted(self._bucket_cache)
+        self._ub_full = True
+        return True
+
     def term_ubs(self, terms: list[str]) -> dict[str, tuple[int, float]]:
         """{term: (df, BM25 upper bound)} for the given terms; terms with
         no postings are absent. Backed by the build-time ``term_ubs``
@@ -158,15 +187,14 @@ class InvertedIndex:
         from sparkgrep.sources import fsio
 
         missing = [t for t in terms if t not in self._ub_cache]
-        if missing and not self._ub_full:
+        if missing and not self._ensure_full_ubs():
             path = f"{self.index_dir}/term_ubs"
             if fsio.exists(path):
-                ubs = self.spark.read.schema(TERM_UBS_SCHEMA).parquet(path)
-                if 0 <= self.meta.n_terms <= self._UB_FULL_LOAD_MAX:
-                    rows = ubs.collect()
-                    self._ub_full = True
-                else:
-                    rows = ubs.filter(F.col("term").isin(missing)).collect()
+                rows = (
+                    self.spark.read.schema(TERM_UBS_SCHEMA).parquet(path)
+                    .filter(F.col("term").isin(missing))
+                    .collect()
+                )
             else:
                 # pre-sidecar index: derive from postings metadata (column-
                 # pruned scan of the query terms' buckets only)
@@ -187,6 +215,64 @@ class InvertedIndex:
             if hit is not None:
                 out[t] = hit
         return out
+
+    # prefix resolution cap: a stem matching more terms than this (a
+    # 1-character stem over a web-scale vocabulary) is cheaper to serve
+    # with the legacy metadata sweep than with a 10^5-term isin filter
+    _PREFIX_RESOLVE_MAX = 65536
+
+    def prefix_terms(self, stem: str) -> list[str] | None:
+        """Resolve ``stem*`` to the exact matching index terms via the
+        sorted term dictionary (term_ubs sidecar): driver-side bisect
+        when the vocabulary is memoized, else a pushed-down StartsWith
+        scan of the range-partitioned sidecar (row-group min/max prunes
+        non-matching files). Returns None when the dictionary cannot
+        answer — pre-dictionary index, or more than _PREFIX_RESOLVE_MAX
+        matches — and callers fall back to the legacy full-metadata
+        postings sweep."""
+        from sparkgrep.operators.index_build import TERM_UBS_SCHEMA
+        from sparkgrep.sources import fsio
+
+        if self._ensure_full_ubs():
+            import bisect
+
+            lo = bisect.bisect_left(self._sorted_terms, stem)
+            out = []
+            for t in self._sorted_terms[lo:]:
+                if not t.startswith(stem):
+                    break
+                if self._bucket_cache.get(t) is None:
+                    return None  # pre-dictionary sidecar (no bucket col)
+                out.append(t)
+                if len(out) > self._PREFIX_RESOLVE_MAX:
+                    return None
+            return out
+        path = f"{self.index_dir}/term_ubs"
+        if not fsio.exists(path):
+            return None
+        rows = (
+            self.spark.read.schema(TERM_UBS_SCHEMA).parquet(path)
+            .filter(F.col("term").startswith(stem))
+            .select("term", "bucket")
+            .limit(self._PREFIX_RESOLVE_MAX + 1)
+            .collect()
+        )
+        if len(rows) > self._PREFIX_RESOLVE_MAX:
+            return None
+        if any(r["bucket"] is None for r in rows):
+            return None  # pre-dictionary sidecar
+        return [r["term"] for r in rows]
+
+    def _prefix_matched(self, stem: str) -> DataFrame:
+        """Postings rows for ``stem*``: resolved through the term
+        dictionary into a normal bucket-pruned + term-pushdown scan
+        whenever possible; the full StartsWith metadata sweep only as
+        the documented fallback (pre-dictionary index / degenerate
+        stem)."""
+        terms = self.prefix_terms(stem)
+        if terms is None:
+            return self.postings.filter(F.col("term").startswith(stem))
+        return self._matched(terms)
 
     def _contribs(self, terms: list[str]) -> DataFrame:
         return self._matched(terms).mapInPandas(
@@ -213,13 +299,13 @@ class InvertedIndex:
     def _prefix_tf(self, stem: str) -> DataFrame:
         """(doc_id, tf, dl) for a prefix unit ``stem*``: decode every
         posting whose term starts with the stem and SUM tfs per doc
-        (FTS5's prefix scoring model). The scan cannot bucket-prune —
-        terms sharing a prefix hash to arbitrary buckets — so this is a
-        full postings-metadata scan with a pushed StartsWith filter on
-        the term column (payload columns of non-matching rows are never
-        decoded); an index meant primarily for prefix workloads would
-        bucket by term RANGE instead (documented trade-off)."""
-        matched = self.postings.filter(F.col("term").startswith(stem))
+        (FTS5's prefix scoring model). The stem resolves driver-side to
+        its exact matching terms through the sorted term dictionary
+        (term_ubs sidecar), so the scan is the normal bucket-pruned +
+        term-pushdown path — no full-metadata sweep (plan-asserted in
+        tests/test_index.py); the sweep survives only as the documented
+        fallback inside ``_prefix_matched``."""
+        matched = self._prefix_matched(stem)
         raw = matched.mapInPandas(
             _decode_raw_gen(self.meta), "term string, doc_id long, tf int, dl int"
         )
@@ -276,8 +362,7 @@ class InvertedIndex:
                 raise ValueError(
                     "NEAR queries need an index built with store_positions=True"
                 )
-            matched = self.postings.filter(F.col("term").startswith(u.terms[0]))
-            raw = matched.mapInPandas(
+            raw = self._prefix_matched(u.terms[0]).mapInPandas(
                 _decode_raw_gen(self.meta, with_positions=True),
                 "term string, doc_id long, tf int, dl int, positions array<int>",
             )
@@ -302,8 +387,7 @@ class InvertedIndex:
                 "anchored (^) queries need an index built with store_positions=True"
             )
         if u.prefix:
-            matched = self.postings.filter(F.col("term").startswith(u.terms[0]))
-            raw = matched.mapInPandas(
+            raw = self._prefix_matched(u.terms[0]).mapInPandas(
                 _decode_raw_gen(self.meta, with_positions=True),
                 "term string, doc_id long, tf int, dl int, positions array<int>",
             )

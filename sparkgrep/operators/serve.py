@@ -23,8 +23,6 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import functions as F
-
 from sparkgrep.functions.querylang import parse_query
 from sparkgrep.functions.tokenizer import tokenize_py
 from sparkgrep.functions.varint import (
@@ -119,14 +117,15 @@ class LocalServer:
             )
 
     def _fetch_prefix(self, stem: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Aggregated (doc_ids, tf, dl) for ``stem*`` — one pruned-column
-        postings scan (StartsWith on term; no bucket pruning possible),
-        decoded and tf-summed per doc driver-side, cached per stem."""
+        """Aggregated (doc_ids, tf, dl) for ``stem*`` — the stem resolves
+        through the term dictionary into a bucket-pruned scan
+        (InvertedIndex._prefix_matched), decoded and tf-summed per doc
+        driver-side, cached per stem."""
         hit = self._xcache.get(stem)
         if hit is not None:
             return hit
         rows = (
-            self.index.postings.filter(F.col("term").startswith(stem))
+            self.index._prefix_matched(stem)
             .select("term", "n", "doc_ids", "tfs", "dls")
             .collect()
         )
@@ -167,7 +166,7 @@ class LocalServer:
                 "NEAR queries need an index built with store_positions=True"
             )
         rows = (
-            self.index.postings.filter(F.col("term").startswith(stem))
+            self.index._prefix_matched(stem)
             .select("term", "n", "doc_ids", "tfs", "poss")
             .collect()
         )

@@ -212,6 +212,57 @@ def test_query_scan_prunes_buckets_and_pushes_term(index):
     assert "term" in pushed
 
 
+def test_prefix_scan_prunes_buckets(index):
+    """A prefix query must resolve through the term dictionary into the
+    normal bucket-pruned + term-pushdown scan — NOT a full postings
+    metadata sweep (the one query family without pruning before round
+    4). The fallback sweep survives only for pre-dictionary indexes."""
+    terms = index.prefix_terms("tab")
+    assert terms is not None and terms
+    assert all(t.startswith("tab") for t in terms)
+    plan = (
+        index._prefix_matched("tab")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "bucket" in pf, plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "In(term" in pushed or "term" in pushed
+
+    # resolved scan ≡ legacy StartsWith sweep, row for row
+    from pyspark.sql import functions as F
+
+    legacy = (
+        index.postings.filter(F.col("term").startswith("tab"))
+        .select("term", "shard", "df", "n")
+        .orderBy("term", "shard")
+        .collect()
+    )
+    pruned = (
+        index._prefix_matched("tab")
+        .select("term", "shard", "df", "n")
+        .orderBy("term", "shard")
+        .collect()
+    )
+    assert pruned == legacy
+
+
+def test_prefix_resolution_pushdown_path(index):
+    """When the vocabulary exceeds the driver-residency budget, prefix
+    resolution switches to a pushed-down StartsWith scan of the sorted
+    sidecar — same answer as the bisect path."""
+    from dataclasses import replace
+
+    from sparkgrep.operators.query import InvertedIndex
+
+    resident = index.prefix_terms("tab")
+    idx2 = InvertedIndex(index.spark, index.index_dir)
+    idx2.meta = replace(idx2.meta, n_terms=InvertedIndex._UB_FULL_LOAD_MAX + 1)
+    assert not idx2._ensure_full_ubs()
+    assert sorted(idx2.prefix_terms("tab")) == sorted(resident)
+
+
 def test_empty_corpus_build_and_search(spark, tmp_path):
     """Building over an empty corpus must not crash, and queries return
     empty (reference analogue: empty inbox)."""
