@@ -77,8 +77,14 @@ class IndexMeta:
     version: int = 2  # v2: block-addressable postings (gap reset + offsets)
     has_positions: bool = False
     # vocabulary size, for the driver-side decision to load the whole
-    # term_ubs sidecar (-1 = sidecar absent / pre-sidecar index)
+    # term_ubs sidecar (-1 = sidecar absent / pre-sidecar index). On a
+    # layered index this is an upper bound (Σ per-layer vocabularies).
     n_terms: int = -1
+    # log-structured DELTA layers (relative subdirs, append order): the
+    # reader serves base + deltas with exact global stats; compaction
+    # folds them back (plans/manifest.py: append_batch_delta /
+    # compact_index)
+    layers: tuple = ()
 
 
 # v2 postings are BLOCK-ADDRESSABLE: doc_ids gap encoding resets at every

@@ -27,7 +27,12 @@ from sparkgrep.operators.index_build import IndexMeta, load_meta
 from sparkgrep.operators.score import idf as idf_fn
 
 
-def _decode_score_gen(meta: IndexMeta):
+def _decode_score_gen(meta: IndexMeta, idf_by_term: dict[str, float] | None = None):
+    """Decode-and-score kernel. ``idf_by_term`` (required for LAYERED
+    indexes, where a row's stored df is layer-local) carries the global
+    idf per term computed driver-side from summed layer dfs; when absent
+    (single-layer index) the row's own global df is used — both paths
+    produce the identical double (same idf_fn on the same df)."""
     k1, b, avgdl, n_docs = meta.k1, meta.b, meta.avgdl, meta.n_docs
     variant, block = meta.idf_variant, meta.block_size
 
@@ -38,7 +43,11 @@ def _decode_score_gen(meta: IndexMeta):
                 ids = blocked_gap_decode(r.doc_ids, r.n, block)
                 tfs = varint_decode(r.tfs).astype(np.int64)
                 dls = varint_decode(r.dls).astype(np.int64)
-                idf = idf_fn(n_docs, r.df, variant)
+                idf = (
+                    idf_by_term[r.term]
+                    if idf_by_term is not None
+                    else idf_fn(n_docs, r.df, variant)
+                )
                 contrib = idf * (tfs * (k1 + 1.0)) / (
                     tfs + (k1 * ((1.0 - b) + ((b * dls) / avgdl)))
                 )
@@ -111,7 +120,25 @@ class InvertedIndex:
         schema = (
             POSTINGS_OUT_SCHEMA_POS if self.meta.has_positions else POSTINGS_OUT_SCHEMA
         )
-        self.postings = spark.read.schema(schema).parquet(f"{index_dir}/postings")
+        # log-structured layers: base + unmerged delta appends. Each layer
+        # is read separately and unioned — filters (bucket pruning, term
+        # pushdown) push into every child scan. doc_ids are disjoint
+        # across layers (a doc is indexed wholly in one layer), so
+        # presence-counted dfs and per-(term, doc) contribution rows stay
+        # exact; global N/avgdl come from the root meta, which delta
+        # appends update incrementally from exact integers.
+        self.layer_dirs = [index_dir] + [
+            f"{index_dir}/{lay}" for lay in (self.meta.layers or ())
+        ]
+        parts = [
+            spark.read.schema(schema).parquet(f"{d}/postings")
+            for d in self.layer_dirs
+        ]
+        p = parts[0]
+        for q in parts[1:]:
+            p = p.unionByName(q)
+        self.postings = p
+        self.is_layered = len(self.layer_dirs) > 1
         self._warm = False
         # driver-side (df, ub) cache for MaxScore planning — see term_ubs()
         self._ub_cache: dict[str, tuple[int, float] | None] = {}
@@ -155,24 +182,31 @@ class InvertedIndex:
     def _ensure_full_ubs(self) -> bool:
         """Memoize the WHOLE term_ubs sidecar driver-side (df/ub for
         MaxScore planning + the sorted term→bucket dictionary for prefix
-        resolution). True when fully resident; False when the sidecar is
-        absent or the vocabulary exceeds the driver budget."""
+        resolution). On a layered index every layer's sidecar is loaded
+        and per-term df SUMMED (doc_ids are disjoint across layers); ub
+        is kept as the max but is only sound for pruning on a compacted
+        index (wand.py routes layered indexes to the exact path). True
+        when fully resident; False when a sidecar is absent or the
+        vocabulary exceeds the driver budget."""
         if self._ub_full:
             return True
         from sparkgrep.operators.index_build import TERM_UBS_SCHEMA
         from sparkgrep.sources import fsio
 
-        path = f"{self.index_dir}/term_ubs"
-        if not fsio.exists(path) or not (
+        paths = [f"{d}/term_ubs" for d in self.layer_dirs]
+        if not all(fsio.exists(p) for p in paths) or not (
             0 <= self.meta.n_terms <= self._UB_FULL_LOAD_MAX
         ):
             return False
-        rows = self.spark.read.schema(TERM_UBS_SCHEMA).parquet(path).collect()
-        for r in rows:
-            self._ub_cache[r["term"]] = (int(r["df"]), float(r["ub"]))
-            self._bucket_cache[r["term"]] = (
-                int(r["bucket"]) if r["bucket"] is not None else None
-            )
+        acc: dict[str, list] = {}
+        for path in paths:
+            for r in self.spark.read.schema(TERM_UBS_SCHEMA).parquet(path).collect():
+                a = acc.setdefault(r["term"], [0, 0.0, r["bucket"]])
+                a[0] += int(r["df"])
+                a[1] = max(a[1], float(r["ub"]))
+        for t, (df, ub, bucket) in acc.items():
+            self._ub_cache[t] = (df, ub)
+            self._bucket_cache[t] = int(bucket) if bucket is not None else None
         self._sorted_terms = sorted(self._bucket_cache)
         self._ub_full = True
         return True
@@ -188,16 +222,25 @@ class InvertedIndex:
 
         missing = [t for t in terms if t not in self._ub_cache]
         if missing and not self._ensure_full_ubs():
-            path = f"{self.index_dir}/term_ubs"
-            if fsio.exists(path):
-                rows = (
-                    self.spark.read.schema(TERM_UBS_SCHEMA).parquet(path)
-                    .filter(F.col("term").isin(missing))
-                    .collect()
-                )
+            paths = [f"{d}/term_ubs" for d in self.layer_dirs]
+            if all(fsio.exists(p) for p in paths):
+                acc: dict[str, list] = {}
+                for path in paths:
+                    rows = (
+                        self.spark.read.schema(TERM_UBS_SCHEMA).parquet(path)
+                        .filter(F.col("term").isin(missing))
+                        .collect()
+                    )
+                    for r in rows:
+                        a = acc.setdefault(r["term"], [0, 0.0])
+                        a[0] += int(r["df"])  # layer dfs sum (disjoint docs)
+                        a[1] = max(a[1], float(r["ub"]))
+                for t, (df, ub) in acc.items():
+                    self._ub_cache[t] = (df, ub)
             else:
-                # pre-sidecar index: derive from postings metadata (column-
-                # pruned scan of the query terms' buckets only)
+                # pre-sidecar index (single layer by construction): derive
+                # from postings metadata (column-pruned scan of the query
+                # terms' buckets only)
                 rows = (
                     self._matched(missing)
                     .select("term", "df", F.array_max("block_max").alias("ub"))
@@ -205,8 +248,8 @@ class InvertedIndex:
                     .agg(F.first("df").alias("df"), F.max("ub").alias("ub"))
                     .collect()
                 )
-            for r in rows:
-                self._ub_cache[r["term"]] = (int(r["df"]), float(r["ub"]))
+                for r in rows:
+                    self._ub_cache[r["term"]] = (int(r["df"]), float(r["ub"]))
             for t in missing:  # negative cache: no postings for this term
                 self._ub_cache.setdefault(t, None)
         out = {}
@@ -247,21 +290,26 @@ class InvertedIndex:
                 if len(out) > self._PREFIX_RESOLVE_MAX:
                     return None
             return out
-        path = f"{self.index_dir}/term_ubs"
-        if not fsio.exists(path):
+        paths = [f"{d}/term_ubs" for d in self.layer_dirs]
+        if not all(fsio.exists(p) for p in paths):
             return None
-        rows = (
-            self.spark.read.schema(TERM_UBS_SCHEMA).parquet(path)
-            .filter(F.col("term").startswith(stem))
-            .select("term", "bucket")
-            .limit(self._PREFIX_RESOLVE_MAX + 1)
-            .collect()
-        )
-        if len(rows) > self._PREFIX_RESOLVE_MAX:
-            return None
-        if any(r["bucket"] is None for r in rows):
-            return None  # pre-dictionary sidecar
-        return [r["term"] for r in rows]
+        terms: set[str] = set()
+        for path in paths:
+            rows = (
+                self.spark.read.schema(TERM_UBS_SCHEMA).parquet(path)
+                .filter(F.col("term").startswith(stem))
+                .select("term", "bucket")
+                .limit(self._PREFIX_RESOLVE_MAX + 1)
+                .collect()
+            )
+            if len(rows) > self._PREFIX_RESOLVE_MAX:
+                return None
+            if any(r["bucket"] is None for r in rows):
+                return None  # pre-dictionary sidecar
+            terms.update(r["term"] for r in rows)
+            if len(terms) > self._PREFIX_RESOLVE_MAX:
+                return None
+        return sorted(terms)
 
     def _prefix_matched(self, stem: str) -> DataFrame:
         """Postings rows for ``stem*``: resolved through the term
@@ -275,9 +323,23 @@ class InvertedIndex:
         return self._matched(terms)
 
     def _contribs(self, terms: list[str]) -> DataFrame:
+        idf_map = self._layered_idf_map(terms)
         return self._matched(terms).mapInPandas(
-            _decode_score_gen(self.meta), "term string, doc_id long, contrib double"
+            _decode_score_gen(self.meta, idf_map),
+            "term string, doc_id long, contrib double",
         )
+
+    def _layered_idf_map(self, terms: list[str]) -> dict[str, float] | None:
+        """Global per-term idf for LAYERED indexes (a posting row's
+        stored df is layer-local there); None on a single-layer index,
+        where the executor-side per-row df path is used unchanged."""
+        if not self.is_layered:
+            return None
+        ubs = self.term_ubs(terms)  # summed layer dfs, memoized
+        return {
+            t: float(idf_fn(self.meta.n_docs, df, self.meta.idf_variant))
+            for t, (df, _ub) in ubs.items()
+        }
 
     @staticmethod
     def _fold_scores(

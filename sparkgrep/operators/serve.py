@@ -249,14 +249,22 @@ class LocalServer:
             return empty
         self._fetch(terms)
         k1, b, avgdl, n_docs = meta.k1, meta.b, meta.avgdl, meta.n_docs
+        # LAYERED index: a shard row's stored df is layer-local — use the
+        # summed global dfs from the layered term_ubs sidecars instead
+        layered_dfs = (
+            {t: df for t, (df, _ub) in self.index.term_ubs(terms).items()}
+            if getattr(self.index, "is_layered", False)
+            else None
+        )
         ids_parts, tix_parts, contrib_parts = [], [], []
         for ti, t in enumerate(terms):
             shards = self._cache[t]
             if not shards:
                 continue
-            # df in the payload is the GLOBAL document frequency (same on
-            # every shard row) — no aggregation needed
-            idf = idf_fn(n_docs, shards[0][0], meta.idf_variant)
+            # single layer: df in the payload is the GLOBAL document
+            # frequency (same on every shard row) — no aggregation needed
+            df_g = layered_dfs.get(t, 0) if layered_dfs is not None else shards[0][0]
+            idf = idf_fn(n_docs, df_g, meta.idf_variant)
             for _, ids, tfs, dls in shards:
                 contrib = idf * (tfs * (k1 + 1.0)) / (
                     tfs + (k1 * ((1.0 - b) + ((b * dls) / avgdl)))

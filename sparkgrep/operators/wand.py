@@ -179,6 +179,13 @@ def search_pruned(
         return empty
     if meta.idf_variant == "okapi":
         return index.search(query_text, k)  # negative contribs → unsound
+    if getattr(index, "is_layered", False):
+        # block_max/ub metadata is baked per layer under THAT layer's
+        # stats — stale as global bounds once deltas land (N/avgdl/df
+        # drift). Pruning serves COMPACTED indexes; a layered index gets
+        # the exact single-job plan (still correct, still pruned by
+        # bucket/term pushdown).
+        return index.search(query_text, k)
 
     ubs_map = index.term_ubs(terms)  # job-free after first touch
     if not ubs_map:

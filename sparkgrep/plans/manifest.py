@@ -23,11 +23,17 @@ from __future__ import annotations
 
 import json
 import time
+from dataclasses import asdict, replace
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sparkgrep.operators.index_build import IndexMeta, merge_and_write, spimi_term_freqs
+from sparkgrep.operators.index_build import (
+    IndexMeta,
+    load_meta,
+    merge_and_write,
+    spimi_term_freqs,
+)
 from sparkgrep.schema import SEGMENT_MANIFEST_SCHEMA
 from sparkgrep.sources import fsio
 
@@ -230,3 +236,194 @@ def append_batch(
 
     tf_all = spark.read.parquet(f"{out_dir}/segments")
     return merge_and_write(tf_all, out_dir, analyzer, **merge_kw)
+
+
+def _commit_segment(spark, sl: DataFrame, tf: DataFrame, out_dir: str, seg_id) -> str:
+    """Write one segment's term-frequency runs + its lineage manifest
+    entry (atomic: manifest row only after the parquet write succeeds).
+    Returns the segment directory."""
+    t_seg = time.time()
+    seg_dir = f"{out_dir}/segments/seg={seg_id}"
+    tf.write.mode("overwrite").parquet(seg_dir)
+    m = spark.read.parquet(seg_dir).agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("tf").alias("n_tokens"),
+        F.count(F.when(F.col("term") != "", 1)).alias("n_postings"),
+    ).collect()[0]
+    h_col = (
+        F.sha2(F.col("content_sha256"), 256)
+        if "content_sha256" in sl.columns
+        else F.sha2(F.col("content"), 256)
+    )
+    h = sl.select(
+        F.sum(
+            F.pmod(F.xxhash64(h_col), F.lit(1 << 61)).cast("decimal(38,0)")
+        ).alias("h")
+    ).collect()[0]["h"]
+    _append_manifest(
+        out_dir,
+        {
+            "segment_id": seg_id,
+            "n_docs": int(m["n_docs"] or 0),
+            "n_tokens": int(m["n_tokens"] or 0),
+            "n_postings": int(m["n_postings"] or 0),
+            "content_hash": format(int(h or 0), "x"),
+            "wall_time_sec": round(time.time() - t_seg, 3),
+        },
+    )
+    return seg_dir
+
+
+def _write_root_meta(out_dir: str, meta: IndexMeta) -> None:
+    d = asdict(meta)
+    d["layers"] = list(meta.layers or ())
+    fsio.write_text(f"{out_dir}/stats.json", json.dumps(d, indent=2))
+
+
+def append_batch_delta(
+    corpus_batch: DataFrame,
+    out_dir: str,
+    batch_id: str,
+    analyzer: str = "simple",
+    use_lang: bool = False,
+    store_positions: bool = False,
+    **merge_kw,
+) -> IndexMeta:
+    """O(batch) incremental maintenance: the batch becomes its own
+    log-structured DELTA LAYER instead of triggering a full re-merge
+    (contrast :func:`append_batch`, whose freshness cost is O(corpus)).
+
+    The batch is SPIMI-processed once; its term-frequency runs land in
+    the lineage manifest (same checkpoint/resume story as any segment)
+    and are merged into ``delta/<seq>/`` — postings + term_ubs +
+    doc_lens for the batch alone. The BASE layer is never read, decoded,
+    or rewritten. The root ``stats.json`` is updated incrementally from
+    exact integers (N, total_tokens; avgdl = tot/N — the same double
+    division a full rebuild computes), and the reader
+    (:class:`~sparkgrep.operators.query.InvertedIndex`) serves base +
+    deltas with per-term df summed across layers, so query results equal
+    a from-scratch build over the union bit-for-bit
+    (tests/test_delta_append.py). Periodic :func:`compact_index` folds
+    the layers back so MaxScore pruning (whose block metadata is only
+    sound on a compacted index) re-engages.
+
+    First call on a fresh ``out_dir`` bootstraps the base layer.
+    Idempotent per batch id (streaming replays are no-ops). doc_ids
+    across batches must be distinct (ingest-assigned)."""
+    spark = corpus_batch.sparkSession
+    root_exists = fsio.exists(f"{out_dir}/stats.json")
+    if root_exists:
+        root = load_meta(out_dir)
+        # layer consistency is non-negotiable: analyzer/codec/bucketing
+        # come from the index, not the caller
+        analyzer = root.analyzer
+        store_positions = root.has_positions
+        merge_kw.setdefault("n_buckets", root.n_buckets)
+        merge_kw.setdefault("postings_per_shard", root.postings_per_shard)
+        merge_kw.setdefault("block_size", root.block_size)
+        merge_kw.setdefault("k1", root.k1)
+        merge_kw.setdefault("b", root.b)
+        merge_kw.setdefault("idf_variant", root.idf_variant)
+
+    seg_id = f"{batch_id}-0"
+    if seg_id in {m["segment_id"] for m in read_manifest(out_dir)}:
+        return load_meta(out_dir)  # replayed micro-batch: no-op
+
+    tf = spimi_term_freqs(
+        corpus_batch, analyzer, use_lang, positions=store_positions
+    )
+    seg_dir = _commit_segment(spark, corpus_batch, tf, out_dir, seg_id)
+    tf_disk = spark.read.parquet(seg_dir)
+
+    if not root_exists:  # bootstrap: the first batch IS the base layer
+        return merge_and_write(tf_disk, out_dir, analyzer, **merge_kw)
+
+    seq = len(root.layers or ())
+    delta_rel = f"delta/{seq:05d}"
+    dmeta = merge_and_write(tf_disk, f"{out_dir}/{delta_rel}", analyzer, **merge_kw)
+
+    n_docs = root.n_docs + dmeta.n_docs
+    total = root.total_tokens + dmeta.total_tokens
+    new_root = replace(
+        root,
+        n_docs=n_docs,
+        total_tokens=total,
+        avgdl=(total / n_docs) if n_docs else 0.0,
+        # upper bound on the union vocabulary — only the driver-residency
+        # budget decision consumes it
+        n_terms=(
+            root.n_terms + dmeta.n_terms
+            if root.n_terms >= 0 and dmeta.n_terms >= 0
+            else -1
+        ),
+        layers=tuple(root.layers or ()) + (delta_rel,),
+    )
+    _write_root_meta(out_dir, new_root)
+    return new_root
+
+
+def compact_index(
+    spark: SparkSession, out_dir: str, merge_partitions: int | None = None
+) -> IndexMeta:
+    """Fold base + delta layers back into a single base layer.
+
+    Term-frequency runs are reconstructed by DECODING the existing
+    postings (the varint codec is lossless, so the (term, doc_id, tf,
+    dl[, positions]) multiset is exactly what was indexed) plus sentinel
+    rows from the layered doc_lens, then the standard merge re-runs into
+    a staging dir which atomically replaces the base. Query results are
+    byte-identical before and after, and the compacted postings equal a
+    from-scratch build over the union corpus
+    (tests/test_delta_append.py). Cost is O(total index) — the point of
+    the log-structured design is that this price is paid on a cadence,
+    not per batch."""
+    from sparkgrep.operators.query import InvertedIndex, _decode_raw_gen
+
+    meta = load_meta(out_dir)
+    if not meta.layers:
+        return meta
+    idx = InvertedIndex(spark, out_dir)
+    schema = "term string, doc_id long, tf int, dl int" + (
+        ", positions array<int>" if meta.has_positions else ""
+    )
+    raw = idx.postings.mapInPandas(
+        _decode_raw_gen(meta, with_positions=meta.has_positions), schema
+    )
+    dls = None
+    for d in idx.layer_dirs:
+        part = spark.read.schema("doc_id long, dl int").parquet(f"{d}/doc_lens")
+        dls = part if dls is None else dls.unionByName(part)
+    sent_cols = [
+        F.lit("").alias("term"),
+        F.col("doc_id"),
+        F.lit(0).cast("int").alias("tf"),
+        F.col("dl"),
+    ]
+    if meta.has_positions:
+        sent_cols.append(F.array().cast("array<int>").alias("positions"))
+    tf_all = raw.unionByName(dls.select(*sent_cols))
+
+    tmp = f"{out_dir}/_compact_tmp"
+    fsio.delete(tmp)
+    new_meta = merge_and_write(
+        tf_all,
+        tmp,
+        meta.analyzer,
+        n_buckets=meta.n_buckets,
+        postings_per_shard=meta.postings_per_shard,
+        block_size=meta.block_size,
+        k1=meta.k1,
+        b=meta.b,
+        idf_variant=meta.idf_variant,
+        merge_partitions=merge_partitions,
+    )
+    # the merge fully materialized the staging dir (writes are actions):
+    # swap it in, then drop the folded delta layers
+    for sub in ("postings", "doc_lens", "term_ubs"):
+        fsio.delete(f"{out_dir}/{sub}")
+        fsio.rename(f"{tmp}/{sub}", f"{out_dir}/{sub}")
+    fsio.delete(f"{out_dir}/delta")
+    fsio.delete(tmp)
+    final = replace(new_meta, layers=())
+    _write_root_meta(out_dir, final)
+    return final

@@ -75,6 +75,32 @@ def exists(path: str) -> bool:
     return bool(fs.exists(p))
 
 
+def delete(path: str, recursive: bool = True) -> None:
+    """Delete a file or directory tree (no-op if absent)."""
+    h = _hadoop(path)
+    if h is None:
+        import shutil
+
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+        elif os.path.exists(path):
+            os.remove(path)
+        return
+    fs, p, _ = h
+    if fs.exists(p):
+        fs.delete(p, recursive)
+
+
+def rename(src: str, dst: str) -> None:
+    """Move ``src`` to ``dst`` (dst must not exist)."""
+    h = _hadoop(src)
+    if h is None:
+        os.replace(src, dst)
+        return
+    fs, p, jvm = h
+    fs.rename(p, jvm.org.apache.hadoop.fs.Path(dst))
+
+
 def list_dir(path: str, suffix: str = "") -> list[str]:
     """Names (not paths) of plain files directly under ``path`` ending
     with ``suffix``; empty if the directory doesn't exist."""

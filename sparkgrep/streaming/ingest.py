@@ -5,12 +5,14 @@ per-row SQLite triggers on INSERT (``message_manager.py:113-137``), i.e.
 synchronous maintenance inside the write path (SURVEY §2.10 declared
 streaming out of the reference's scope). The engine's analogue at
 cluster scale is micro-batch maintenance: a streaming corpus source
-(files landing on object storage, Kafka, ...) drives
-``foreachBatch`` → :func:`sparkgrep.plans.manifest.append_batch`, which
-SPIMI-processes the new docs into their own manifest segment and
-re-runs the cheap stateless global merge — results after each batch are
-byte-identical to a from-scratch build over everything seen so far
-(pinned by tests/test_checkpoint.py + tests/test_streaming.py).
+(files landing on object storage, Kafka, ...) drives ``foreachBatch`` →
+:func:`sparkgrep.plans.manifest.append_batch_delta`: each batch becomes
+an O(batch) log-structured delta layer (the base index is never
+re-merged per batch — round 3's cost-proportionality finding), served
+alongside the base with exact global statistics; ``compact_every``
+bounds the layer count via periodic compaction. Results after each
+batch are bit-identical to a from-scratch build over everything seen so
+far (pinned by tests/test_streaming.py + tests/test_delta_append.py).
 
 Exactly-once: Structured Streaming may replay a micro-batch after a
 failure; ``append_batch`` is idempotent per batch id (completed segments
@@ -31,6 +33,8 @@ def index_stream(
     use_lang: bool = False,
     checkpoint_dir: str | None = None,
     available_now: bool = True,
+    delta: bool = True,
+    compact_every: int | None = None,
     **merge_kw,
 ) -> StreamingQuery:
     """Start a streaming query that maintains the inverted index at
@@ -38,23 +42,43 @@ def index_stream(
     columns: doc_id, content[, lang]; doc_ids across batches must be
     distinct, as for any append).
 
+    ``delta=True`` (default) makes each micro-batch an O(batch)
+    log-structured delta layer (``manifest.append_batch_delta``) — the
+    freshness cost is proportional to the BATCH, never the corpus —
+    with ``compact_every`` bounding the layer count (after that many
+    unmerged deltas, one compaction folds them back so MaxScore pruning
+    re-engages). ``delta=False`` keeps the round-2 behavior (full
+    re-merge per batch: simplest, but O(corpus) freshness cost).
+
     ``available_now=True`` drains everything currently available and
     stops (backfill / test mode); False runs continuously with the
     source's default trigger.
     """
-    from sparkgrep.plans.manifest import append_batch
+    from sparkgrep.plans.manifest import append_batch, append_batch_delta, compact_index
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        append_batch(
-            batch_df,
-            out_dir,
-            batch_id=f"stream-{batch_id}",
-            analyzer=analyzer,
-            use_lang=use_lang,
-            **merge_kw,
-        )
+        if delta:
+            meta = append_batch_delta(
+                batch_df,
+                out_dir,
+                batch_id=f"stream-{batch_id}",
+                analyzer=analyzer,
+                use_lang=use_lang,
+                **merge_kw,
+            )
+            if compact_every and len(meta.layers or ()) >= compact_every:
+                compact_index(batch_df.sparkSession, out_dir)
+        else:
+            append_batch(
+                batch_df,
+                out_dir,
+                batch_id=f"stream-{batch_id}",
+                analyzer=analyzer,
+                use_lang=use_lang,
+                **merge_kw,
+            )
 
     writer = (
         corpus_stream.writeStream.foreachBatch(_sink)
