@@ -669,6 +669,52 @@ def q_bm25_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
 
 
+CASCADE_CATEGORIES = [("cat_hash", "hash join table"), ("cat_sort", "sort merge batch")]
+
+
+def _cascade_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's 4-phase classification cascade
+    (classification_service.py:47-134) composed end-to-end over the BM25
+    candidate tier (the reference's own dormant design,
+    CANDIDATE_LIMIT_BM25=50): candidates → rescore → sigmoid +
+    percentile partition (85/15) → deterministic grey validation →
+    not-in-candidates defaults. The contract rescorer quantizes the BM25
+    score to 3 decimals so the discrete phase/verdict columns are robust
+    to cross-engine libm ulp differences (the operator's default is the
+    identity)."""
+    from sparkgrep.operators.classify import classify_cascade
+    from sparkgrep.operators.index_build import build_index
+    from sparkgrep.operators.query import InvertedIndex
+
+    corpus = _corpus(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="sparkgrep_cls_") + "/idx"
+    build_index(corpus, out, analyzer="simple", n_buckets=8)
+    return classify_cascade(
+        InvertedIndex(spark, out),
+        corpus,
+        CASCADE_CATEGORIES,
+        k_candidates=50,
+        rescorer=lambda df: df.withColumn("score", F.round("score", 3)),
+    )
+
+
+def q_classify_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _cascade_results(spark, sf_dir)
+    return res.select(
+        "category", "doc_id", "phase",
+        F.round("score", 4).alias("score"),
+        F.round("prob", 6).alias("prob"),
+        "is_in",
+    )
+
+
+def q_classify_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-category summary counts (orchestrator.py:77-100, A3)."""
+    from sparkgrep.operators.classify import classification_summary
+
+    return classification_summary(_cascade_results(spark, sf_dir))
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkgrep.operators.dedup import exact_dup_groups
 
@@ -1028,6 +1074,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_near": q_bm25_near,
     "bm25_not_group": q_bm25_not_group,
     "bm25_caret": q_bm25_caret,
+    "classify_cascade": q_classify_cascade,
+    "classify_summary": q_classify_summary,
     "dedup_exact": q_dedup_exact,
     "minhash_lsh": q_minhash_lsh,
     "ngram_jaccard": q_ngram_jaccard,
@@ -1080,6 +1128,90 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
+
+
+def _cascade_sql() -> tuple[str, str]:
+    """(per-doc verdicts SQL, summary SQL) mirroring the 4-phase cascade:
+    per-category raw BM25 top-50 → round(score, 3) rescore quantization
+    (cross-engine float determinism for the discrete phase/verdict
+    columns) → sigmoid+clip → quantile_cont 85/15 thresholds (exact
+    linear interpolation, = numpy/Spark percentile) → phase partition →
+    deterministic grey validation → FALSE defaults for non-candidates."""
+    blocks = []
+    for slug, text in CASCADE_CATEGORIES:
+        terms = sorted(set(_tokenize(text)))
+        tlist = ", ".join(f"('{t}')" for t in terms)
+        blocks.append(f"""
+  SELECT '{slug}' AS category, doc_id, score FROM (
+    SELECT s.doc_id, s.score FROM (
+      SELECT cb.doc_id, sum(cb.c ORDER BY cb.term) AS score FROM (
+        SELECT tf.doc_id, tf.term,
+               ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                 * (tf.tf * {BM25_K1 + 1.0})
+                 / (tf.tf + ({BM25_K1} * ({1.0 - BM25_B} + (({BM25_B} * dl.dl) / stats.avgdl)))) AS c
+        FROM tf
+        JOIN (SELECT term, count(*) AS df FROM tf
+              WHERE term IN (SELECT term FROM (VALUES {tlist}) q(term))
+              GROUP BY term) dfq USING (term)
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats
+      ) cb GROUP BY cb.doc_id
+    ) s ORDER BY s.score DESC, s.doc_id ASC LIMIT 50
+  )""")
+    cand_union = "\n  UNION ALL\n".join(blocks)
+    cat_values = ", ".join(f"('{slug}')" for slug, _ in CASCADE_CATEGORIES)
+    core = f"""
+WITH {_TOK_CTES},
+cand AS (
+{cand_union}
+),
+resc AS (SELECT category, doc_id, round(score, 3) AS score FROM cand),
+probs AS (SELECT category, doc_id, score,
+  1.0/(1.0 + exp(-greatest(-500.0, least(500.0, score)))) AS prob FROM resc),
+thr AS (SELECT category, quantile_cont(prob, 0.85) AS hi,
+               quantile_cont(prob, 0.15) AS lo FROM probs GROUP BY category),
+parted AS (
+  SELECT p.category, p.doc_id, p.score, p.prob,
+         CASE WHEN p.prob >= t.hi THEN 'high_confidence'
+              WHEN p.prob <= t.lo THEN 'low_confidence'
+              ELSE 'grey_area' END AS phase
+  FROM probs p JOIN thr t ON p.category = t.category),
+verd AS (
+  SELECT category, doc_id, phase, score, prob,
+         CASE WHEN phase = 'high_confidence' THEN TRUE
+              WHEN phase = 'low_confidence' THEN FALSE
+              ELSE prob >= 0.5 END AS is_in
+  FROM parted),
+cats(category) AS (VALUES {cat_values}),
+defaults AS (
+  SELECT c.category, d.doc_id, 'default' AS phase,
+         CAST(NULL AS DOUBLE) AS score, CAST(NULL AS DOUBLE) AS prob,
+         FALSE AS is_in
+  FROM documents d CROSS JOIN cats c
+  LEFT JOIN verd v ON v.category = c.category AND v.doc_id = d.doc_id
+  WHERE v.doc_id IS NULL),
+results AS (
+  SELECT category, doc_id, phase, score, prob, is_in FROM verd
+  UNION ALL
+  SELECT category, doc_id, phase, score, prob, is_in FROM defaults)
+"""
+    per_doc = core + """
+SELECT category, doc_id, phase, round(score, 4) AS score,
+       round(prob, 6) AS prob, is_in
+FROM results
+"""
+    summary = core + """
+SELECT category,
+       CAST(count(*) AS BIGINT) AS total,
+       CAST(sum(CASE WHEN is_in THEN 1 ELSE 0 END) AS BIGINT) AS in_category,
+       CAST(sum(CASE WHEN NOT is_in THEN 1 ELSE 0 END) AS BIGINT) AS not_in_category,
+       CAST(sum(CASE WHEN phase <> 'default' THEN 1 ELSE 0 END) AS BIGINT) AS candidates,
+       CAST(sum(CASE WHEN phase = 'high_confidence' THEN 1 ELSE 0 END) AS BIGINT) AS high_confidence,
+       CAST(sum(CASE WHEN phase = 'grey_area' THEN 1 ELSE 0 END) AS BIGINT) AS grey_area,
+       CAST(sum(CASE WHEN phase = 'low_confidence' THEN 1 ELSE 0 END) AS BIGINT) AS low_confidence
+FROM results GROUP BY category
+"""
+    return per_doc, summary
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1163,6 +1295,8 @@ ORDER BY cf DESC, term ASC LIMIT 20
             [], ["join"], 10, caret_units=["hash"],
             match_having="count(*) = 2",
         ),
+        "classify_cascade": _cascade_sql()[0],
+        "classify_summary": _cascade_sql()[1],
         "dedup_exact": """
 SELECT md5(text) AS content_md5, count(*) AS n_dups, min(doc_id) AS keeper
 FROM documents GROUP BY md5(text) HAVING count(*) > 1
