@@ -759,7 +759,9 @@ class InvertedIndex:
         finally:
             unit_tf.unpersist()
 
-    def search_batch(self, queries: list[tuple[str, str, int]]) -> DataFrame:
+    def search_batch(
+        self, queries: list[tuple[str, str, int]], pruned: bool = False
+    ) -> DataFrame:
         """[(query_id, query_text, k)] → (query_id, rank, doc_id, score).
 
         One postings scan serves all queries: decode each matched term
@@ -769,7 +771,17 @@ class InvertedIndex:
         ``search``: the global sorted-term fold order restricted to a
         query's terms is still that query's sorted order, and the
         coalesced 0.0 for terms outside the query is an exact identity.
+
+        ``pruned=True`` routes selective queries through the MaxScore
+        planner (``wand.search_batch_pruned``): one shared pass-1 job +
+        one shared block-skipping pass-2 job for the selective share,
+        the ordinary batched fold for the rest — same results, decode
+        work ∝ candidate-touching blocks at scale.
         """
+        if pruned:
+            from sparkgrep.operators.wand import search_batch_pruned
+
+            return search_batch_pruned(self, queries)
         qterm_rows = []
         kmap = {}
         for qid, text, k in queries:

@@ -43,11 +43,23 @@ _EMPTY = pd.DataFrame(
 
 
 class LocalServer:
-    """Driver-resident serving handle over a built index."""
+    """Driver-resident serving handle over a built index.
 
-    def __init__(self, index: InvertedIndex):
+    ``max_resident_df`` bounds what this node will ever pull resident: a
+    query touching any term whose document frequency exceeds the cap
+    (a stop word over a 10^12-doc corpus would otherwise collect ~N
+    postings onto the serving node) is answered by delegating to the
+    DISTRIBUTED exact path — results are bitwise-identical by the
+    serve/distributed equivalence pinned in tests, only the latency
+    profile changes. A real deployment shards residency across serving
+    nodes (each node holds its term partitions, like the distributed
+    tier's bucket layout) and sizes the cap to the node's memory; the
+    default None keeps everything resident (sandbox scale)."""
+
+    def __init__(self, index: InvertedIndex, max_resident_df: int | None = None):
         self.index = index
         self.meta = index.meta
+        self.max_resident_df = max_resident_df
         # term -> list of decoded shards [(df, doc_ids, tfs, dls)];
         # terms with no postings cache an empty list (negative cache)
         self._cache: dict[str, list[tuple[int, np.ndarray, np.ndarray, np.ndarray]]] = {}
@@ -239,14 +251,36 @@ class LocalServer:
             self._fetch_pos(sorted(pterms))
         return self
 
+    def _over_residency_cap(self, terms: list[str], stems: list[str] = ()) -> bool:
+        """True when any query term (or any term a prefix stem resolves
+        to) exceeds ``max_resident_df`` — route to the distributed path
+        instead of collecting an oversized posting list resident."""
+        if self.max_resident_df is None:
+            return False
+        ubs = self.index.term_ubs(list(terms))
+        if any(df > self.max_resident_df for df, _ub in ubs.values()):
+            return True
+        for stem in stems:
+            mts = self.index.prefix_terms(stem)
+            if mts is None:
+                return True  # unresolvable stem: unbounded fetch
+            subs = self.index.term_ubs(mts)
+            if sum(df for df, _ub in subs.values()) > self.max_resident_df:
+                return True
+        return False
+
     def search(self, query_text: str, k: int = 10) -> pd.DataFrame:
         """(rank, doc_id, score) — numpy only after the postings are
-        resident; bitwise-equal to ``InvertedIndex.search``."""
+        resident; bitwise-equal to ``InvertedIndex.search``. Queries
+        touching terms over ``max_resident_df`` delegate to the
+        distributed exact path (identical results, tested)."""
         meta = self.meta
         terms = sorted(set(tokenize_py(query_text, meta.analyzer)))
         empty = _EMPTY.copy()
         if not terms:
             return empty
+        if self._over_residency_cap(terms):
+            return self.index.search(query_text, k).toPandas()
         self._fetch(terms)
         k1, b, avgdl, n_docs = meta.k1, meta.b, meta.avgdl, meta.n_docs
         # LAYERED index: a shard row's stored df is layer-local — use the
@@ -402,6 +436,11 @@ class LocalServer:
                 raise ValueError("empty query (FTS5 parity: empty MATCH is an error)")
             return _EMPTY.copy()
         units = pq.units()
+        if self._over_residency_cap(
+            sorted({t for u in units if not u.prefix for t in u.terms}),
+            sorted({u.terms[0] for u in units if u.prefix}),
+        ):
+            return self.index.search_expr(query_text, k, strict=strict).toPandas()
         self._fetch(
             sorted({
                 u.terms[0]

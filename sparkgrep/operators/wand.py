@@ -136,6 +136,50 @@ def _filtered_decode_gen(meta, candidates: np.ndarray):
     return gen
 
 
+def plan_pruned(
+    index: InvertedIndex,
+    terms: list[str],
+    k: int,
+    prefix_cap: int | None = None,
+    prune_margin: float = 0.5,
+) -> dict | None:
+    """Job-free MaxScore viability planning off the memoized ``term_ubs``
+    sidecar (shared by :func:`search_pruned` and
+    :func:`search_batch_pruned`). Returns None when pruning is unsound
+    (okapi idf, layered index) or provably/predictably unprofitable
+    (every driver-side gate in :func:`search_pruned`'s docstring);
+    otherwise ``{'essential', 'rest_ub', 'cap', 'ess_df'}``."""
+    meta = index.meta
+    if not terms or meta.idf_variant == "okapi":
+        return None
+    if getattr(index, "is_layered", False):
+        return None  # per-layer block metadata unsound as global bounds
+    ubs_map = index.term_ubs(terms)
+    if not ubs_map:
+        return None
+    ubs = sorted(((t, ub) for t, (_, ub) in ubs_map.items()), key=lambda x: -x[1])
+    if len(ubs) == 1:
+        return None
+    n_ess = 1
+    while n_ess < len(ubs):
+        ess_ub = sum(u for _, u in ubs[:n_ess])
+        rest_ub = sum(u for _, u in ubs[n_ess:])
+        if rest_ub < prune_margin * ess_ub:
+            break
+        n_ess += 1
+    else:
+        return None
+    essential = sorted(t for t, _ in ubs[:n_ess])
+    rest_ub = sum(u for _, u in ubs[n_ess:])
+    cap = prefix_cap or max(4 * k, 256)
+    ess_df = sum(ubs_map[t][0] for t in essential)
+    if ess_df > max(64 * k, meta.n_docs // 16):
+        return None
+    if ess_df < k:
+        return None
+    return {"essential": essential, "rest_ub": rest_ub, "cap": cap, "ess_df": ess_df}
+
+
 def search_pruned(
     index: InvertedIndex,
     query_text: str,
@@ -177,52 +221,18 @@ def search_pruned(
     empty = spark.createDataFrame([], "rank int, doc_id long, score double")
     if not terms:
         return empty
-    if meta.idf_variant == "okapi":
-        return index.search(query_text, k)  # negative contribs → unsound
-    if getattr(index, "is_layered", False):
-        # block_max/ub metadata is baked per layer under THAT layer's
-        # stats — stale as global bounds once deltas land (N/avgdl/df
-        # drift). Pruning serves COMPACTED indexes; a layered index gets
-        # the exact single-job plan (still correct, still pruned by
-        # bucket/term pushdown).
+    # driver-side viability planning (see plan_pruned): unsound idf /
+    # layered index / hot-essential / margin-failing queries run exact —
+    # the minimal top-UB essential prefix keeps hot terms (huge df, tiny
+    # UB) OUT of pass 1 while θ still can't be threatened by the rest
+    plan = plan_pruned(index, terms, k, prefix_cap, prune_margin)
+    if plan is None:
+        if not index.term_ubs(terms):
+            return empty  # no query term has postings
         return index.search(query_text, k)
-
-    ubs_map = index.term_ubs(terms)  # job-free after first touch
-    if not ubs_map:
-        return empty
-    ubs = sorted(((t, ub) for t, (_, ub) in ubs_map.items()), key=lambda x: -x[1])
-    if len(ubs) == 1:
-        return index.search(query_text, k)
-
-    # essential = the MINIMAL top-UB prefix whose remainder is negligible
-    # (rest_ub < prune_margin × ess_ub): keeps hot terms (huge df, tiny
-    # UB) OUT of pass 1 — decoding them there is the expensive part —
-    # while θ still can't be threatened by the remainder. If the whole
-    # query is needed to satisfy the margin, there is nothing to prune:
-    # run exact (driver-side decision, no Spark job spent).
-    n_ess = 1
-    while n_ess < len(ubs):
-        ess_ub = sum(u for _, u in ubs[:n_ess])
-        rest_ub = sum(u for _, u in ubs[n_ess:])
-        if rest_ub < prune_margin * ess_ub:
-            break
-        n_ess += 1
-    else:
-        return index.search(query_text, k)
-    essential = sorted(t for t, _ in ubs[:n_ess])
-    rest_ub = sum(u for _, u in ubs[n_ess:])
-
-    cap = prefix_cap or max(4 * k, 256)
-    ess_df = sum(ubs_map[t][0] for t in essential)
-    # selectivity gate: pass 1 decodes Σ df(essential) postings and θ only
-    # cuts hard when the essential terms are rare. A fat essential set
-    # (all-hot query that still met the margin) would pay pass-1 cost to
-    # produce a corpus-sized candidate set — run exact instead.
-    if ess_df > max(64 * k, meta.n_docs // 16):
-        return index.search(query_text, k)
-    # θ needs k essential-matching docs; Σ df(essential) bounds them
-    if ess_df < k:
-        return index.search(query_text, k)
+    essential, rest_ub, cap, ess_df = (
+        plan["essential"], plan["rest_ub"], plan["cap"], plan["ess_df"]
+    )
 
     # pass 1 (job 1): exact partial scores over essential terms.
     # Selective queries (the only ones that reach here) have small
@@ -270,3 +280,111 @@ def search_pruned(
         (int(i + 1), int(docs[s]), float(scores[s])) for i, s in enumerate(sel)
     ]
     return spark.createDataFrame(out, "rank int, doc_id long, score double")
+
+
+def search_batch_pruned(
+    index: InvertedIndex,
+    queries: list[tuple[str, str, int]],
+    prune_margin: float = 0.5,
+) -> DataFrame:
+    """Batched serving with MaxScore routing: selective queries share ONE
+    pass-1 job (union of essential terms) and ONE block-skipping pass-2
+    job (union of candidates × union of their terms); everything the
+    planner routes exact — hot, layered, okapi, margin-failing — shares
+    the ordinary single-scan batched fold. At most 3 Spark jobs per
+    batch regardless of query count, decode work ∝ candidate-touching
+    blocks for the selective share. Results are bitwise-identical to
+    ``InvertedIndex.search_batch`` (pass 2 recomputes true contributions
+    and folds per query in the exact path's sorted-term float order —
+    pinned by tests/test_wand.py).
+
+    Local-mode note (same as single-query pruning): at sandbox scale the
+    ~0.5 s fixed cost per Spark job dominates, so the wall win appears
+    only when decode volume does; the bench records both paths.
+    """
+    spark = index.spark
+    analyzer = index.meta.analyzer
+    parsed = []  # (qid, terms, k, plan|None)
+    budget = _PASS1_COLLECT_BUDGET
+    for qid, text, k in queries:
+        terms = sorted(set(tokenize_py(text, analyzer)))
+        plan = plan_pruned(index, terms, k, prune_margin=prune_margin)
+        # shared pass-1 collect budget: greedily admit in caller order
+        if plan is not None and plan["ess_df"] <= budget:
+            budget -= plan["ess_df"]
+        else:
+            plan = None
+        parsed.append((qid, text, terms, k, plan))
+
+    pruned = [p for p in parsed if p[4] is not None]
+    exact: list[tuple[str, str, int]] = [
+        (qid, text, k) for qid, text, _t, k, plan in parsed if plan is None
+    ]
+    out_rows: list[tuple] = []
+
+    if pruned:
+        # pass 1 (shared job): raw contributions for the UNION of
+        # essential terms; per-query numpy folds over its own slice
+        ess_union = sorted({t for _q, _x, _t, _k, pl in pruned for t in pl["essential"]})
+        rows1 = index._contribs(ess_union).collect()
+        by_term: dict[str, list] = {}
+        for r in rows1:
+            by_term.setdefault(r["term"], []).append(r)
+        stage2 = []  # (qid, terms, k, cand_ids)
+        for qid, text, terms, k, plan in pruned:
+            ess = plan["essential"]
+            rows_q = [r for t in ess for r in by_term.get(t, [])]
+            docs, scores = _numpy_fold(rows_q, ess)
+            order = np.lexsort((docs, -scores))
+            docs, scores = docs[order], scores[order]
+            rest_ub, cap = plan["rest_ub"], plan["cap"]
+            if len(docs) < k or rest_ub >= scores[k - 1]:
+                exact.append((qid, text, k))
+                continue
+            theta = float(scores[k - 1])
+            cand = docs[scores + rest_ub >= theta]
+            if len(cand) > cap:  # cut too weak to beat the exact scan
+                exact.append((qid, text, k))
+                continue
+            stage2.append((qid, terms, k, np.asarray(sorted(cand), dtype=np.int64)))
+        if stage2:
+            # pass 2 (shared job): block-skipping decode over the union
+            # candidate set and union term set, then per-query folds
+            # restricted to (its terms × its candidates)
+            union_terms = sorted({t for _q, ts, _k, _c in stage2 for t in ts})
+            union_cands = np.unique(np.concatenate([c for _q, _t, _k, c in stage2]))
+            rows2 = (
+                index._matched(union_terms)
+                .mapInPandas(
+                    _filtered_decode_gen(index.meta, union_cands),
+                    "term string, doc_id long, contrib double",
+                )
+                .collect()
+            )
+            by_term2: dict[str, list] = {}
+            for r in rows2:
+                by_term2.setdefault(r["term"], []).append(r)
+            for qid, terms, k, cand in stage2:
+                rows_q = [
+                    r
+                    for t in terms
+                    for r in by_term2.get(t, [])
+                    if np.searchsorted(cand, r["doc_id"]) < len(cand)
+                    and cand[np.searchsorted(cand, r["doc_id"])] == r["doc_id"]
+                ]
+                docs, scores = _numpy_fold(rows_q, terms)
+                sel = np.lexsort((docs, -scores))[:k]
+                out_rows.extend(
+                    (qid, int(i + 1), int(docs[s]), float(scores[s]))
+                    for i, s in enumerate(sel)
+                )
+
+    if exact:
+        out_rows.extend(
+            (r["query_id"], r["rank"], r["doc_id"], r["score"])
+            for r in index.search_batch(exact).collect()
+        )
+    out_rows.sort(key=lambda r: (r[0], r[1]))
+    return spark.createDataFrame(
+        out_rows, "query_id string, rank int, doc_id long, score double"
+    )

@@ -50,3 +50,28 @@ def test_single_term_and_empty(code_index):
     assert search_pruned(code_index, "varint", k=5).count() == \
         code_index.search("varint", k=5).count()
     assert search_pruned(code_index, "  ", k=5).count() == 0
+
+
+def test_batch_pruned_matches_exact_batch(code_index):
+    """Batched MaxScore routing (one shared pass-1 + one shared pass-2
+    job for the selective share, one fold job for the rest) must be
+    bitwise-identical to the plain batched fold on a mixed workload."""
+    batch = [(f"q{i}", q, 10) for i, q in enumerate(QUERIES)]
+    exact = code_index.search_batch(batch).toPandas()
+    pruned = code_index.search_batch(batch, pruned=True).toPandas()
+    key = ["query_id", "rank"]
+    exact = exact.sort_values(key).reset_index(drop=True)
+    pruned = pruned.sort_values(key).reset_index(drop=True)
+    assert pruned["doc_id"].tolist() == exact["doc_id"].tolist()
+    assert (pruned["score"].to_numpy() == exact["score"].to_numpy()).all()
+    # the planner must actually engage on the selective queries
+    from sparkgrep.functions.tokenizer import tokenize_py
+    from sparkgrep.operators.wand import plan_pruned
+
+    engaged = [
+        q for q in QUERIES
+        if plan_pruned(
+            code_index, sorted(set(tokenize_py(q, "code"))), 10
+        ) is not None
+    ]
+    assert engaged, "no query engaged the MaxScore planner"
