@@ -21,11 +21,14 @@ the reference's own tests, ``test_message_manager.py:417-435``):
                          full match set (docs matching b AND c)
 - combinations: ``"big data" OR spark``, ``spark NOT "big data"`` etc.
 
-Known documented divergence from SQLite FTS5: duplicated atoms in one
-query (``alpha alpha``, or the same phrase repeated across subtrees)
-are DEDUPED here, where FTS5 scores each occurrence separately
-(double-counting); every other construct is pinned ≤1e-9 against real
-SQLite in tests/test_fts5_parity.py.
+Duplicated atoms (``alpha alpha``, ``alpha OR alpha``, repeated
+phrases/NEAR groups) score each textual occurrence separately — FTS5's
+behavior, probed and pinned — via lexer-assigned occurrence numbering
+(Unit.occ / NearGroup.occ): the first occurrence keeps its plain uid,
+later ones become distinct atoms with identical postings, and DNF
+distribution shares one occurrence across disjuncts (counted once via
+gating). Every construct is pinned ≤1e-9 against real SQLite in
+tests/test_fts5_parity.py.
 
 Grammar here (deliberately the same flat shape FTS5 gives these tests —
 no parentheses): a query is a disjunction of conjunctions; each
@@ -49,7 +52,7 @@ some conjunct; OR unions conjunct match-sets.
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 
 from sparkgrep.functions.tokenizer import tokenize_py
 
@@ -78,6 +81,15 @@ class Unit:
     terms: tuple[str, ...]  # analyzer-tokenized, order preserved
     prefix: bool = False    # prefix units are always single-stem
     anchored: bool = False  # FTS5 '^': instances at token position 0 only
+    # FTS5 scores each textual OCCURRENCE of a phrase as its own atom
+    # (``alpha alpha`` and ``alpha OR alpha`` both score 2× alpha —
+    # probed): the lexer numbers repeat occurrences of the same atom,
+    # so the first occurrence keeps the plain uid (every query without
+    # duplicates is bitwise-unchanged) and later ones become distinct
+    # atoms with identical postings. DNF distribution copies the SAME
+    # occurrence into several disjuncts (shared identity — counted
+    # once via gating), while textual repeats stay distinct.
+    occ: int = 0
 
     @property
     def is_phrase(self) -> bool:
@@ -87,13 +99,16 @@ class Unit:
     def uid(self) -> str:
         # deterministic sort key shared with the SQL oracle ('c' < 'p' <
         # 't' < 'x' in ASCII and in DuckDB's binary collation, so the
-        # uid-ordered fold agrees on both sides)
+        # uid-ordered fold agrees on both sides); '~' (0x7E) keeps
+        # occurrence suffixes deterministic on both sides too
         if self.anchored:
             base = "x:" if self.prefix else ("p:" if self.is_phrase else ":")
-            return "c" + base + " ".join(self.terms)
-        if self.prefix:
-            return "x:" + self.terms[0]
-        return ("p:" if self.is_phrase else "t:") + " ".join(self.terms)
+            out = "c" + base + " ".join(self.terms)
+        elif self.prefix:
+            out = "x:" + self.terms[0]
+        else:
+            out = ("p:" if self.is_phrase else "t:") + " ".join(self.terms)
+        return out + (f"~{self.occ}" if self.occ else "")
 
 
 @dataclass(frozen=True)
@@ -108,6 +123,9 @@ class NearGroup:
 
     phrases: tuple[Unit, ...]
     n: int = 10  # FTS5 default
+    # textual occurrence index among identical NEAR groups (FTS5 scores
+    # each occurrence's members separately — same rule as Unit.occ)
+    occ: int = 0
 
 
 def near_supported(starts: list, lens: list[int], n: int) -> list[int] | None:
@@ -260,9 +278,34 @@ _MAX_DISJUNCTS = 64
 _NEAR_RE = re.compile(r"\bNEAR\(([^()]*?)(?:\s*,\s*(\d+))?\)")
 
 
+class _OccCounter:
+    """Numbers repeat textual occurrences of the same atom: the first
+    keeps occ=0 (plain uid — nothing changes for duplicate-free
+    queries), later ones become distinct atoms (FTS5 scores each
+    occurrence separately, probed: ``alpha alpha`` = ``alpha OR alpha``
+    = 2× alpha)."""
+
+    def __init__(self):
+        self.seen: dict[str, int] = {}
+
+    def unit(self, u: Unit) -> Unit:
+        n = self.seen.get(u.uid, 0)
+        self.seen[u.uid] = n + 1
+        return u if n == 0 else replace(u, occ=n)
+
+    def group(self, g: "NearGroup") -> "NearGroup":
+        key = "N(" + ",".join(u.uid for u in g.phrases) + f"){g.n}"
+        n = self.seen.get(key, 0)
+        self.seen[key] = n + 1
+        return g if n == 0 else replace(g, occ=n)
+
+
 def _parse_near(body: str, n: str | None, analyzer: str, phrases: list[str]):
     """NEAR(member member ..., N) → NearGroup (or a plain unit list when
-    fewer than 2 members survive tokenization — no predicate needed)."""
+    fewer than 2 members survive tokenization — no predicate needed).
+    Duplicate members WITHIN the group get occurrence suffixes (their
+    constrained atoms must stay distinct); the group itself is
+    occurrence-numbered by the caller."""
     units: list[Unit] = []
     for raw in body.split():
         if raw.startswith("^"):
@@ -294,14 +337,20 @@ def _parse_near(body: str, n: str | None, analyzer: str, phrases: list[str]):
             units.append(Unit(tuple(toks)))
     if len(units) < 2:
         return units  # degenerate: no proximity constraint
-    return NearGroup(tuple(units), int(n) if n is not None else 10)
+    local = _OccCounter()
+    return NearGroup(
+        tuple(local.unit(u) for u in units), int(n) if n is not None else 10
+    )
 
 
 def _lex(text: str, analyzer: str, phrases: list[str]) -> list:
     """Token stream: '(' / ')' / 'OR' / 'AND' / 'NOT' markers, NearGroup
     predicates, or lists of Units (what one raw word/phrase
-    contributes)."""
+    contributes). Repeat occurrences of the same atom are numbered
+    (Unit.occ) so each textual occurrence scores separately, matching
+    FTS5."""
     nears: list = []
+    occ = _OccCounter()
 
     def _stash_near(m: re.Match) -> str:
         nears.append(_parse_near(m.group(1), m.group(2), analyzer, phrases))
@@ -316,9 +365,9 @@ def _lex(text: str, analyzer: str, phrases: list[str]) -> list:
         if m2:
             g = nears[int(m2.group(1))]
             if isinstance(g, NearGroup):
-                out.append(g)
+                out.append(occ.group(g))
             elif g:  # degenerate NEAR: plain unit list
-                out.append(list(g))
+                out.append([occ.unit(u) for u in g])
             continue
         if raw in ("(", ")", "OR", "AND", "NOT"):
             out.append(raw)
@@ -334,7 +383,7 @@ def _lex(text: str, analyzer: str, phrases: list[str]) -> list:
         if m:
             terms = tuple(tokenize_py(phrases[int(m.group(1))], analyzer))
             if terms:
-                out.append([Unit(terms, anchored=anchored)])
+                out.append([occ.unit(Unit(terms, anchored=anchored))])
             continue
         if raw.endswith("*"):
             # FTS5 prefix token: the stem goes THROUGH the tokenizer
@@ -348,16 +397,18 @@ def _lex(text: str, analyzer: str, phrases: list[str]) -> list:
             toks = tokenize_py(raw.rstrip("*"), analyzer)
             if toks:
                 if len(toks) == 1:
-                    out.append([Unit((toks[0],), prefix=True, anchored=anchored)])
+                    out.append(
+                        [occ.unit(Unit((toks[0],), prefix=True, anchored=anchored))]
+                    )
                 elif anchored:
                     out.append(
-                        [Unit(tuple(toks[:-1]), anchored=True)]
-                        + [Unit((toks[-1],), prefix=True)]
+                        [occ.unit(Unit(tuple(toks[:-1]), anchored=True))]
+                        + [occ.unit(Unit((toks[-1],), prefix=True))]
                     )
                 else:
                     out.append(
-                        [Unit((t,)) for t in toks[:-1]]
-                        + [Unit((toks[-1],), prefix=True)]
+                        [occ.unit(Unit((t,))) for t in toks[:-1]]
+                        + [occ.unit(Unit((toks[-1],), prefix=True))]
                     )
             continue
         toks = tokenize_py(raw, analyzer)
@@ -366,12 +417,12 @@ def _lex(text: str, analyzer: str, phrases: list[str]) -> list:
         if anchored and len(toks) > 1:
             # an anchored multi-token word reads as one anchored phrase
             # (FTS5 treats a multi-token string as a phrase)
-            out.append([Unit(tuple(toks), anchored=True)])
+            out.append([occ.unit(Unit(tuple(toks), anchored=True))])
         else:
             out.append(
-                [Unit((toks[0],), anchored=True)]
+                [occ.unit(Unit((toks[0],), anchored=True))]
                 if anchored
-                else [Unit((t,)) for t in toks]
+                else [occ.unit(Unit((t,))) for t in toks]
             )
     return out
 

@@ -592,6 +592,16 @@ class InvertedIndex:
                     "doc_id", "tf", "dl",
                 )
             )
+            # repeat occurrences of a term (FTS5 scores each textual
+            # occurrence as its own atom): relabel the same decoded rows
+            # under the occurrence uid
+            for u in term_units:
+                if u.occ:
+                    parts.append(
+                        raw.filter(F.col("term") == u.terms[0]).select(
+                            F.lit(u.uid).alias("uid"), "doc_id", "tf", "dl"
+                        )
+                    )
         for u in units:
             if u.anchored:
                 parts.append(

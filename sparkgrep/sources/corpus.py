@@ -48,7 +48,9 @@ def documents_as_corpus(docs: DataFrame) -> DataFrame:
     )
 
 
-def assign_doc_ids(corpus: DataFrame, n_buckets: int = 256) -> DataFrame:
+def assign_doc_ids(
+    corpus: DataFrame, n_buckets: int = 256, assert_unique: bool = False
+) -> DataFrame:
     """Deterministic dense doc_id in [0, N) with NO global window.
 
     ``row_number() over (order by key)`` is a single-partition window —
@@ -67,16 +69,29 @@ def assign_doc_ids(corpus: DataFrame, n_buckets: int = 256) -> DataFrame:
     follows (bucket, key), not global key order — fine everywhere the
     engine needs ids (identity, joins, rank tie-breaks). Duplicate
     (repo, path, commit) keys get distinct ids with an unspecified
-    relative order within the key (as with any rank over equal keys)."""
+    relative order within the key (as with any rank over equal keys) —
+    pass ``assert_unique=True`` to refuse duplicates instead when the
+    two-parallelism determinism gate matters."""
     b = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(n_buckets)).cast("int")
     # persisted: the counts aggregate below and the downstream rank pass
     # would otherwise each evaluate the (potentially expensive, uncached)
     # corpus lineage; Spark evicts the blocks LRU once consumers finish
     withb = corpus.withColumn("_b", b).persist()
-    counts = {
-        r["_b"]: r["n"]
-        for r in withb.groupBy("_b").agg(F.count("*").alias("n")).collect()
-    }
+    aggs = [F.count("*").alias("n")]
+    if assert_unique:
+        aggs.append(
+            F.countDistinct(F.struct("repo", "path", "commit")).alias("nd")
+        )
+    rows = withb.groupBy("_b").agg(*aggs).collect()
+    if assert_unique:
+        dups = sum(r["n"] - r["nd"] for r in rows)
+        if dups:
+            raise ValueError(
+                f"assign_doc_ids: {dups} duplicate (repo, path, commit) keys — "
+                "duplicate keys get nondeterministic relative ids, which breaks "
+                "parallelism-invariant determinism; dedupe the corpus first"
+            )
+    counts = {r["_b"]: r["n"] for r in rows}
     if not counts:  # empty corpus: map() would be VOID-typed
         return corpus.withColumn("doc_id", F.lit(0).cast("long"))
     offsets, acc = {}, 0

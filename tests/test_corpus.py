@@ -74,6 +74,26 @@ def test_doc_id_assignment_partitioning_invariant(spark):
     assert "SinglePartition" not in plan
 
 
+def test_assign_doc_ids_assert_unique(spark):
+    """assert_unique=True refuses duplicate (repo, path, commit) keys —
+    duplicates would get nondeterministic relative ids, breaking the
+    two-parallelism determinism gate."""
+    import pytest
+
+    from sparkgrep.sources.corpus import assign_doc_ids
+
+    schema = "repo string, path string, commit string, lang string, content string"
+    uniq = spark.createDataFrame(
+        [("r", f"p{i}", "c", "py", "x") for i in range(5)], schema
+    )
+    assert assign_doc_ids(uniq, assert_unique=True).count() == 5
+    dup = spark.createDataFrame(
+        [("r", "p", "c", "py", "x"), ("r", "p", "c", "py", "y")], schema
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        assign_doc_ids(dup, assert_unique=True).count()
+
+
 def test_assert_content_hashes_gate(spark):
     ing = with_ingest_columns(documents_as_corpus(load_documents(spark, SF)))
     expected = ing.select("doc_id", "content_sha256")

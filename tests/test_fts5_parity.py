@@ -326,6 +326,16 @@ NOT_QUERIES = [
     "meeting OR (you NOT thank)",
     "(meeting you) OR unsubscribe",
     "thank OR (meeting NOT you)",
+    # duplicated atoms: FTS5 scores each textual occurrence separately
+    # (probed: 'alpha alpha' = 'alpha OR alpha' = 2× alpha) — the lexer
+    # numbers repeat occurrences into distinct atoms
+    "thank thank",
+    "you AND you",
+    "thank OR thank",
+    "(thank OR you) AND (thank OR you)",
+    '"thank you" OR "thank you"',
+    "NEAR(you thank, 3) OR NEAR(you thank, 3)",
+    "NEAR(you you, 2)",  # duplicate members (same instance may serve both)
     # '^' initial-token anchor
     "^thank",
     '^"thank you"',

@@ -77,9 +77,13 @@ def test_parse_empty_and_garbage():
 
 
 def test_units_dedup_and_order():
+    # the repeated phrase is a second textual occurrence — a distinct
+    # atom (FTS5 scores each occurrence separately); units() stays
+    # uid-sorted and identity-deduped
     pq = parse_query('"a b" c OR "a b" d')
     uids = [u.uid for u in pq.units()]
-    assert uids == sorted(uids) and len(uids) == 3
+    assert uids == sorted(uids)
+    assert uids == ["p:a b", "p:a b~1", "t:c", "t:d"]
 
 
 # ---------------------------------------------------------------------------
@@ -141,6 +145,13 @@ EXPR_QUERIES = [
     "NEAR(hash wind*, 5)",       # prefix member
     "NEAR(hash window, 3) OR scan",  # NEAR in a disjunction
     "NEAR(hash window, 8) NOT table",  # NEAR + NOT
+    # duplicated atoms: each textual occurrence scores separately (FTS5)
+    "hash hash",
+    "hash OR hash",
+    '"hash join" OR "hash join"',
+    "(hash OR window) (hash OR window)",
+    "NEAR(hash hash, 3)",            # duplicate members within a group
+    "NEAR(hash window, 4) OR NEAR(hash window, 4)",
 ]
 
 
@@ -255,6 +266,30 @@ def test_serve_expr_strict_and_latency(pos_index):
         assert per_q < 0.25, f"warm expr serve took {per_q:.3f}s/query"
 
 
+def test_parse_duplicate_occurrences():
+    """FTS5 scores each textual occurrence of an atom separately
+    (probed: 'alpha alpha' = 'alpha OR alpha' = 2× alpha): the lexer
+    numbers repeats into distinct atoms; the first occurrence keeps its
+    plain uid so duplicate-free queries are completely unchanged."""
+    from sparkgrep.functions.querylang import parse_query
+
+    (c,) = parse_query("alpha alpha").disjuncts
+    assert [u.uid for u in c.includes] == ["t:alpha", "t:alpha~1"]
+    pq = parse_query("alpha OR alpha")
+    assert [d.includes[0].uid for d in pq.disjuncts] == ["t:alpha", "t:alpha~1"]
+    # DNF distribution SHARES one occurrence across disjuncts
+    pq = parse_query("(foo OR bar) baz")
+    assert {u.uid for u in pq.units()} == {"t:foo", "t:bar", "t:baz"}
+    pq = parse_query("(a OR b) AND (a OR b)")
+    assert sorted(u.uid for u in pq.units()) == ["t:a", "t:a~1", "t:b", "t:b~1"]
+    # duplicated NEAR groups stay distinct atom sets
+    gs = parse_query("NEAR(a b, 2) NEAR(a b, 2)").near_groups()
+    assert len(gs) == 2 and (gs[0].occ, gs[1].occ) == (0, 1)
+    # duplicate members WITHIN a group get local occurrence suffixes
+    (g,) = parse_query("NEAR(a a, 1)").near_groups()
+    assert [u.uid for u in g.phrases] == ["t:a", "t:a~1"]
+
+
 def test_parse_parens():
     # (a OR b) c → DNF: (a c) OR (b c)
     pq = parse_query("(foo OR bar) baz")
@@ -279,9 +314,15 @@ def test_parse_parens():
         Conjunct((Unit(("foo",)),)),
         Conjunct((Unit(("bar",)),)),
     )
-    # identical conjuncts deduped after distribution
+    # a repeated atom inside a group is a second textual occurrence
+    # (FTS5 scores it separately): distribution yields two disjuncts
+    # whose foo atoms differ only in occurrence; bar is the SAME
+    # occurrence shared across both (scored once via gating)
     pq = parse_query("(foo OR foo) bar")
-    assert len(pq.disjuncts) == 1
+    assert pq.disjuncts == (
+        Conjunct((Unit(("foo",)), Unit(("bar",)))),
+        Conjunct((Unit(("foo",), occ=1), Unit(("bar",)))),
+    )
     # complexity ceiling is a documented error
     blowup = " ".join(["(a OR b OR c OR d)"] * 4)  # 4^4 = 256 conjuncts
     with pytest.raises(ValueError, match="too complex"):
