@@ -53,17 +53,26 @@ stats AS (SELECT count(*) AS n, avg(dl) AS avgdl,
 """
 
 
+def _tok_ctes(docs_select: str) -> str:
+    """The shared tokenize prelude over a derived docs relation (must
+    yield doc_id, text) — used by the tombstone-delete/update oracles,
+    which recompute BM25 from scratch over the post-mutation corpus."""
+    return _TOK_CTES.replace("FROM documents", f"FROM {docs_select}", 1)
+
+
 def _bm25_sql(
     terms: list[str],
     k: int,
     with_qid: str | None = None,
     idf_variant: str = "okapi",
     require_all: bool = False,
+    ctes: str = _TOK_CTES,
 ) -> str:
     """DuckDB BM25 (k1=1.2 b=0.75) for one query, mirroring the engine's
     exact operation order (score.py:bm25_contrib_col). ``require_all``
     adds conjunctive (implicit-AND) match semantics: only docs containing
-    every query term score."""
+    every query term score. ``ctes`` swaps the tokenize prelude (e.g. a
+    filtered corpus for the tombstone-delete oracle)."""
     uniq = sorted(set(terms))
     tlist = ", ".join(f"('{t}')" for t in uniq)
     qid_col = f"'{with_qid}' AS query_id, " if with_qid else ""
@@ -74,7 +83,7 @@ def _bm25_sql(
         else "ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5))"
     )
     return f"""
-WITH {_TOK_CTES},
+WITH {ctes},
 qt(term) AS (VALUES {tlist}),
 dfq AS (
   SELECT term, count(*) AS df FROM tf
@@ -1054,6 +1063,54 @@ def q_bm25_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
 
 
+# the slice deleted / updated by the tombstone contract entries (below)
+# and excluded / rewritten by their DuckDB oracles
+_DEL_PRED = "doc_id % 7 = 3"
+
+
+def q_delta_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O(batch) tombstone delete (the reference's AFTER DELETE trigger,
+    message_manager.py:113-137, replayed log-structured): build over the
+    full corpus, delete the ``doc_id % 7 = 3`` slice by content batch
+    (exactly the information the trigger's ``old.*`` carries), query —
+    the oracle recomputes BM25 from scratch over the surviving docs, so
+    masked postings, summed negative sidecar dfs, and the
+    integer-corrected N/avgdl must all be exact."""
+    from sparkgrep.operators.index_build import build_index
+    from sparkgrep.operators.query import InvertedIndex
+    from sparkgrep.plans.manifest import delete_batch_delta
+
+    corpus = _corpus(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="sparkgrep_del_") + "/idx"
+    build_index(corpus, out, analyzer="simple", n_buckets=8)
+    delete_batch_delta(corpus.filter(_DEL_PRED), out, "d1")
+    res = InvertedIndex(spark, out).search(FLAGSHIP_QUERY, k=10)
+    return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
+
+
+def q_delta_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE trigger semantics (delete old row + insert new on the SAME
+    rowid): tombstone the old content, re-append the modified content as
+    a delta layer on the same doc_ids — the tombstone masks only layers
+    older than itself, so the re-inserted docs serve their new text. The
+    oracle recomputes BM25 over the post-update corpus."""
+    from sparkgrep.operators.index_build import build_index
+    from sparkgrep.operators.query import InvertedIndex
+    from sparkgrep.plans.manifest import append_batch_delta, delete_batch_delta
+
+    corpus = _corpus(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="sparkgrep_upd_") + "/idx"
+    build_index(corpus, out, analyzer="simple", n_buckets=8)
+    old = corpus.filter(_DEL_PRED)
+    new = old.withColumn(
+        "content", F.concat(F.col("content"), F.lit(" window table"))
+    )
+    delete_batch_delta(old, out, "u1")
+    append_batch_delta(new, out, "u1-new")
+    res = InvertedIndex(spark, out).search(FLAGSHIP_QUERY, k=10)
+    return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_stats": q_corpus_stats,
     "doc_lengths": q_doc_lengths,
@@ -1105,6 +1162,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compact_repr": q_compact_repr,
     "segment_metrics": q_segment_metrics,
     "bm25_pruned": q_bm25_pruned,
+    "delta_delete": q_delta_delete,
+    "delta_update": q_delta_update,
 }
 
 
@@ -1599,6 +1658,22 @@ FROM documents
 """,
         "bm25_pruned": _bm25_sql(flagship_terms, 10, idf_variant="lucene"),
         "segment_metrics": _segment_metrics_sql(4),
+        # tombstone delete/update: the oracle recomputes BM25 from
+        # scratch over the post-mutation corpus (same predicate /
+        # rewrite as the Spark-side _DEL_PRED entries)
+        "delta_delete": _bm25_sql(
+            flagship_terms, 10,
+            ctes=_tok_ctes(
+                f"(SELECT doc_id, text FROM documents WHERE NOT ({_DEL_PRED}))"
+            ),
+        ),
+        "delta_update": _bm25_sql(
+            flagship_terms, 10,
+            ctes=_tok_ctes(
+                f"(SELECT doc_id, CASE WHEN {_DEL_PRED} THEN text || "
+                "' window table' ELSE text END AS text FROM documents)"
+            ),
+        ),
     }
     # the ANN index must reproduce brute-force top-10 exactly at this
     # scale (recall@10 = 1.0) — same oracle as the exact scan

@@ -85,6 +85,15 @@ class IndexMeta:
     # folds them back (plans/manifest.py: append_batch_delta /
     # compact_index)
     layers: tuple = ()
+    # TOMBSTONE layers (relative subdirs, delete order): each holds the
+    # deleted doc_ids plus a term_ubs sidecar with NEGATED dfs (the
+    # reader's cross-layer df summation subtracts them); tombstone_cuts
+    # records, per tombstone, how many postings layers existed at delete
+    # time — the mask applies only to layers OLDER than the tombstone,
+    # so re-appending a deleted doc_id (an UPDATE) serves the new
+    # version (plans/manifest.py: delete_batch_delta)
+    tombstones: tuple = ()
+    tombstone_cuts: tuple = ()
 
 
 # v2 postings are BLOCK-ADDRESSABLE: doc_ids gap encoding resets at every

@@ -27,12 +27,34 @@ from sparkgrep.operators.index_build import IndexMeta, load_meta
 from sparkgrep.operators.score import idf as idf_fn
 
 
-def _decode_score_gen(meta: IndexMeta, idf_by_term: dict[str, float] | None = None):
+def _tomb_keep(ids: np.ndarray, layer_seq: int, tomb) -> np.ndarray | None:
+    """Decode-time tombstone mask: keep[i] is False when doc ids[i] was
+    deleted by a tombstone NEWER than this row's layer (``cut >
+    layer_seq``) — older layers only, so a doc_id re-appended after its
+    delete (an UPDATE) survives in its new layer. ``tomb`` is
+    [(cut, ids)] where ids is a sorted int64 array or a Broadcast of
+    one. None = nothing to mask for this layer."""
+    keep = None
+    for cut, dead in tomb:
+        if cut <= layer_seq:
+            continue
+        arr = dead.value if hasattr(dead, "value") else dead
+        m = ~np.isin(ids, arr, assume_unique=False)
+        keep = m if keep is None else (keep & m)
+    return keep
+
+
+def _decode_score_gen(
+    meta: IndexMeta,
+    idf_by_term: dict[str, float] | None = None,
+    tomb=None,
+):
     """Decode-and-score kernel. ``idf_by_term`` (required for LAYERED
     indexes, where a row's stored df is layer-local) carries the global
     idf per term computed driver-side from summed layer dfs; when absent
     (single-layer index) the row's own global df is used — both paths
-    produce the identical double (same idf_fn on the same df)."""
+    produce the identical double (same idf_fn on the same df). ``tomb``
+    (tombstoned index) masks deleted docs right after decode."""
     k1, b, avgdl, n_docs = meta.k1, meta.b, meta.avgdl, meta.n_docs
     variant, block = meta.idf_variant, meta.block_size
 
@@ -40,9 +62,19 @@ def _decode_score_gen(meta: IndexMeta, idf_by_term: dict[str, float] | None = No
         for pdf in batches:
             outs = []
             for r in pdf.itertuples():
+                if idf_by_term is not None and r.term not in idf_by_term:
+                    # a fully-deleted term (summed df ≤ 0): every one of
+                    # its postings is masked below — skip the row
+                    continue
                 ids = blocked_gap_decode(r.doc_ids, r.n, block)
                 tfs = varint_decode(r.tfs).astype(np.int64)
                 dls = varint_decode(r.dls).astype(np.int64)
+                if tomb:
+                    keep = _tomb_keep(ids, getattr(r, "layer_seq", 0), tomb)
+                    if keep is not None:
+                        ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+                        if not ids.size:
+                            continue
                 idf = (
                     idf_by_term[r.term]
                     if idf_by_term is not None
@@ -62,10 +94,11 @@ def _decode_score_gen(meta: IndexMeta, idf_by_term: dict[str, float] | None = No
     return gen
 
 
-def _decode_raw_gen(meta: IndexMeta, with_positions: bool = False):
+def _decode_raw_gen(meta: IndexMeta, with_positions: bool = False, tomb=None):
     """Decode postings to raw (term, doc_id, tf, dl[, positions]) rows —
     the basis for AND / phrase / boolean scoring, where the fold needs
-    unit frequencies rather than precomputed contributions."""
+    unit frequencies rather than precomputed contributions. ``tomb``
+    masks tombstone-deleted docs right after decode."""
 
     block = meta.block_size
 
@@ -75,6 +108,10 @@ def _decode_raw_gen(meta: IndexMeta, with_positions: bool = False):
             for r in pdf.itertuples():
                 ids = blocked_gap_decode(r.doc_ids, r.n, block).astype(np.int64)
                 tfs = varint_decode(r.tfs).astype(np.int64)
+                keep = (
+                    _tomb_keep(ids, getattr(r, "layer_seq", 0), tomb)
+                    if tomb else None
+                )
                 dls = varint_decode(r.dls).astype(np.int64)
                 d = {
                     "term": r.term,
@@ -88,6 +125,10 @@ def _decode_raw_gen(meta: IndexMeta, with_positions: bool = False):
                     frame["positions"] = [
                         a.astype(np.int32) for a in np.split(flat, np.cumsum(tfs)[:-1])
                     ]
+                if keep is not None:
+                    frame = frame[keep]
+                    if not len(frame):
+                        continue
                 outs.append(frame)
             if outs:
                 yield pd.concat(outs, ignore_index=True)
@@ -130,15 +171,48 @@ class InvertedIndex:
         self.layer_dirs = [index_dir] + [
             f"{index_dir}/{lay}" for lay in (self.meta.layers or ())
         ]
+        # TOMBSTONE layers (delete_batch_delta): deleted doc_ids are
+        # masked at decode time, but only in layers OLDER than each
+        # tombstone (cut = layer count at delete time) so re-appended
+        # doc_ids serve their new version. The id sets are collected
+        # once per handle (O(deletes-since-compaction) — the LSM
+        # contract) and shipped as broadcasts, not task closures.
+        self.tomb_dirs = [
+            f"{index_dir}/{rel}" for rel in (self.meta.tombstones or ())
+        ]
+        self._tomb_spec: list[tuple[int, object]] | None = None
+        if self.tomb_dirs:
+            spec = []
+            for td, cut in zip(self.tomb_dirs, self.meta.tombstone_cuts or ()):
+                ids = np.sort(np.array(
+                    [
+                        r["doc_id"]
+                        for r in spark.read.schema("doc_id long")
+                        .parquet(f"{td}/doc_ids").collect()
+                    ],
+                    dtype=np.int64,
+                ))
+                spec.append((int(cut), spark.sparkContext.broadcast(ids)))
+            self._tomb_spec = spec
         parts = [
             spark.read.schema(schema).parquet(f"{d}/postings")
             for d in self.layer_dirs
         ]
+        if self._tomb_spec:
+            # decode kernels need each row's layer to apply cut-aware
+            # masking; only added when tombstones exist, so untombstoned
+            # plans (and their bitwise behavior) are unchanged
+            parts = [
+                q.withColumn("layer_seq", F.lit(seq).cast("int"))
+                for seq, q in enumerate(parts)
+            ]
         p = parts[0]
         for q in parts[1:]:
             p = p.unionByName(q)
         self.postings = p
-        self.is_layered = len(self.layer_dirs) > 1
+        # layered OR tombstoned: per-row stored dfs are stale/layer-local
+        # → idf comes from the summed sidecars; wand routes to exact
+        self.is_layered = len(self.layer_dirs) > 1 or bool(self._tomb_spec)
         self._warm = False
         # driver-side (df, ub) cache for MaxScore planning — see term_ubs()
         self._ub_cache: dict[str, tuple[int, float] | None] = {}
@@ -193,7 +267,9 @@ class InvertedIndex:
         from sparkgrep.operators.index_build import TERM_UBS_SCHEMA
         from sparkgrep.sources import fsio
 
-        paths = [f"{d}/term_ubs" for d in self.layer_dirs]
+        paths = [
+            f"{d}/term_ubs" for d in self.layer_dirs + self.tomb_dirs
+        ]
         if not all(fsio.exists(p) for p in paths) or not (
             0 <= self.meta.n_terms <= self._UB_FULL_LOAD_MAX
         ):
@@ -202,9 +278,15 @@ class InvertedIndex:
         for path in paths:
             for r in self.spark.read.schema(TERM_UBS_SCHEMA).parquet(path).collect():
                 a = acc.setdefault(r["term"], [0, 0.0, r["bucket"]])
-                a[0] += int(r["df"])
+                a[0] += int(r["df"])  # tombstone sidecars carry df < 0
                 a[1] = max(a[1], float(r["ub"]))
         for t, (df, ub, bucket) in acc.items():
+            if df <= 0:
+                # every doc containing the term was deleted: keep it out
+                # of the dictionary and negative-cache it (its postings
+                # rows all mask away at decode)
+                self._ub_cache[t] = None
+                continue
             self._ub_cache[t] = (df, ub)
             self._bucket_cache[t] = int(bucket) if bucket is not None else None
         self._sorted_terms = sorted(self._bucket_cache)
@@ -222,7 +304,9 @@ class InvertedIndex:
 
         missing = [t for t in terms if t not in self._ub_cache]
         if missing and not self._ensure_full_ubs():
-            paths = [f"{d}/term_ubs" for d in self.layer_dirs]
+            paths = [
+                f"{d}/term_ubs" for d in self.layer_dirs + self.tomb_dirs
+            ]
             if all(fsio.exists(p) for p in paths):
                 acc: dict[str, list] = {}
                 for path in paths:
@@ -233,10 +317,13 @@ class InvertedIndex:
                     )
                     for r in rows:
                         a = acc.setdefault(r["term"], [0, 0.0])
-                        a[0] += int(r["df"])  # layer dfs sum (disjoint docs)
+                        # layer dfs sum (disjoint docs); tombstone
+                        # sidecars carry df < 0 and subtract
+                        a[0] += int(r["df"])
                         a[1] = max(a[1], float(r["ub"]))
                 for t, (df, ub) in acc.items():
-                    self._ub_cache[t] = (df, ub)
+                    # df ≤ 0 = fully-deleted term → negative cache
+                    self._ub_cache[t] = (df, ub) if df > 0 else None
             else:
                 # pre-sidecar index (single layer by construction): derive
                 # from postings metadata (column-pruned scan of the query
@@ -290,15 +377,19 @@ class InvertedIndex:
                 if len(out) > self._PREFIX_RESOLVE_MAX:
                     return None
             return out
-        paths = [f"{d}/term_ubs" for d in self.layer_dirs]
+        paths = [
+            f"{d}/term_ubs" for d in self.layer_dirs + self.tomb_dirs
+        ]
         if not all(fsio.exists(p) for p in paths):
             return None
-        terms: set[str] = set()
+        # tombstone sidecars carry negative dfs: sum per term so a
+        # fully-deleted term drops out of the resolution
+        dfs: dict[str, int] = {}
         for path in paths:
             rows = (
                 self.spark.read.schema(TERM_UBS_SCHEMA).parquet(path)
                 .filter(F.col("term").startswith(stem))
-                .select("term", "bucket")
+                .select("term", "bucket", "df")
                 .limit(self._PREFIX_RESOLVE_MAX + 1)
                 .collect()
             )
@@ -306,10 +397,11 @@ class InvertedIndex:
                 return None
             if any(r["bucket"] is None for r in rows):
                 return None  # pre-dictionary sidecar
-            terms.update(r["term"] for r in rows)
-            if len(terms) > self._PREFIX_RESOLVE_MAX:
+            for r in rows:
+                dfs[r["term"]] = dfs.get(r["term"], 0) + int(r["df"])
+            if len(dfs) > self._PREFIX_RESOLVE_MAX:
                 return None
-        return sorted(terms)
+        return sorted(t for t, df in dfs.items() if df > 0)
 
     def _prefix_matched(self, stem: str) -> DataFrame:
         """Postings rows for ``stem*``: resolved through the term
@@ -325,9 +417,37 @@ class InvertedIndex:
     def _contribs(self, terms: list[str]) -> DataFrame:
         idf_map = self._layered_idf_map(terms)
         return self._matched(terms).mapInPandas(
-            _decode_score_gen(self.meta, idf_map),
+            _decode_score_gen(self.meta, idf_map, tomb=self._tomb_spec),
             "term string, doc_id long, contrib double",
         )
+
+    def decode_raw(self, with_positions: bool = False) -> DataFrame:
+        """Every live posting as raw (term, doc_id, tf, dl[, positions])
+        rows — tombstone-deleted docs already masked out. This is the
+        lossless basis compaction re-merges from."""
+        schema = "term string, doc_id long, tf int, dl int" + (
+            ", positions array<int>" if with_positions else ""
+        )
+        return self.postings.mapInPandas(
+            _decode_raw_gen(self.meta, with_positions, tomb=self._tomb_spec),
+            schema,
+        )
+
+    def dead_ids_df(self, layer_seq: int) -> DataFrame | None:
+        """doc_ids deleted from layer ``layer_seq`` (tombstones with cut
+        > seq), as a DataFrame — None when nothing masks that layer."""
+        dirs = [
+            td
+            for td, cut in zip(self.tomb_dirs, self.meta.tombstone_cuts or ())
+            if int(cut) > layer_seq
+        ]
+        if not dirs:
+            return None
+        out = None
+        for td in dirs:
+            part = self.spark.read.schema("doc_id long").parquet(f"{td}/doc_ids")
+            out = part if out is None else out.unionByName(part)
+        return out.distinct()
 
     def _layered_idf_map(self, terms: list[str]) -> dict[str, float] | None:
         """Global per-term idf for LAYERED indexes (a posting row's
@@ -355,7 +475,8 @@ class InvertedIndex:
             ", positions array<int>" if with_positions else ""
         )
         return self._matched(terms).mapInPandas(
-            _decode_raw_gen(self.meta, with_positions), schema
+            _decode_raw_gen(self.meta, with_positions, tomb=self._tomb_spec),
+            schema,
         )
 
     def _prefix_tf(self, stem: str) -> DataFrame:
@@ -369,7 +490,8 @@ class InvertedIndex:
         fallback inside ``_prefix_matched``."""
         matched = self._prefix_matched(stem)
         raw = matched.mapInPandas(
-            _decode_raw_gen(self.meta), "term string, doc_id long, tf int, dl int"
+            _decode_raw_gen(self.meta, tomb=self._tomb_spec),
+            "term string, doc_id long, tf int, dl int",
         )
         return raw.groupBy("doc_id").agg(
             F.sum("tf").cast("int").alias("tf"), F.first("dl").alias("dl")
@@ -425,7 +547,7 @@ class InvertedIndex:
                     "NEAR queries need an index built with store_positions=True"
                 )
             raw = self._prefix_matched(u.terms[0]).mapInPandas(
-                _decode_raw_gen(self.meta, with_positions=True),
+                _decode_raw_gen(self.meta, with_positions=True, tomb=self._tomb_spec),
                 "term string, doc_id long, tf int, dl int, positions array<int>",
             )
             return raw.groupBy("doc_id").agg(
@@ -450,7 +572,7 @@ class InvertedIndex:
             )
         if u.prefix:
             raw = self._prefix_matched(u.terms[0]).mapInPandas(
-                _decode_raw_gen(self.meta, with_positions=True),
+                _decode_raw_gen(self.meta, with_positions=True, tomb=self._tomb_spec),
                 "term string, doc_id long, tf int, dl int, positions array<int>",
             )
             return (

@@ -73,28 +73,44 @@ class LocalServer:
         # matching terms' positions}
         self._xpcache: dict[str, dict[int, np.ndarray]] = {}
 
+    def _seq_col(self) -> list[str]:
+        """The postings rows' layer column — present only on tombstoned
+        indexes (the decode-time mask is cut-aware per layer)."""
+        return ["layer_seq"] if getattr(self.index, "_tomb_spec", None) else []
+
+    def _keep(self, r, ids: np.ndarray) -> np.ndarray | None:
+        """Tombstone mask for one collected shard row (numpy mirror of
+        query._tomb_keep) — None when nothing masks this row."""
+        spec = getattr(self.index, "_tomb_spec", None)
+        if not spec:
+            return None
+        from sparkgrep.operators.query import _tomb_keep
+
+        return _tomb_keep(ids, int(r["layer_seq"]), spec)
+
     def _fetch(self, terms: list[str]) -> None:
         missing = [t for t in terms if t not in self._cache]
         if not missing:
             return
         rows = (
             self.index._matched(missing)
-            .select("term", "df", "n", "doc_ids", "tfs", "dls")
+            .select("term", "df", "n", "doc_ids", "tfs", "dls", *self._seq_col())
             .collect()
         )
         for t in missing:
             self._cache[t] = []
         for r in rows:
-            self._cache[r["term"]].append(
-                (
-                    int(r["df"]),
-                    blocked_gap_decode(
-                        r["doc_ids"], int(r["n"]), self.meta.block_size
-                    ).astype(np.int64),
-                    varint_decode(r["tfs"]).astype(np.int64),
-                    varint_decode(r["dls"]).astype(np.int64),
-                )
-            )
+            ids = blocked_gap_decode(
+                r["doc_ids"], int(r["n"]), self.meta.block_size
+            ).astype(np.int64)
+            tfs = varint_decode(r["tfs"]).astype(np.int64)
+            dls = varint_decode(r["dls"]).astype(np.int64)
+            keep = self._keep(r, ids)
+            if keep is not None:
+                ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+                if not ids.size:
+                    continue
+            self._cache[r["term"]].append((int(r["df"]), ids, tfs, dls))
 
     def _fetch_pos(self, terms: list[str]) -> None:
         """Fetch postings WITH positions (phrase scoring tier)."""
@@ -107,7 +123,10 @@ class LocalServer:
             )
         rows = (
             self.index._matched(missing)
-            .select("term", "df", "n", "doc_ids", "tfs", "dls", "poss")
+            .select(
+                "term", "df", "n", "doc_ids", "tfs", "dls", "poss",
+                *self._seq_col(),
+            )
             .collect()
         )
         for t in missing:
@@ -116,16 +135,18 @@ class LocalServer:
             tfs = varint_decode(r["tfs"]).astype(np.int64)
             flat = delta_decode_segments(r["poss"], tfs)
             positions = np.split(flat, np.cumsum(tfs)[:-1])
+            ids = blocked_gap_decode(
+                r["doc_ids"], int(r["n"]), self.meta.block_size
+            ).astype(np.int64)
+            dls = varint_decode(r["dls"]).astype(np.int64)
+            keep = self._keep(r, ids)
+            if keep is not None:
+                ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+                positions = [p for p, k in zip(positions, keep) if k]
+                if not ids.size:
+                    continue
             self._pcache[r["term"]].append(
-                (
-                    int(r["df"]),
-                    blocked_gap_decode(
-                        r["doc_ids"], int(r["n"]), self.meta.block_size
-                    ).astype(np.int64),
-                    tfs,
-                    varint_decode(r["dls"]).astype(np.int64),
-                    positions,
-                )
+                (int(r["df"]), ids, tfs, dls, positions)
             )
 
     def _fetch_prefix(self, stem: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -138,18 +159,24 @@ class LocalServer:
             return hit
         rows = (
             self.index._prefix_matched(stem)
-            .select("term", "n", "doc_ids", "tfs", "dls")
+            .select("term", "n", "doc_ids", "tfs", "dls", *self._seq_col())
             .collect()
         )
         ids_parts, tf_parts, dl_parts = [], [], []
         for r in rows:
-            ids_parts.append(
-                blocked_gap_decode(
-                    r["doc_ids"], int(r["n"]), self.meta.block_size
-                ).astype(np.int64)
-            )
-            tf_parts.append(varint_decode(r["tfs"]).astype(np.int64))
-            dl_parts.append(varint_decode(r["dls"]).astype(np.int64))
+            rids = blocked_gap_decode(
+                r["doc_ids"], int(r["n"]), self.meta.block_size
+            ).astype(np.int64)
+            rtfs = varint_decode(r["tfs"]).astype(np.int64)
+            rdls = varint_decode(r["dls"]).astype(np.int64)
+            keep = self._keep(r, rids)
+            if keep is not None:
+                rids, rtfs, rdls = rids[keep], rtfs[keep], rdls[keep]
+                if not rids.size:
+                    continue
+            ids_parts.append(rids)
+            tf_parts.append(rtfs)
+            dl_parts.append(rdls)
         if not ids_parts:
             out = (np.empty(0, np.int64),) * 3
             self._xcache[stem] = out
@@ -179,7 +206,7 @@ class LocalServer:
             )
         rows = (
             self.index._prefix_matched(stem)
-            .select("term", "n", "doc_ids", "tfs", "poss")
+            .select("term", "n", "doc_ids", "tfs", "poss", *self._seq_col())
             .collect()
         )
         acc: dict[int, list[np.ndarray]] = {}
@@ -190,7 +217,10 @@ class LocalServer:
             ).astype(np.int64)
             flat = delta_decode_segments(r["poss"], tfs)
             positions = np.split(flat, np.cumsum(tfs)[:-1])
+            keep = self._keep(r, ids)
             for j, d in enumerate(ids):
+                if keep is not None and not keep[j]:
+                    continue
                 acc.setdefault(int(d), []).append(positions[j])
         out = {d: np.sort(np.concatenate(ps)) for d, ps in acc.items()}
         self._xpcache[stem] = out

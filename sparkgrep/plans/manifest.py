@@ -277,6 +277,8 @@ def _commit_segment(spark, sl: DataFrame, tf: DataFrame, out_dir: str, seg_id) -
 def _write_root_meta(out_dir: str, meta: IndexMeta) -> None:
     d = asdict(meta)
     d["layers"] = list(meta.layers or ())
+    d["tombstones"] = list(meta.tombstones or ())
+    d["tombstone_cuts"] = [int(c) for c in (meta.tombstone_cuts or ())]
     fsio.write_text(f"{out_dir}/stats.json", json.dumps(d, indent=2))
 
 
@@ -362,6 +364,102 @@ def append_batch_delta(
     return new_root
 
 
+def delete_batch_delta(
+    corpus_batch: DataFrame,
+    out_dir: str,
+    batch_id: str,
+    use_lang: bool = False,
+) -> IndexMeta:
+    """O(batch) deletes: the reference's AFTER DELETE trigger replays the
+    row's OLD content into FTS5's 'delete' command
+    (``message_manager.py:113-137``) — this is its log-structured
+    analogue. ``corpus_batch`` carries the deleted docs' original
+    content (exactly what the trigger's ``old.*`` holds; like FTS5's
+    delete command, supplying content that differs from what was indexed
+    corrupts the statistics). The batch is SPIMI-tokenized ONCE — no
+    base layer is read, decoded, or rewritten — into a TOMBSTONE layer
+    ``tomb/<seq>/`` holding:
+
+    - ``doc_ids``: the deleted ids (masked at decode time by the reader,
+      only in layers older than this tombstone, so a later re-append of
+      the same doc_id — an UPDATE — serves the new version), and
+    - ``term_ubs``: the batch's per-term dfs NEGATED (the reader's
+      cross-layer sidecar summation subtracts them, so global idf stays
+      exact; ub=0 never raises a MaxScore bound, and pruning routes to
+      the exact path on tombstoned indexes anyway).
+
+    Root stats are corrected from exact integers (N, total_tokens;
+    avgdl = tot/N — the same double division a full rebuild computes),
+    so every query family is bit-identical to a from-scratch build over
+    the surviving corpus (tests/test_delta_delete.py). UPDATE = this +
+    :func:`append_batch_delta` of the new content on the same doc_ids.
+    :func:`compact_index` folds tombstones away physically. Idempotent
+    per batch id."""
+    spark = corpus_batch.sparkSession
+    if not fsio.exists(f"{out_dir}/stats.json"):
+        raise ValueError(f"no index at {out_dir!r} to delete from")
+    root = load_meta(out_dir)
+
+    seg_id = f"{batch_id}-del"
+    if seg_id in {m["segment_id"] for m in read_manifest(out_dir)}:
+        return root  # replayed delete batch: no-op
+
+    # O(batch): tokenize only the deleted docs (analyzer pinned by the
+    # index; positions never needed — only dfs and lengths)
+    tf = spimi_term_freqs(corpus_batch, root.analyzer, use_lang, positions=False)
+    seg_dir = _commit_segment(spark, corpus_batch, tf, out_dir, seg_id)
+    tf_disk = spark.read.parquet(seg_dir)
+
+    agg = tf_disk.agg(
+        F.countDistinct("doc_id").alias("nd"),
+        F.sum("tf").alias("ntok"),
+    ).collect()[0]
+    nd, ntok = int(agg["nd"] or 0), int(agg["ntok"] or 0)
+
+    seq = len(root.tombstones or ())
+    rel = f"tomb/{seq:05d}"
+    tomb_dir = f"{out_dir}/{rel}"
+    tf_disk.filter(F.col("term") == "").select("doc_id").write.mode(
+        "overwrite"
+    ).parquet(f"{tomb_dir}/doc_ids")
+    # negated-df sidecar in the standard TERM_UBS layout (term, df, ub,
+    # bucket) so every sidecar consumer sums it unchanged
+    (
+        tf_disk.filter(F.col("term") != "")
+        .groupBy("term")
+        .agg((-F.count("*")).cast("long").alias("df"))
+        .withColumn("ub", F.lit(0.0))
+        .withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("term"), F.lit(root.n_buckets)).cast("int"),
+        )
+        .select("term", "df", "ub", "bucket")
+        .write.mode("overwrite")
+        .parquet(f"{tomb_dir}/term_ubs")
+    )
+
+    n_docs = root.n_docs - nd
+    total = root.total_tokens - ntok
+    if n_docs < 0 or total < 0:
+        raise ValueError(
+            f"delete batch removes more docs/tokens than the index holds "
+            f"(n_docs {root.n_docs}-{nd}, tokens {root.total_tokens}-{ntok}) "
+            "— was the batch already deleted, or its content modified?"
+        )
+    new_root = replace(
+        root,
+        n_docs=n_docs,
+        total_tokens=total,
+        avgdl=(total / n_docs) if n_docs else 0.0,
+        tombstones=tuple(root.tombstones or ()) + (rel,),
+        # the mask applies to every postings layer existing NOW
+        tombstone_cuts=tuple(root.tombstone_cuts or ())
+        + (1 + len(root.layers or ()),),
+    )
+    _write_root_meta(out_dir, new_root)
+    return new_root
+
+
 def compact_index(
     spark: SparkSession, out_dir: str, merge_partitions: int | None = None
 ) -> IndexMeta:
@@ -374,24 +472,25 @@ def compact_index(
     a staging dir which atomically replaces the base. Query results are
     byte-identical before and after, and the compacted postings equal a
     from-scratch build over the union corpus
-    (tests/test_delta_append.py). Cost is O(total index) — the point of
+    (tests/test_delta_append.py). Tombstones fold away physically here:
+    the masked decode drops deleted postings, the per-layer doc_lens
+    drop deleted ids, and the rebuilt stats equal a from-scratch build
+    over the survivors. Cost is O(total index) — the point of
     the log-structured design is that this price is paid on a cadence,
     not per batch."""
-    from sparkgrep.operators.query import InvertedIndex, _decode_raw_gen
+    from sparkgrep.operators.query import InvertedIndex
 
     meta = load_meta(out_dir)
-    if not meta.layers:
+    if not meta.layers and not meta.tombstones:
         return meta
     idx = InvertedIndex(spark, out_dir)
-    schema = "term string, doc_id long, tf int, dl int" + (
-        ", positions array<int>" if meta.has_positions else ""
-    )
-    raw = idx.postings.mapInPandas(
-        _decode_raw_gen(meta, with_positions=meta.has_positions), schema
-    )
+    raw = idx.decode_raw(with_positions=meta.has_positions)
     dls = None
-    for d in idx.layer_dirs:
+    for seq, d in enumerate(idx.layer_dirs):
         part = spark.read.schema("doc_id long, dl int").parquet(f"{d}/doc_lens")
+        dead = idx.dead_ids_df(seq)
+        if dead is not None:
+            part = part.join(F.broadcast(dead), "doc_id", "left_anti")
         dls = part if dls is None else dls.unionByName(part)
     sent_cols = [
         F.lit("").alias("term"),
@@ -423,7 +522,8 @@ def compact_index(
         fsio.delete(f"{out_dir}/{sub}")
         fsio.rename(f"{tmp}/{sub}", f"{out_dir}/{sub}")
     fsio.delete(f"{out_dir}/delta")
+    fsio.delete(f"{out_dir}/tomb")
     fsio.delete(tmp)
-    final = replace(new_meta, layers=())
+    final = replace(new_meta, layers=(), tombstones=(), tombstone_cuts=())
     _write_root_meta(out_dir, final)
     return final

@@ -23,14 +23,32 @@ def get_spark(
     shuffle_partitions: int | None = None,
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    if master is None:
+    # under spark-submit (PythonRunner sets PYSPARK_GATEWAY_PORT) the
+    # master comes from the CLI (--master yarn/k8s://…/local[N]) through
+    # the already-running JVM's conf: setting .master() here would
+    # silently override a cluster submission with local mode, so leave
+    # it unset unless the caller chose one. Plain `python` runs (no
+    # gateway yet) default to local[cpus].
+    submitted = master is None and "PYSPARK_GATEWAY_PORT" in os.environ
+    if master is None and not submitted:
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        # local[N] → N; local[*] → machine cores
-        inner = master.split("[")[-1].rstrip("]")
-        shuffle_partitions = cpus if inner == "*" else int(inner)
+        if master is not None and master.startswith("local"):
+            # local[N] → N; local[*] / bare 'local' → machine cores
+            inner = master.split("[")[-1].rstrip("]")
+            shuffle_partitions = (
+                cpus if inner in ("*", "local") else int(inner)
+            )
+        else:
+            # cluster submission: ~3 waves per core is the standard
+            # sizing; override via SPARKGREP_SHUFFLE_PARTITIONS
+            shuffle_partitions = int(
+                os.environ.get("SPARKGREP_SHUFFLE_PARTITIONS", str(3 * cpus))
+            )
 
-    builder = SparkSession.builder.appName(app_name).master(master)
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
     # Shuffle/spill scratch: point at fast storage (tmpfs) when provided —
     # on this sandbox the default /tmp is slow virtio ext4 and disk
     # writeback dominates big builds.
