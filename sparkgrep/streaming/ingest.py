@@ -35,6 +35,7 @@ def index_stream(
     available_now: bool = True,
     delta: bool = True,
     compact_every: int | None = None,
+    op_col: str | None = None,
     **merge_kw,
 ) -> StreamingQuery:
     """Start a streaming query that maintains the inverted index at
@@ -46,29 +47,70 @@ def index_stream(
     log-structured delta layer (``manifest.append_batch_delta``) — the
     freshness cost is proportional to the BATCH, never the corpus —
     with ``compact_every`` bounding the layer count (after that many
-    unmerged deltas, one compaction folds them back so MaxScore pruning
-    re-engages). ``delta=False`` keeps the round-2 behavior (full
-    re-merge per batch: simplest, but O(corpus) freshness cost).
+    unmerged delta + tombstone layers, one compaction folds them back so
+    MaxScore pruning re-engages). ``delta=False`` keeps the round-2
+    behavior (full re-merge per batch: simplest, but O(corpus) freshness
+    cost; inserts only).
+
+    ``op_col`` turns the stream into a CDC feed — the full trigger set
+    the reference mirrors into its FTS table
+    (``message_manager.py:113-137``): each row carries 'insert' or
+    'delete' in that column; a delete row carries the doc's ORIGINAL
+    content (what the AFTER DELETE trigger's ``old.*`` holds), and an
+    UPDATE is the trigger's pair — a 'delete' row with the old content
+    plus an 'insert' row with the new content on the same doc_id.
+    Deletes apply FIRST within a micro-batch (tombstone layer), then
+    inserts (delta layer, newer than the tombstone), so same-batch
+    delete+insert serves the new version. Requires ``delta=True``.
 
     ``available_now=True`` drains everything currently available and
     stops (backfill / test mode); False runs continuously with the
     source's default trigger.
     """
-    from sparkgrep.plans.manifest import append_batch, append_batch_delta, compact_index
+    from pyspark.sql import functions as F
+
+    from sparkgrep.plans.manifest import (
+        append_batch,
+        append_batch_delta,
+        compact_index,
+        delete_batch_delta,
+    )
+
+    if op_col and not delta:
+        raise ValueError("op_col (CDC deletes) requires delta=True")
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         if delta:
-            meta = append_batch_delta(
-                batch_df,
-                out_dir,
-                batch_id=f"stream-{batch_id}",
-                analyzer=analyzer,
-                use_lang=use_lang,
-                **merge_kw,
-            )
-            if compact_every and len(meta.layers or ()) >= compact_every:
+            meta = None
+            if op_col:
+                dels = batch_df.filter(F.col(op_col) == "delete").drop(op_col)
+                if not dels.isEmpty():
+                    meta = delete_batch_delta(
+                        dels,
+                        out_dir,
+                        batch_id=f"stream-{batch_id}",
+                        use_lang=use_lang,
+                    )
+                ins = batch_df.filter(F.col(op_col) != "delete").drop(op_col)
+            else:
+                ins = batch_df
+            if not ins.isEmpty():
+                meta = append_batch_delta(
+                    ins,
+                    out_dir,
+                    batch_id=f"stream-{batch_id}",
+                    analyzer=analyzer,
+                    use_lang=use_lang,
+                    **merge_kw,
+                )
+            if (
+                compact_every
+                and meta is not None
+                and len(meta.layers or ()) + len(meta.tombstones or ())
+                >= compact_every
+            ):
                 compact_index(batch_df.sparkSession, out_dir)
         else:
             append_batch(
