@@ -1068,6 +1068,30 @@ def q_bm25_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DEL_PRED = "doc_id % 7 = 3"
 
 
+def q_bm25_pruned_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MaxScore pruning over a LAYERED index (delta append + tombstone
+    delete, no compaction): each layer's sidecar ub is rescaled into a
+    global-sound bound (query.py _fold_sidecar_rows), so pruned serving
+    stays available between compactions. The oracle recomputes BM25 from
+    scratch over the surviving corpus — the pruned path must match it
+    exactly through the layered decode (driver-side global idf,
+    tombstone masking, block skipping)."""
+    from sparkgrep.operators.query import InvertedIndex
+    from sparkgrep.operators.wand import search_pruned
+    from sparkgrep.plans.manifest import append_batch_delta, delete_batch_delta
+
+    corpus = _corpus(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="sparkgrep_wandl_") + "/idx"
+    append_batch_delta(
+        corpus.filter("doc_id % 3 != 1"), out, "b0",
+        analyzer="simple", n_buckets=8, idf_variant="lucene",
+    )
+    append_batch_delta(corpus.filter("doc_id % 3 = 1"), out, "b1")
+    delete_batch_delta(corpus.filter(_DEL_PRED), out, "b2")
+    res = search_pruned(InvertedIndex(spark, out), FLAGSHIP_QUERY, k=10)
+    return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
+
+
 def q_delta_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O(batch) tombstone delete (the reference's AFTER DELETE trigger,
     message_manager.py:113-137, replayed log-structured): build over the
@@ -1162,6 +1186,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compact_repr": q_compact_repr,
     "segment_metrics": q_segment_metrics,
     "bm25_pruned": q_bm25_pruned,
+    "bm25_pruned_delta": q_bm25_pruned_delta,
     "delta_delete": q_delta_delete,
     "delta_update": q_delta_update,
 }
@@ -1663,6 +1688,14 @@ FROM documents
         # rewrite as the Spark-side _DEL_PRED entries)
         "delta_delete": _bm25_sql(
             flagship_terms, 10,
+            ctes=_tok_ctes(
+                f"(SELECT doc_id, text FROM documents WHERE NOT ({_DEL_PRED}))"
+            ),
+        ),
+        # pruned serving over a layered (delta + tombstone) index: same
+        # surviving-corpus oracle, lucene idf (pruning-sound variant)
+        "bm25_pruned_delta": _bm25_sql(
+            flagship_terms, 10, idf_variant="lucene",
             ctes=_tok_ctes(
                 f"(SELECT doc_id, text FROM documents WHERE NOT ({_DEL_PRED}))"
             ),

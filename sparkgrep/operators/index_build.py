@@ -94,6 +94,15 @@ class IndexMeta:
     # version (plans/manifest.py: delete_batch_delta)
     tombstones: tuple = ()
     tombstone_cuts: tuple = ()
+    # per-POSTINGS-layer build-time stats, aligned with [base] + layers:
+    # (n_docs, avgdl) as they were when that layer's block_max / term_ubs
+    # values were computed. A layer's sidecar ub is idf_layer·tfcomp_layer;
+    # these snapshots let the reader rescale it into a GLOBAL-sound
+    # MaxScore bound (query.py term_ubs): ub_g = ub_L · idf_g/idf_L ·
+    # max(1, avgdl_g/avgdl_L) — the tf component is monotone in avgdl
+    # with supremum ratio avgdl_g/avgdl_L. Empty = unknown (pre-upgrade
+    # layered index): pruning then routes to the exact path as before.
+    layer_stats: tuple = ()
 
 
 # v2 postings are BLOCK-ADDRESSABLE: doc_ids gap encoding resets at every

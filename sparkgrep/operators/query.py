@@ -211,8 +211,18 @@ class InvertedIndex:
             p = p.unionByName(q)
         self.postings = p
         # layered OR tombstoned: per-row stored dfs are stale/layer-local
-        # → idf comes from the summed sidecars; wand routes to exact
+        # → idf comes from the summed sidecars
         self.is_layered = len(self.layer_dirs) > 1 or bool(self._tomb_spec)
+        # per-layer build-time (n_docs, avgdl) snapshots written by the
+        # delta/tombstone writers (IndexMeta.layer_stats): when present
+        # and aligned with the postings layers, the sidecar fold rescales
+        # each layer's ub into a GLOBAL-sound MaxScore bound and pruning
+        # stays enabled on layered indexes; absent (pre-upgrade layered
+        # index) → pruning_sound is False and wand routes to exact
+        ls = [tuple(x) for x in (self.meta.layer_stats or ())]
+        self._layer_prune_stats = (
+            ls if self.is_layered and len(ls) == len(self.layer_dirs) else None
+        )
         self._warm = False
         # driver-side (df, ub) cache for MaxScore planning — see term_ubs()
         self._ub_cache: dict[str, tuple[int, float] | None] = {}
@@ -233,7 +243,57 @@ class InvertedIndex:
             self._warm = True
         return self
 
+    @property
+    def pruning_sound(self) -> bool:
+        """True when :meth:`term_ubs` values are valid GLOBAL BM25 upper
+        bounds: always on a compacted (single-layer, untombstoned) index;
+        on a layered one only when per-layer build stats enable the
+        sidecar rescale (see :meth:`_fold_sidecar_rows`). wand.py gates
+        MaxScore planning on this."""
+        return (not self.is_layered) or self._layer_prune_stats is not None
+
     # -- internals ----------------------------------------------------------
+
+    def _fold_sidecar_rows(self, acc: dict, rows, layer_ix: int) -> None:
+        """Fold one sidecar's rows into the per-term accumulator
+        ``term -> [df_sum, ub_acc, bucket]``. Layer dfs SUM (doc_ids are
+        disjoint across layers); tombstone sidecars (``layer_ix`` past
+        the postings layers) carry df < 0, ub 0 and only subtract.
+        ``ub_acc`` semantics depend on the index shape:
+
+        - compacted: max of the stored ubs (already global);
+        - layered with per-layer stats: a stored ub is
+          idf_L·max(tfcomp_L) computed with LAYER-local stats. Dividing
+          out idf_L and inflating by max(1, avgdl_g/avgdl_L) bounds
+          max(tfcomp_g) — tfcomp is monotone increasing in avgdl and the
+          ratio tfcomp_g/tfcomp_L has supremum avgdl_g/avgdl_L (reached
+          as dl→∞) — so ub_acc accumulates that idf-free factor and
+          :meth:`_global_ub` multiplies the global idf back in. Deleted
+          postings can only make the bound conservative;
+        - layered without stats: raw max is kept but ``pruning_sound``
+          is False, so nothing consumes it as a bound."""
+        rescale = self._layer_prune_stats
+        is_postings_layer = layer_ix < len(self.layer_dirs)
+        meta = self.meta
+        for r in rows:
+            a = acc.setdefault(r["term"], [0, 0.0, r["bucket"]])
+            a[0] += int(r["df"])
+            if not is_postings_layer:
+                continue  # tombstone sidecar: ub never raises a bound
+            ub = float(r["ub"])
+            if rescale is not None:
+                n_l, avgdl_l = rescale[layer_ix]
+                idf_l = float(idf_fn(int(n_l), int(r["df"]), meta.idf_variant))
+                infl = (meta.avgdl / avgdl_l) if avgdl_l > 0 else 1.0
+                ub = (ub / idf_l) * max(1.0, infl) if idf_l > 0 else float("inf")
+            a[1] = max(a[1], ub)
+
+    def _global_ub(self, df: int, ub_acc: float) -> float:
+        """Finish an accumulated ub into the global bound term_ubs
+        exposes (identity on a compacted index)."""
+        if self._layer_prune_stats is None:
+            return ub_acc
+        return float(idf_fn(self.meta.n_docs, df, self.meta.idf_variant)) * ub_acc
 
     def _buckets_for(self, terms: list[str]) -> list[int]:
         # driver-side XXH64 (bit-compatible with the build side's
@@ -258,9 +318,10 @@ class InvertedIndex:
         MaxScore planning + the sorted term→bucket dictionary for prefix
         resolution). On a layered index every layer's sidecar is loaded
         and per-term df SUMMED (doc_ids are disjoint across layers); ub
-        is kept as the max but is only sound for pruning on a compacted
-        index (wand.py routes layered indexes to the exact path). True
-        when fully resident; False when a sidecar is absent or the
+        is rescaled per layer into a global-sound bound when the layer
+        stats allow it (see _fold_sidecar_rows — otherwise
+        ``pruning_sound`` is False and wand routes to the exact path).
+        True when fully resident; False when a sidecar is absent or the
         vocabulary exceeds the driver budget."""
         if self._ub_full:
             return True
@@ -275,19 +336,20 @@ class InvertedIndex:
         ):
             return False
         acc: dict[str, list] = {}
-        for path in paths:
-            for r in self.spark.read.schema(TERM_UBS_SCHEMA).parquet(path).collect():
-                a = acc.setdefault(r["term"], [0, 0.0, r["bucket"]])
-                a[0] += int(r["df"])  # tombstone sidecars carry df < 0
-                a[1] = max(a[1], float(r["ub"]))
-        for t, (df, ub, bucket) in acc.items():
+        for li, path in enumerate(paths):
+            self._fold_sidecar_rows(
+                acc,
+                self.spark.read.schema(TERM_UBS_SCHEMA).parquet(path).collect(),
+                li,
+            )
+        for t, (df, ub_acc, bucket) in acc.items():
             if df <= 0:
                 # every doc containing the term was deleted: keep it out
                 # of the dictionary and negative-cache it (its postings
                 # rows all mask away at decode)
                 self._ub_cache[t] = None
                 continue
-            self._ub_cache[t] = (df, ub)
+            self._ub_cache[t] = (df, self._global_ub(df, ub_acc))
             self._bucket_cache[t] = int(bucket) if bucket is not None else None
         self._sorted_terms = sorted(self._bucket_cache)
         self._ub_full = True
@@ -309,21 +371,20 @@ class InvertedIndex:
             ]
             if all(fsio.exists(p) for p in paths):
                 acc: dict[str, list] = {}
-                for path in paths:
+                for li, path in enumerate(paths):
                     rows = (
                         self.spark.read.schema(TERM_UBS_SCHEMA).parquet(path)
                         .filter(F.col("term").isin(missing))
                         .collect()
                     )
-                    for r in rows:
-                        a = acc.setdefault(r["term"], [0, 0.0])
-                        # layer dfs sum (disjoint docs); tombstone
-                        # sidecars carry df < 0 and subtract
-                        a[0] += int(r["df"])
-                        a[1] = max(a[1], float(r["ub"]))
-                for t, (df, ub) in acc.items():
+                    # layer dfs sum (disjoint docs), tombstone sidecars
+                    # subtract, layered ubs rescale to global bounds
+                    self._fold_sidecar_rows(acc, rows, li)
+                for t, (df, ub_acc, _bucket) in acc.items():
                     # df ≤ 0 = fully-deleted term → negative cache
-                    self._ub_cache[t] = (df, ub) if df > 0 else None
+                    self._ub_cache[t] = (
+                        (df, self._global_ub(df, ub_acc)) if df > 0 else None
+                    )
             else:
                 # pre-sidecar index (single layer by construction): derive
                 # from postings metadata (column-pruned scan of the query

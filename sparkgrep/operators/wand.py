@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from sparkgrep.functions.tokenizer import tokenize_py
 from sparkgrep.functions.varint import varint_decode
-from sparkgrep.operators.query import InvertedIndex
+from sparkgrep.operators.query import InvertedIndex, _tomb_keep
 from sparkgrep.operators.score import idf as idf_fn
 
 
@@ -81,12 +81,24 @@ def seq_fold(
     return docs, scores
 
 
-def _filtered_decode_gen(meta, candidates: np.ndarray):
+def _filtered_decode_gen(
+    meta,
+    candidates: np.ndarray,
+    idf_map: dict[str, float] | None = None,
+    tomb=None,
+):
     """Pass-2 decoder with TRUE block skipping: the v2 postings format
     stores per-block first-doc_ids (block_min) and byte offsets for all
     three varint streams, so only blocks whose doc-id range intersects
     the candidate set are decoded at all — pass-2 work is proportional
-    to candidate-touching blocks, not to posting-list length."""
+    to candidate-touching blocks, not to posting-list length.
+
+    ``idf_map`` / ``tomb`` mirror the exact path's layered handling
+    (query.py ``_decode_score_gen``): on a layered index a row's stored
+    df is layer-local, so the global idf ships from the driver, and
+    tombstone-deleted doc_ids are masked right after decode (only in
+    rows from layers older than the tombstone) — both required for
+    bitwise identity with the exact fold."""
     k1, b, avgdl, n_docs = meta.k1, meta.b, meta.avgdl, meta.n_docs
     variant = meta.idf_variant
     cand = np.sort(candidates)
@@ -95,6 +107,8 @@ def _filtered_decode_gen(meta, candidates: np.ndarray):
         for pdf in batches:
             outs = []
             for r in pdf.itertuples():
+                if idf_map is not None and r.term not in idf_map:
+                    continue  # fully-deleted term: every posting masked
                 bmin = np.asarray(r.block_min, dtype=np.int64)
                 # block holding each candidate (blocks partition the
                 # sorted doc space: block i covers [bmin[i], bmin[i+1]))
@@ -125,7 +139,17 @@ def _filtered_decode_gen(meta, candidates: np.ndarray):
                 tfs = np.concatenate(tf_parts).astype(np.int64)[keep]
                 dls = np.concatenate(dl_parts).astype(np.int64)[keep]
                 ids = ids[keep]
-                idf = idf_fn(n_docs, r.df, variant)
+                if tomb:
+                    tkeep = _tomb_keep(ids, getattr(r, "layer_seq", 0), tomb)
+                    if tkeep is not None:
+                        ids, tfs, dls = ids[tkeep], tfs[tkeep], dls[tkeep]
+                        if not ids.size:
+                            continue
+                idf = (
+                    idf_map[r.term]
+                    if idf_map is not None
+                    else idf_fn(n_docs, r.df, variant)
+                )
                 contrib = idf * (tfs * (k1 + 1.0)) / (
                     tfs + (k1 * ((1.0 - b) + ((b * dls) / avgdl)))
                 )
@@ -146,14 +170,21 @@ def plan_pruned(
     """Job-free MaxScore viability planning off the memoized ``term_ubs``
     sidecar (shared by :func:`search_pruned` and
     :func:`search_batch_pruned`). Returns None when pruning is unsound
-    (okapi idf, layered index) or provably/predictably unprofitable
+    (okapi idf; layered index without the layer-stats rescale) or
+    provably/predictably unprofitable
     (every driver-side gate in :func:`search_pruned`'s docstring);
     otherwise ``{'essential', 'rest_ub', 'cap', 'ess_df'}``."""
     meta = index.meta
     if not terms or meta.idf_variant == "okapi":
         return None
-    if getattr(index, "is_layered", False):
-        return None  # per-layer block metadata unsound as global bounds
+    if getattr(index, "is_layered", False) and not getattr(
+        index, "pruning_sound", False
+    ):
+        # pre-layer-stats layered index: per-layer sidecar ubs cannot be
+        # rescaled into global bounds (query.py _fold_sidecar_rows) —
+        # only then does pruning route to exact; delta/tombstone layers
+        # written with layer_stats snapshots keep pruning enabled
+        return None
     ubs_map = index.term_ubs(terms)
     if not ubs_map:
         return None
@@ -272,7 +303,10 @@ def search_pruned(
     # fold in the exact path's float order → bitwise-identical scores
     matched = index._matched(terms)
     contribs = matched.mapInPandas(
-        _filtered_decode_gen(meta, cand_ids), "term string, doc_id long, contrib double"
+        _filtered_decode_gen(
+            meta, cand_ids, index._layered_idf_map(terms), index._tomb_spec
+        ),
+        "term string, doc_id long, contrib double",
     )
     docs, scores = _numpy_fold(contribs.collect(), terms)
     sel = np.lexsort((docs, -scores))[:k]
@@ -290,8 +324,8 @@ def search_batch_pruned(
     """Batched serving with MaxScore routing: selective queries share ONE
     pass-1 job (union of essential terms) and ONE block-skipping pass-2
     job (union of candidates × union of their terms); everything the
-    planner routes exact — hot, layered, okapi, margin-failing — shares
-    the ordinary single-scan batched fold. At most 3 Spark jobs per
+    planner routes exact — hot, okapi, margin-failing, layered without
+    the stats rescale — shares the ordinary single-scan batched fold. At most 3 Spark jobs per
     batch regardless of query count, decode work ∝ candidate-touching
     blocks for the selective share. Results are bitwise-identical to
     ``InvertedIndex.search_batch`` (pass 2 recomputes true contributions
@@ -356,7 +390,12 @@ def search_batch_pruned(
             rows2 = (
                 index._matched(union_terms)
                 .mapInPandas(
-                    _filtered_decode_gen(index.meta, union_cands),
+                    _filtered_decode_gen(
+                        index.meta,
+                        union_cands,
+                        index._layered_idf_map(union_terms),
+                        index._tomb_spec,
+                    ),
                     "term string, doc_id long, contrib double",
                 )
                 .collect()

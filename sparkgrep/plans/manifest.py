@@ -359,9 +359,29 @@ def append_batch_delta(
             else -1
         ),
         layers=tuple(root.layers or ()) + (delta_rel,),
+        # snapshot build-time stats per layer so the reader can rescale
+        # each layer's sidecar ub into a global-sound MaxScore bound
+        # (IndexMeta.layer_stats); _base_layer_stats recovers the base's
+        # own build stats before any incremental correction touched them
+        layer_stats=_base_layer_stats(root) + ((dmeta.n_docs, dmeta.avgdl),),
     )
     _write_root_meta(out_dir, new_root)
     return new_root
+
+
+def _base_layer_stats(root: IndexMeta) -> tuple:
+    """Existing per-layer (n_docs, avgdl) snapshots, bootstrapping from a
+    still-single-layer root: a root with no layers and no tombstones
+    carries exactly its own build-time stats, which are about to be
+    incrementally corrected — snapshot them now. A pre-upgrade index
+    that is ALREADY layered without snapshots stays unknown (empty):
+    the reader then keeps routing pruning to the exact path."""
+    existing = tuple(tuple(x) for x in (root.layer_stats or ()))
+    if existing:
+        return existing
+    if not (root.layers or ()) and not (root.tombstones or ()):
+        return ((root.n_docs, root.avgdl),)
+    return ()
 
 
 def delete_batch_delta(
@@ -455,6 +475,9 @@ def delete_batch_delta(
         # the mask applies to every postings layer existing NOW
         tombstone_cuts=tuple(root.tombstone_cuts or ())
         + (1 + len(root.layers or ()),),
+        # deletes don't add a postings layer, but must snapshot the base
+        # stats before this correction if no delta has done so yet
+        layer_stats=_base_layer_stats(root),
     )
     _write_root_meta(out_dir, new_root)
     return new_root

@@ -112,7 +112,8 @@ def test_delete_is_o_batch(spark, tombstoned):
     assert meta.n_docs == 350
     assert len(meta.tombstones) == 1
     idx = InvertedIndex(spark, out)
-    assert idx.is_layered  # routes wand→exact and idf→summed sidecars
+    assert idx.is_layered  # idf comes from summed sidecars
+    assert idx.pruning_sound  # layer_stats snapshot keeps MaxScore on
     tomb = f"{out}/{meta.tombstones[0]}"
     ids = spark.read.parquet(f"{tomb}/doc_ids")
     assert ids.count() == 50
