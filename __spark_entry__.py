@@ -1092,6 +1092,197 @@ def q_bm25_pruned_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
 
 
+_MC_FIELDS = ["meta", "body"]
+
+
+def _mc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-field corpus derived deterministically from the documents
+    table (the reference's FTS5 shape is multi-column —
+    subject/body_text/sender, message_manager.py:101-110): a short
+    metadata field (lang + repo) and the content body. The DuckDB oracle
+    derives the identical fields from the raw parquet."""
+    c = _corpus(spark, sf_dir)
+    return c.select(
+        "doc_id",
+        F.concat_ws(" ", "lang", "repo").alias("meta"),
+        F.col("content").alias("body"),
+    )
+
+
+def _mc_index(spark: SparkSession, sf_dir: str):
+    from sparkgrep.operators.index_build import build_index
+    from sparkgrep.operators.query import InvertedIndex
+
+    out = tempfile.mkdtemp(prefix="sparkgrep_mc_") + "/idx"
+    build_index(
+        _mc_corpus(spark, sf_dir), out, analyzer="simple",
+        fields=_MC_FIELDS, n_buckets=8,
+    )
+    return InvertedIndex(spark, out)
+
+
+# shared multi-field tokenize prelude: per-field token lists + per-field
+# tf tables + the concatenated (full-colset) tf table; dl is the
+# UNWEIGHTED row token total (FTS5's document length — pinned)
+_MC_CTES = """
+docs2 AS (
+  SELECT doc_id,
+         concat_ws(' ', lang, source) AS meta,
+         coalesce(text, '') AS body
+  FROM documents
+),
+mtok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(meta), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM docs2
+),
+btok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(body), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM docs2
+),
+mtf AS (
+  SELECT doc_id, u AS term, count(*) AS tf
+  FROM mtok, unnest(toks) AS v(u) GROUP BY doc_id, u
+),
+btf AS (
+  SELECT doc_id, u AS term, count(*) AS tf
+  FROM btok, unnest(toks) AS v(u) GROUP BY doc_id, u
+),
+dl AS (
+  SELECT m.doc_id, CAST(len(m.toks) + len(b.toks) AS BIGINT) AS dl
+  FROM mtok m JOIN btok b USING (doc_id)
+),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl)
+"""
+
+# one atom's BM25 contribution, okapi idf, engine float-op order
+# (score.py bm25_contrib_col): idf * (tf*2.2) / (tf + (1.2*(0.25 + 0.75*dl/avgdl)))
+def _mc_contrib(tf_expr: str, df_sub: str) -> str:
+    return (
+        f"ln((stats.n - {df_sub} + 0.5) / ({df_sub} + 0.5))"
+        f" * ({tf_expr} * 2.2)"
+        f" / ({tf_expr} + (1.2 * (0.25 + ((0.75 * m.dl) / stats.avgdl))))"
+    )
+
+
+# `meta:en scan filter`: the filtered atom's tf and df come from the
+# meta field only; plain atoms use the full (meta+body) totals. uid fold
+# order: f0|t:en < t:filter < t:scan.
+_MC_COLS_SQL = f"""
+WITH {_MC_CTES},
+a_en AS (
+  SELECT doc_id, (1.0 * CAST(tf AS DOUBLE)) AS tfw FROM mtf WHERE term = 'en'
+),
+a_scan AS (
+  SELECT c.doc_id,
+         ((1.0 * coalesce(CAST(mm.tf AS DOUBLE), 0.0))
+          + (1.0 * coalesce(CAST(bb.tf AS DOUBLE), 0.0))) AS tfw
+  FROM (SELECT DISTINCT doc_id FROM (
+          SELECT doc_id FROM mtf WHERE term = 'scan'
+          UNION ALL SELECT doc_id FROM btf WHERE term = 'scan')) c
+  LEFT JOIN (SELECT doc_id, tf FROM mtf WHERE term = 'scan') mm USING (doc_id)
+  LEFT JOIN (SELECT doc_id, tf FROM btf WHERE term = 'scan') bb USING (doc_id)
+),
+a_filter AS (
+  SELECT c.doc_id,
+         ((1.0 * coalesce(CAST(mm.tf AS DOUBLE), 0.0))
+          + (1.0 * coalesce(CAST(bb.tf AS DOUBLE), 0.0))) AS tfw
+  FROM (SELECT DISTINCT doc_id FROM (
+          SELECT doc_id FROM mtf WHERE term = 'filter'
+          UNION ALL SELECT doc_id FROM btf WHERE term = 'filter')) c
+  LEFT JOIN (SELECT doc_id, tf FROM mtf WHERE term = 'filter') mm USING (doc_id)
+  LEFT JOIN (SELECT doc_id, tf FROM btf WHERE term = 'filter') bb USING (doc_id)
+),
+matched AS (
+  SELECT m.doc_id, m.dl, e.tfw AS tf_en, f.tfw AS tf_filter, s.tfw AS tf_scan
+  FROM dl m
+  JOIN a_en e USING (doc_id)
+  JOIN a_filter f USING (doc_id)
+  JOIN a_scan s USING (doc_id)
+),
+scored AS (
+  SELECT m.doc_id,
+         ({_mc_contrib('m.tf_en', '(SELECT count(*) FROM a_en)')}
+          + {_mc_contrib('m.tf_filter', '(SELECT count(*) FROM a_filter)')}
+          + {_mc_contrib('m.tf_scan', '(SELECT count(*) FROM a_scan)')}) AS score
+  FROM matched m, stats
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+       doc_id, round(score, 4) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+# `en OR scan` with bm25 weights (3.0, 1.0): tfw = (3·tf_meta)+(1·tf_body);
+# match-any, per-disjunct gating = presence. uid order: t:en < t:scan.
+_MC_WEIGHTED_SQL = f"""
+WITH {_MC_CTES},
+a_en AS (
+  SELECT c.doc_id,
+         ((3.0 * coalesce(CAST(mm.tf AS DOUBLE), 0.0))
+          + (1.0 * coalesce(CAST(bb.tf AS DOUBLE), 0.0))) AS tfw
+  FROM (SELECT DISTINCT doc_id FROM (
+          SELECT doc_id FROM mtf WHERE term = 'en'
+          UNION ALL SELECT doc_id FROM btf WHERE term = 'en')) c
+  LEFT JOIN (SELECT doc_id, tf FROM mtf WHERE term = 'en') mm USING (doc_id)
+  LEFT JOIN (SELECT doc_id, tf FROM btf WHERE term = 'en') bb USING (doc_id)
+),
+a_scan AS (
+  SELECT c.doc_id,
+         ((3.0 * coalesce(CAST(mm.tf AS DOUBLE), 0.0))
+          + (1.0 * coalesce(CAST(bb.tf AS DOUBLE), 0.0))) AS tfw
+  FROM (SELECT DISTINCT doc_id FROM (
+          SELECT doc_id FROM mtf WHERE term = 'scan'
+          UNION ALL SELECT doc_id FROM btf WHERE term = 'scan')) c
+  LEFT JOIN (SELECT doc_id, tf FROM mtf WHERE term = 'scan') mm USING (doc_id)
+  LEFT JOIN (SELECT doc_id, tf FROM btf WHERE term = 'scan') bb USING (doc_id)
+),
+matched AS (
+  SELECT m.doc_id, m.dl, e.tfw AS tf_en, s.tfw AS tf_scan
+  FROM dl m
+  LEFT JOIN a_en e USING (doc_id)
+  LEFT JOIN a_scan s USING (doc_id)
+  WHERE e.tfw IS NOT NULL OR s.tfw IS NOT NULL
+),
+scored AS (
+  SELECT m.doc_id,
+         ((CASE WHEN m.tf_en IS NOT NULL THEN
+             {_mc_contrib('m.tf_en', '(SELECT count(*) FROM a_en)')}
+           ELSE 0.0 END)
+          + (CASE WHEN m.tf_scan IS NOT NULL THEN
+             {_mc_contrib('m.tf_scan', '(SELECT count(*) FROM a_scan)')}
+           ELSE 0.0 END)) AS score
+  FROM matched m, stats
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+       doc_id, round(score, 4) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q_bm25_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FTS5 column filter on a multi-field index: ``meta:en scan filter``
+    — the filtered atom matches/counts tf and df ONLY within the `meta`
+    field (colset-restricted df, pinned against SQLite in
+    tests/test_multicol_parity.py), the plain atoms score over the
+    per-doc TOTAL tf; dl is the unweighted row total. The oracle
+    recomputes all of it from the raw parquet."""
+    idx = _mc_index(spark, sf_dir)
+    res = idx.search_expr("meta:en scan filter", k=10)
+    return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
+
+
+def q_bm25_cols_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column BM25 weights (FTS5 ``bm25(t, 3.0, 1.0)``) on an OR
+    query: each atom's tf is the fixed-order weighted sum
+    3.0·tf_meta + 1.0·tf_body; matching stays weight-independent."""
+    idx = _mc_index(spark, sf_dir)
+    res = idx.search_expr("en OR scan", k=10, weights=[3.0, 1.0])
+    return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
+
+
 def q_delta_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O(batch) tombstone delete (the reference's AFTER DELETE trigger,
     message_manager.py:113-137, replayed log-structured): build over the
@@ -1187,6 +1378,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "segment_metrics": q_segment_metrics,
     "bm25_pruned": q_bm25_pruned,
     "bm25_pruned_delta": q_bm25_pruned_delta,
+    "bm25_cols": q_bm25_cols,
+    "bm25_cols_weighted": q_bm25_cols_weighted,
     "delta_delete": q_delta_delete,
     "delta_update": q_delta_update,
 }
@@ -1700,6 +1893,13 @@ FROM documents
                 f"(SELECT doc_id, text FROM documents WHERE NOT ({_DEL_PRED}))"
             ),
         ),
+        # multi-field (FTS5 multi-column) entries: the oracle derives the
+        # same two fields (meta = lang + source, body = text), tokenizes
+        # each, and mirrors the engine's exact float-op order — weighted
+        # tf = (w0·tf_meta) + (w1·tf_body), colset-restricted dfs, dl =
+        # the unweighted row total, uid-ordered contribution sum
+        "bm25_cols": _MC_COLS_SQL,
+        "bm25_cols_weighted": _MC_WEIGHTED_SQL,
         "delta_update": _bm25_sql(
             flagship_terms, 10,
             ctes=_tok_ctes(

@@ -81,6 +81,14 @@ class Unit:
     terms: tuple[str, ...]  # analyzer-tokenized, order preserved
     prefix: bool = False    # prefix units are always single-stem
     anchored: bool = False  # FTS5 '^': instances at token position 0 only
+    # column filter (FTS5 ``col:``/``{c1 c2}:``/``-col:``): sorted field
+    # indices the unit is restricted to, or None = every indexed field.
+    # On a multi-field index the colset restricts MATCHING, tf counting
+    # AND df (all pinned against SQLite — probes in
+    # tests/test_multicol_parity.py); single-field indexes never set it.
+    # An empty tuple (an impossible nested intersection like
+    # ``c0:(c1:x)``) matches nothing, also FTS5's behavior.
+    cols: tuple[int, ...] | None = None
     # FTS5 scores each textual OCCURRENCE of a phrase as its own atom
     # (``alpha alpha`` and ``alpha OR alpha`` both score 2× alpha —
     # probed): the lexer numbers repeat occurrences of the same atom,
@@ -108,6 +116,10 @@ class Unit:
             out = "x:" + self.terms[0]
         else:
             out = ("p:" if self.is_phrase else "t:") + " ".join(self.terms)
+        if self.cols is not None:
+            # 'f' (0x66) sorts before 'c'/'p'/'t'/'x' uid heads — only
+            # determinism matters, and both engines sort the same bytes
+            out = "f" + ",".join(map(str, self.cols)) + "|" + out
         return out + (f"~{self.occ}" if self.occ else "")
 
 
@@ -126,6 +138,12 @@ class NearGroup:
     # textual occurrence index among identical NEAR groups (FTS5 scores
     # each occurrence's members separately — same rule as Unit.occ)
     occ: int = 0
+    # column filter (``c0:NEAR(...)``): the whole group — selections AND
+    # member tf/df — is restricted to these fields; the members' own
+    # ``cols`` are set to the same colset by the colspec application so
+    # their standalone df relations are colset-restricted too (pinned:
+    # a NEAR member's df is its full presence WITHIN the colset).
+    cols: tuple[int, ...] | None = None
 
 
 def near_supported(starts: list, lens: list[int], n: int) -> list[int] | None:
@@ -275,7 +293,67 @@ class ParsedQuery:
 _MAX_DISJUNCTS = 64
 
 
+def _cols_inter(a: tuple | None, b: tuple[int, ...]) -> tuple[int, ...]:
+    """Nested colspecs INTERSECT (pinned: ``c0:(c1:x)`` matches nothing,
+    ``c0:(c0:x)`` ≡ ``c0:x``)."""
+    return b if a is None else tuple(sorted(set(a) & set(b)))
+
+
+def _unit_with_cols(u: Unit, cols: tuple[int, ...]) -> Unit:
+    return replace(u, cols=_cols_inter(u.cols, cols))
+
+
+def _group_with_cols(g: NearGroup, cols: tuple[int, ...]) -> NearGroup:
+    c = _cols_inter(g.cols, cols)
+    # members carry the group colset too: their standalone relations
+    # (which feed member-atom dfs) must be colset-restricted
+    return replace(g, cols=c, phrases=tuple(replace(u, cols=c) for u in g.phrases))
+
+
+def _apply_cols(conjs: list[Conjunct], cols: tuple[int, ...]) -> list[Conjunct]:
+    """Distribute a column filter over a parsed subexpression — FTS5's
+    ``c0:(a OR b NOT d)`` restricts every atom inside, including NOT
+    operands (pinned: ``c0:(alpha NOT beta)`` matches a doc with beta
+    only outside c0)."""
+    return [
+        Conjunct(
+            tuple(_unit_with_cols(u, cols) for u in c.includes),
+            tuple(_unit_with_cols(u, cols) for u in c.excludes),
+            tuple(_group_with_cols(g, cols) for g in c.nears),
+            tuple(tuple(_apply_cols(list(e), cols)) for e in c.exclude_exprs),
+        )
+        for c in conjs
+    ]
+
+
 _NEAR_RE = re.compile(r"\bNEAR\(([^()]*?)(?:\s*,\s*(\d+))?\)")
+
+# FTS5 column-filter prefix: ``col:`` / ``{c1 c2}:`` / ``-col:`` /
+# ``-{c1 c2}:`` (optional spaces around ':'). Only applied when the
+# caller declares index fields — single-field indexes never see it, so
+# their query surface (including literal colons in raw text) is
+# byte-for-byte unchanged.
+_COLSPEC_RE = re.compile(r"(-?)(\{[^{}]*\}|[A-Za-z_]\w*)\s*:")
+
+
+def _sub_colspecs(text: str, fields: tuple[str, ...]) -> str:
+    """Rewrite column filters into ``\\x04<indices>\\x04`` marker tokens.
+    Unknown column names raise ValueError — FTS5 parity ("no such
+    column"); colons inside quoted phrases are already stashed away."""
+
+    def _stash(m: re.Match) -> str:
+        neg, body = m.group(1), m.group(2)
+        names = body[1:-1].split() if body.startswith("{") else [body]
+        idxs: set[int] = set()
+        for nm in names:
+            if nm not in fields:
+                raise ValueError(f"no such column: {nm}")
+            idxs.add(fields.index(nm))
+        if neg:  # '-col:' = every OTHER indexed column (pinned)
+            idxs = set(range(len(fields))) - idxs
+        return " \x04" + ",".join(map(str, sorted(idxs))) + "\x04 "
+
+    return _COLSPEC_RE.sub(_stash, text)
 
 
 class _OccCounter:
@@ -308,6 +386,10 @@ def _parse_near(body: str, n: str | None, analyzer: str, phrases: list[str]):
     occurrence-numbered by the caller."""
     units: list[Unit] = []
     for raw in body.split():
+        if re.fullmatch("\x04[0-9,]*\x04", raw):
+            # colspec inside NEAR: FTS5 rejects ("syntax error"); ignored
+            # here (documented superset) — filter the whole group instead
+            continue
         if raw.startswith("^"):
             # FTS5 rejects '^' inside NEAR ("syntax error near ^");
             # accepted here as a plain member (documented superset)
@@ -361,6 +443,13 @@ def _lex(text: str, analyzer: str, phrases: list[str]) -> list:
     out: list = []
     padded = text.replace("(", " ( ").replace(")", " ) ")
     for raw in padded.split():
+        mc = re.fullmatch("\x04([0-9,]*)\x04", raw)
+        if mc:
+            spec = mc.group(1)
+            out.append(
+                ("COL", tuple(int(x) for x in spec.split(",")) if spec else ())
+            )
+            continue
         m2 = re.fullmatch("\x02(\\d+)\x02", raw)
         if m2:
             g = nears[int(m2.group(1))]
@@ -539,6 +628,13 @@ class _Parser:
 
     def atom(self) -> list[Conjunct]:
         t = self._peek()
+        if isinstance(t, tuple) and t and t[0] == "COL":
+            # column filter binds to the next atom — a unit, a NEAR
+            # group, or a whole parenthesized group (distribution over
+            # the group is FTS5's semantics, pinned); nested colspecs
+            # intersect (_cols_inter)
+            self._next()
+            return _apply_cols(self.atom(), t[1])
         if isinstance(t, NearGroup):
             self._next()
             # the group is self-contained: satisfaction implies every
@@ -564,7 +660,11 @@ class _Parser:
         return []
 
 
-def parse_query(text: str, analyzer: str = "simple") -> ParsedQuery:
+def parse_query(
+    text: str,
+    analyzer: str = "simple",
+    fields: tuple[str, ...] | list[str] | None = None,
+) -> ParsedQuery:
     """Parse a query string into OR-of-AND units (DNF).
 
     Quoted segments become phrase units (tokenized with the index
@@ -592,6 +692,11 @@ def parse_query(text: str, analyzer: str = "simple") -> ParsedQuery:
         return f" {m.group(1)}\x00{len(phrases) - 1}\x00 "
 
     rest = _PHRASE_RE.sub(_stash, text or "")
+    if fields:
+        # multi-field index: FTS5 column-filter syntax is live (colons
+        # inside quoted phrases are already stashed). fields=None keeps
+        # the single-field surface byte-for-byte unchanged.
+        rest = _sub_colspecs(rest, tuple(fields))
     parser = _Parser(_lex(rest, analyzer, phrases))
     disjuncts: list[Conjunct] = []
     while parser._peek() is not None:  # recover across stray ')' at top level

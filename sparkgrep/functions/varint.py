@@ -137,6 +137,10 @@ def delta_encode_segments(values: np.ndarray, counts: np.ndarray) -> bytes:
     d[0] = v[0]
     np.subtract(v[1:], v[:-1], out=d[1:])
     starts = np.cumsum(counts)[:-1]  # segment start indices (beyond 0)
+    # zero-length segments (multi-field postings: a doc with no instance
+    # in one field) produce duplicate/past-the-end starts — duplicates
+    # collapse to the next non-empty head, past-the-end needs no reset
+    starts = starts[starts < v.size]
     d[starts] = v[starts]            # reset: absolute at each segment head
     return varint_encode(d.astype(np.uint64))
 
@@ -150,7 +154,9 @@ def delta_decode_segments(buf: bytes, counts: np.ndarray) -> np.ndarray:
     counts = np.asarray(counts, dtype=np.int64)
     c = np.cumsum(d)
     starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
-    # subtract each segment's preceding cumulative sum → per-segment cumsum
-    base = np.zeros(len(counts), dtype=np.int64)
-    base[1:] = c[starts[1:] - 1]
+    # subtract each segment's preceding cumulative sum → per-segment
+    # cumsum; guard start == 0 (leading zero-length segments) — the
+    # np.where form is identical to the classic base[1:] = c[starts-1]
+    # whenever every count is positive
+    base = np.where(starts > 0, c[np.maximum(starts - 1, 0)], 0)
     return c - np.repeat(base, counts)

@@ -103,6 +103,16 @@ class IndexMeta:
     # with supremum ratio avgdl_g/avgdl_L. Empty = unknown (pre-upgrade
     # layered index): pruning then routes to the exact path as before.
     layer_stats: tuple = ()
+    # MULTI-FIELD index (FTS5 multi-column analogue — the reference's
+    # FTS5 table indexes subject/body_text/sender,
+    # message_manager.py:101-110): the ordered names of the indexed
+    # corpus columns. Empty = classic single-content index (every legacy
+    # code path and byte layout unchanged). Multi-field postings carry
+    # per-field tf streams (tfs_cols) and field-relative position
+    # streams (poss_cols) so column filters (``col:``), per-column BM25
+    # weights, '^' field anchors, and within-field phrases/NEAR follow
+    # SQLite FTS5 exactly (tests/test_multicol_parity.py).
+    fields: tuple = ()
 
 
 # v2 postings are BLOCK-ADDRESSABLE: doc_ids gap encoding resets at every
@@ -120,6 +130,14 @@ POSTINGS_OUT_SCHEMA = (
 # positions-enabled index: poss = per-doc token-position lists (0-based),
 # delta+varint encoded, concatenated in doc order; segment lengths == tfs
 POSTINGS_OUT_SCHEMA_POS = POSTINGS_OUT_SCHEMA + ", poss binary"
+# multi-field index: tfs_cols[c] = varint stream of the term's tf WITHIN
+# field c, aligned with doc_ids (zeros included — every stream has n
+# entries); the top-level tfs stream stays the per-doc TOTAL, so the
+# default full-colset scoring path decodes exactly like a single-field
+# index. poss_cols[c] = field-relative positions, segment lengths =
+# the per-doc values of tfs_cols[c].
+POSTINGS_OUT_SCHEMA_MC = POSTINGS_OUT_SCHEMA + ", tfs_cols array<binary>"
+POSTINGS_OUT_SCHEMA_MC_POS = POSTINGS_OUT_SCHEMA_MC + ", poss_cols array<binary>"
 
 # per-term sidecar: (a) MaxScore planning (operators/wand.py) reads the
 # global df + BM25 upper bound; (b) it doubles as the sorted TERM
@@ -129,6 +147,18 @@ POSTINGS_OUT_SCHEMA_POS = POSTINGS_OUT_SCHEMA + ", poss binary"
 # range-partitioned and sorted by term: parquet row-group min/max stats
 # prune a StartsWith pushdown to the matching files
 TERM_UBS_SCHEMA = "term string, df long, ub double, bucket int"
+
+
+def postings_schema(meta: "IndexMeta") -> str:
+    """The postings DDL string matching an index's meta — shared by the
+    writer and every reader (explicit schemas keep empty dirs readable)."""
+    if meta.fields:
+        return (
+            POSTINGS_OUT_SCHEMA_MC_POS
+            if meta.has_positions
+            else POSTINGS_OUT_SCHEMA_MC
+        )
+    return POSTINGS_OUT_SCHEMA_POS if meta.has_positions else POSTINGS_OUT_SCHEMA
 
 
 def spimi_term_freqs(
@@ -207,6 +237,87 @@ def spimi_term_freqs(
                 yield pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
 
     schema = TERM_FREQ_POS_SCHEMA if positions else TERM_FREQ_SCHEMA
+    return narrow.mapInPandas(gen, schema)
+
+
+def spimi_term_freqs_mc(
+    corpus: DataFrame,
+    fields: list[str],
+    analyzer: str = "simple",
+    use_lang: bool = False,
+    positions: bool = False,
+) -> DataFrame:
+    """Multi-field SPIMI runs: one (term, doc_id, col, tf, dl) row per
+    (doc, term, FIELD), still with no shuffle. ``dl`` is the doc's TOTAL
+    token count over all indexed fields (FTS5's bm25 document length —
+    the unweighted row total, pinned against SQLite); positions are
+    FIELD-RELATIVE (reset at each field start), so '^' anchors to a
+    field's first token and phrases/NEAR never span fields. One sentinel
+    row per doc (term='', col=0) carries dl for the doc_lengths filter,
+    exactly like the single-field pass."""
+    from sparkgrep.schema import TERM_FREQ_MC_POS_SCHEMA, TERM_FREQ_MC_SCHEMA
+
+    cols = ["doc_id"] + list(fields) + (
+        ["lang"] if use_lang and "lang" in corpus.columns else []
+    )
+    narrow = corpus.select(*cols)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            langs = pdf["lang"] if "lang" in pdf else None
+            toks_f = [tokenize_series(pdf[f], analyzer, langs) for f in fields]
+            lens_f = [t.map(len).to_numpy() for t in toks_f]
+            dls = np.sum(lens_f, axis=0).astype("int32")  # row totals
+            frames = [
+                pd.DataFrame(
+                    {
+                        "term": np.full(len(pdf), "", dtype=object),
+                        "doc_id": pdf["doc_id"].to_numpy(),
+                        "col": np.zeros(len(pdf), dtype=np.int32),
+                        "tf": np.zeros(len(pdf), dtype=np.int32),
+                        "dl": dls,
+                    }
+                )
+            ]
+            if positions:
+                frames[0]["positions"] = [[] for _ in range(len(pdf))]
+            for ci, (toks, lens) in enumerate(zip(toks_f, lens_f)):
+                if not lens.sum():
+                    continue
+                exploded = pd.DataFrame(
+                    {
+                        "term": np.concatenate(
+                            [np.asarray(t, dtype=object) for t in toks]
+                        ),
+                        "doc_id": np.repeat(pdf["doc_id"].to_numpy(), lens),
+                        "dl": np.repeat(dls, lens),
+                    }
+                )
+                if positions:
+                    offs = np.repeat(np.cumsum(lens) - lens, lens)
+                    exploded["pos"] = (
+                        np.arange(int(lens.sum()), dtype=np.int64) - offs
+                    ).astype(np.int32)
+                aggs = {"tf": ("dl", "size"), "dl": ("dl", "first")}
+                if positions:
+                    aggs["positions"] = ("pos", list)
+                run = (
+                    exploded.groupby(["term", "doc_id"], sort=False)
+                    .agg(**aggs)
+                    .reset_index()
+                )
+                run["tf"] = run["tf"].astype("int32")
+                run["dl"] = run["dl"].astype("int32")
+                run.insert(2, "col", np.full(len(run), ci, dtype=np.int32))
+                keep = ["term", "doc_id", "col", "tf", "dl"] + (
+                    ["positions"] if positions else []
+                )
+                frames.append(run[keep])
+            yield pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+
+    schema = TERM_FREQ_MC_POS_SCHEMA if positions else TERM_FREQ_MC_SCHEMA
     return narrow.mapInPandas(gen, schema)
 
 
@@ -302,6 +413,118 @@ def _encode_groups_frame(meta: IndexMeta, pdf: pd.DataFrame, starts, ends) -> pd
     return pd.DataFrame(out)
 
 
+def _encode_groups_frame_mc(
+    meta: IndexMeta, pdf: pd.DataFrame, starts, ends
+) -> pd.DataFrame:
+    """Multi-field sibling of :func:`_encode_groups_frame`: input rows
+    are per (doc, FIELD) — sorted by (term, shard, doc_id, col) — and
+    each output row collapses them to per-doc streams: the total-tf
+    stream (identical layout to a single-field index, so the default
+    full-colset scoring path is unchanged) plus one per-field tf stream
+    and, with positions, one field-relative position stream per field.
+    df counts UNIQUE docs (a doc's several field rows are one posting);
+    block_max bounds the total-tf (weight-1 full-colset) contribution —
+    weighted/filtered queries route to the exact path."""
+    from sparkgrep.operators.score import idf as idf_fn
+
+    n_fields = len(meta.fields)
+    k1, b, avgdl, block = meta.k1, meta.b, meta.avgdl, meta.block_size
+    terms = pdf["term"].to_numpy()
+    shards = pdf["shard"].to_numpy()
+    buckets = pdf["bucket"].to_numpy()
+    dfs_in = pdf["df"].to_numpy(dtype=np.float64, na_value=np.nan)
+    cfs_in = pdf["cf"].to_numpy(dtype=np.float64, na_value=np.nan)
+    ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+    fcols = pdf["col"].to_numpy(dtype=np.int64)
+    tfs = pdf["tf"].to_numpy(dtype=np.int64)
+    dls = pdf["dl"].to_numpy(dtype=np.int64)
+    has_pos = "positions" in pdf.columns
+    poscol = pdf["positions"].to_numpy() if has_pos else None
+
+    n = len(starts)
+    out = {
+        "bucket": buckets[np.asarray(starts, dtype=np.int64)].astype("int32"),
+        "term": terms[np.asarray(starts, dtype=np.int64)],
+        "shard": shards[np.asarray(starts, dtype=np.int64)].astype("int32"),
+        "df": np.zeros(n, dtype=np.int64),
+        "cf": np.zeros(n, dtype=np.int64),
+        "n": np.zeros(n, dtype=np.int32),
+        "doc_ids": [None] * n,
+        "tfs": [None] * n,
+        "dls": [None] * n,
+        "block_max": [None] * n,
+        "block_min": [None] * n,
+        "offs_ids": [None] * n,
+        "offs_tfs": [None] * n,
+        "offs_dls": [None] * n,
+        "tfs_cols": [None] * n,
+    }
+    if has_pos:
+        out["poss_cols"] = [None] * n
+    n_docs, variant = meta.n_docs, meta.idf_variant
+    for gi, (s, e) in enumerate(zip(starts, ends)):
+        g_ids_all = ids[s:e]
+        g_cols = fcols[s:e]
+        g_tfs_all = tfs[s:e]
+        # collapse (doc, field) rows to unique docs (input doc-sorted)
+        change = np.flatnonzero(g_ids_all[1:] != g_ids_all[:-1]) + 1
+        doc_starts = np.concatenate(([0], change))
+        counts_per_doc = np.diff(np.concatenate((doc_starts, [e - s])))
+        doc_idx = np.repeat(
+            np.arange(len(doc_starts), dtype=np.int64), counts_per_doc
+        )
+        g_ids = g_ids_all[doc_starts]
+        g_dls = dls[s:e][doc_starts].astype(np.uint64)
+        tfc = np.zeros((len(g_ids), n_fields), dtype=np.int64)
+        tfc[doc_idx, g_cols] = g_tfs_all
+        tf_tot = tfc.sum(axis=1)
+        d0, c0 = dfs_in[s], cfs_in[s]
+        df_g = int(d0) if not np.isnan(d0) else len(g_ids)
+        cf_g = int(c0) if not np.isnan(c0) else int(tf_tot.sum())
+        out["df"][gi], out["cf"][gi], out["n"][gi] = df_g, cf_g, len(g_ids)
+        nb = (len(g_ids) + block - 1) // block
+        counts = np.full(nb, block, dtype=np.int64)
+        counts[-1] = len(g_ids) - block * (nb - 1)
+        out["doc_ids"][gi], offs_ids = blocked_gap_encode(g_ids, block)
+        out["tfs"][gi] = varint_encode(tf_tot.astype(np.uint64))
+        out["dls"][gi] = varint_encode(g_dls)
+        out["block_min"][gi] = g_ids[::block].astype(np.int64)
+        out["offs_ids"][gi] = offs_ids.astype(np.int32)
+        out["offs_tfs"][gi] = segment_byte_offsets(
+            tf_tot.astype(np.uint64), counts
+        ).astype(np.int32)
+        out["offs_dls"][gi] = segment_byte_offsets(g_dls, counts).astype(np.int32)
+        out["tfs_cols"][gi] = [
+            varint_encode(tfc[:, c].astype(np.uint64)) for c in range(n_fields)
+        ]
+        if has_pos:
+            streams = []
+            for c in range(n_fields):
+                sel = np.flatnonzero(g_cols == c)  # doc-ordered already
+                flat = (
+                    np.concatenate(
+                        [np.asarray(poscol[s + j], dtype=np.int64) for j in sel]
+                    )
+                    if sel.size
+                    else np.empty(0, dtype=np.int64)
+                )
+                streams.append(delta_encode_segments(flat, tfc[:, c]))
+            out["poss_cols"][gi] = streams
+        idf = idf_fn(n_docs, df_g, variant)
+        tf_norm = (tf_tot * (k1 + 1.0)) / (
+            tf_tot + (k1 * ((1.0 - b) + ((b * g_dls.astype(np.float64)) / avgdl)))
+        )
+        contrib = idf * tf_norm
+        pad = nb * block - len(g_ids)
+        bm = np.pad(contrib, (0, pad), constant_values=-np.inf).reshape(nb, block)
+        bm64 = bm.max(axis=1)
+        bm32 = bm64.astype(np.float32)
+        low = bm32.astype(np.float64) < bm64
+        bm32[low] = np.nextafter(bm32[low], np.float32(np.inf))
+        out["block_max"][gi] = bm32
+    return pd.DataFrame(out)
+
+
 def _make_partition_encoder(meta: IndexMeta):
     """Streaming partition encoder for ``mapInPandas`` over input
     repartitioned by (term, shard) and sorted within partitions by
@@ -314,6 +537,7 @@ def _make_partition_encoder(meta: IndexMeta):
     batch's final (possibly incomplete) group is carried into the next
     batch; the last group flushes at end of partition.
     """
+    frame_fn = _encode_groups_frame_mc if meta.fields else _encode_groups_frame
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry: pd.DataFrame | None = None
@@ -335,9 +559,9 @@ def _make_partition_encoder(meta: IndexMeta):
                 carry = pdf
                 continue
             carry = pdf.iloc[starts[-1]:]
-            yield _encode_groups_frame(meta, pdf, starts[:-1], ends[:-1])
+            yield frame_fn(meta, pdf, starts[:-1], ends[:-1])
         if carry is not None and not carry.empty:
-            yield _encode_groups_frame(meta, carry.reset_index(drop=True), [0], [len(carry)])
+            yield frame_fn(meta, carry.reset_index(drop=True), [0], [len(carry)])
 
     return encode
 
@@ -355,12 +579,19 @@ def merge_and_write(
     mode: str = "overwrite",
     t0: float | None = None,
     merge_partitions: int | None = None,
+    fields: tuple | list = (),
 ) -> IndexMeta:
     """Global merge phase over term-frequency runs (from a live SPIMI
     pass or from checkpointed segments): stats, df, sharded salted merge,
-    varint encode, partitioned write. Three wide stages total."""
+    varint encode, partitioned write. Three wide stages total.
+
+    ``fields`` (multi-field runs from :func:`spimi_term_freqs_mc`): the
+    tf relation then has one row per (doc, term, FIELD) and df counts
+    DISTINCT docs; the encoder collapses field rows into per-doc streams
+    (:func:`_encode_groups_frame_mc`)."""
     t0 = t0 or time.time()
     has_positions = "positions" in tf.columns
+    mc = bool(fields)
     # doc_lens: every doc has exactly one sentinel row (term='') in the
     # SPIMI runs, so the doc-length table is a narrow FILTER — zero
     # shuffle — rather than a groupBy(doc_id) over the widest relation.
@@ -388,6 +619,7 @@ def merge_and_write(
         b=b,
         idf_variant=idf_variant,
         has_positions=has_positions,
+        fields=tuple(fields),
     )
 
     # sentinel rows (term='') carry doc lengths above but never become
@@ -403,7 +635,11 @@ def merge_and_write(
     # never shuffled for a join. Net: the build's only full-width
     # exchange is the merge repartition itself.
     dfs = real.groupBy("term").agg(
-        F.count("*").alias("df"), F.sum("tf").cast("long").alias("cf")
+        # multi-field runs carry one row per (doc, term, FIELD): df is
+        # DISTINCT docs there (two-phase partial distinct aggregation —
+        # still map-side combined, output still one tiny row per term)
+        (F.countDistinct("doc_id") if mc else F.count("*")).alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
     )
     hot = dfs.filter(F.col("df") > postings_per_shard)
     joined = (
@@ -426,10 +662,11 @@ def merge_and_write(
     # exchange down to a handful of tasks (compressed-size heuristic),
     # silently capping the encode stage's parallelism.
     n_merge_parts = merge_partitions or spark.sparkContext.defaultParallelism * 2
-    out_schema = POSTINGS_OUT_SCHEMA_POS if has_positions else POSTINGS_OUT_SCHEMA
+    out_schema = postings_schema(meta)
+    sort_keys = ["term", "shard", "doc_id"] + (["col"] if mc else [])
     postings = (
         joined.repartition(n_merge_parts, "term", "shard")
-        .sortWithinPartitions("term", "shard", "doc_id")
+        .sortWithinPartitions(*sort_keys)
         .mapInPandas(_make_partition_encoder(meta), out_schema)
     )
     # encoded postings are ~2 bytes/posting — a cheap extra shuffle keyed
@@ -483,20 +720,35 @@ def build_index(
     analyzer: str = "simple",
     use_lang: bool = False,
     store_positions: bool = False,
+    fields: list[str] | None = None,
     **merge_kw,
 ) -> IndexMeta:
     """One-shot index build: SPIMI pass + global merge.
 
     ``store_positions=True`` adds a per-posting token-position payload
     (``poss``) enabling phrase queries (reference supports quoted-phrase
-    MATCH, test_message_manager.py:417-435); costs ~1 varint per token."""
+    MATCH, test_message_manager.py:417-435); costs ~1 varint per token.
+
+    ``fields`` indexes SEVERAL corpus columns as one FTS5-style
+    multi-column index (the reference's FTS5 table shape —
+    subject/body_text/sender, message_manager.py:101-110): queries gain
+    column filters (``path:tok``) and per-column BM25 weights, with
+    phrases/NEAR/'^' confined to a field exactly like SQLite. None keeps
+    the classic single-'content' index, byte-for-byte."""
     t0 = time.time()
-    tf = spimi_term_freqs(corpus, analyzer, use_lang, positions=store_positions)
+    if fields:
+        tf = spimi_term_freqs_mc(
+            corpus, list(fields), analyzer, use_lang, positions=store_positions
+        )
+    else:
+        tf = spimi_term_freqs(corpus, analyzer, use_lang, positions=store_positions)
     # Re-deriving tf twice (doc_lens + merge) would re-run the tokenizer;
     # persist the SPIMI runs for the duration of the build.
     tf.persist()
     try:
-        return merge_and_write(tf, out_dir, analyzer, t0=t0, **merge_kw)
+        return merge_and_write(
+            tf, out_dir, analyzer, t0=t0, fields=tuple(fields or ()), **merge_kw
+        )
     finally:
         tf.unpersist()
 

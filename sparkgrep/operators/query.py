@@ -136,6 +136,57 @@ def _decode_raw_gen(meta: IndexMeta, with_positions: bool = False, tomb=None):
     return gen
 
 
+def _decode_raw_mc_gen(meta: IndexMeta, with_positions: bool = False, tomb=None):
+    """Multi-field raw decode: one output row per (term, doc, FIELD)
+    with tf > 0 — the per-field streams (``tfs_cols``/``poss_cols``)
+    expand next to the shared doc_id/dl streams. Positions are
+    field-relative (they reset at each field start — pinned against
+    SQLite, so '^' anchors per field and phrases never span fields).
+    ``tomb`` masks tombstone-deleted docs exactly like the single-field
+    decode."""
+    nf = len(meta.fields)
+    block = meta.block_size
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for r in pdf.itertuples():
+                ids = blocked_gap_decode(r.doc_ids, r.n, block).astype(np.int64)
+                dls = varint_decode(r.dls).astype(np.int64)
+                keep = (
+                    _tomb_keep(ids, getattr(r, "layer_seq", 0), tomb)
+                    if tomb else None
+                )
+                for c in range(nf):
+                    tfc = varint_decode(r.tfs_cols[c]).astype(np.int64)
+                    if with_positions:
+                        flat = delta_decode_segments(r.poss_cols[c], tfc)
+                        plist = np.split(flat, np.cumsum(tfc)[:-1])
+                    nz = tfc > 0
+                    if keep is not None:
+                        nz &= keep
+                    sel = np.flatnonzero(nz)
+                    if not sel.size:
+                        continue
+                    d = {
+                        "term": r.term,
+                        "doc_id": ids[sel],
+                        "col": np.full(sel.size, c, dtype=np.int32),
+                        "tf": tfc[sel].astype(np.int32),
+                        "dl": dls[sel].astype(np.int32),
+                    }
+                    frame = pd.DataFrame(d)
+                    if with_positions:
+                        frame["positions"] = [
+                            plist[j].astype(np.int32) for j in sel
+                        ]
+                    outs.append(frame)
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return gen
+
+
 def _shift_by(i: int):
     # single-param closure: a 2-arg lambda would be bound as (element,
     # index) by Spark's higher-order-function API
@@ -149,18 +200,13 @@ class InvertedIndex:
     """Handle over a built index directory."""
 
     def __init__(self, spark: SparkSession, index_dir: str):
-        from sparkgrep.operators.index_build import (
-            POSTINGS_OUT_SCHEMA,
-            POSTINGS_OUT_SCHEMA_POS,
-        )
+        from sparkgrep.operators.index_build import postings_schema
 
         self.spark = spark
         self.index_dir = index_dir
         self.meta = load_meta(index_dir)
         # explicit schema: robust to an empty (zero-posting) index
-        schema = (
-            POSTINGS_OUT_SCHEMA_POS if self.meta.has_positions else POSTINGS_OUT_SCHEMA
-        )
+        schema = postings_schema(self.meta)
         # log-structured layers: base + unmerged delta appends. Each layer
         # is read separately and unioned — filters (bucket pruning, term
         # pushdown) push into every child scan. doc_ids are disjoint
@@ -485,7 +531,18 @@ class InvertedIndex:
     def decode_raw(self, with_positions: bool = False) -> DataFrame:
         """Every live posting as raw (term, doc_id, tf, dl[, positions])
         rows — tombstone-deleted docs already masked out. This is the
-        lossless basis compaction re-merges from."""
+        lossless basis compaction re-merges from. On a multi-field index
+        rows are per (term, doc, FIELD) with a ``col`` column and
+        field-relative positions — exactly the multi-field SPIMI shape,
+        so compaction feeds them straight back through the merge."""
+        if self.meta.fields:
+            schema = "term string, doc_id long, col int, tf int, dl int" + (
+                ", positions array<int>" if with_positions else ""
+            )
+            return self.postings.mapInPandas(
+                _decode_raw_mc_gen(self.meta, with_positions, tomb=self._tomb_spec),
+                schema,
+            )
         schema = "term string, doc_id long, tf int, dl int" + (
             ", positions array<int>" if with_positions else ""
         )
@@ -707,7 +764,12 @@ class InvertedIndex:
     # -- public API ---------------------------------------------------------
 
     def search(
-        self, query_text: str, k: int = 10, mode: str = "or", strict: bool = False
+        self,
+        query_text: str,
+        k: int = 10,
+        mode: str = "or",
+        strict: bool = False,
+        weights=None,
     ) -> DataFrame:
         """One query → (rank, doc_id, score); ties by doc_id.
 
@@ -717,15 +779,22 @@ class InvertedIndex:
                       reference's implicit-AND MATCH default).
         mode='expr' — the complete FTS5 query grammar: implicit/explicit
                       AND, OR, binary NOT, quoted phrases, prefix
-                      (tok*), parentheses, NEAR groups (see
+                      (tok*), parentheses, NEAR groups, and — on a
+                      multi-field index — column filters ``col:`` /
+                      ``{c1 c2}:`` / ``-col:`` (see
                       functions/querylang.py).
+
+        ``weights`` (multi-field indexes only): per-field BM25 weights —
+        FTS5's ``bm25(t, w0, w1, ...)`` — as a list in field order or a
+        {field: w} dict; missing entries default to 1.0. Matching is
+        weight-independent (FTS5 parity).
 
         strict=True raises on an empty/no-term query, matching FTS5's
         error on an empty MATCH (test_message_manager.py:599-610);
         default returns an empty relation.
         """
         if mode == "expr":
-            return self.search_expr(query_text, k, strict=strict)
+            return self.search_expr(query_text, k, strict=strict, weights=weights)
         terms = sorted(set(tokenize_py(query_text, self.meta.analyzer)))
         if not terms:
             if strict:
@@ -733,9 +802,14 @@ class InvertedIndex:
             return self.spark.createDataFrame([], "rank int, doc_id long, score double")
         if mode == "and":
             pq = ParsedQuery((Conjunct(tuple(Unit((t,)) for t in terms)),))
-            return self._search_parsed(pq, k)
+            return self._search_parsed(pq, k, weights)
         if mode != "or":
             raise ValueError(f"unknown mode {mode!r} (or|and|expr)")
+        if weights is not None:
+            # non-default weights need per-field tfs: run OR as its DNF
+            # (one disjunct per term — identical match-any semantics)
+            pq = ParsedQuery(tuple(Conjunct((Unit((t,)),)) for t in terms))
+            return self._search_parsed(pq, k, weights)
         scored = self._fold_scores(self._contribs(terms), terms)
         top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
@@ -743,25 +817,50 @@ class InvertedIndex:
             "rank", "doc_id", "score"
         )
 
-    def search_expr(self, query_text: str, k: int = 10, strict: bool = False) -> DataFrame:
+    def search_expr(
+        self, query_text: str, k: int = 10, strict: bool = False, weights=None
+    ) -> DataFrame:
         """Query-language search: the parser normalizes the full FTS5
         grammar to OR-of-AND over term/phrase/prefix units with
         unit-level exclusions and NEAR predicates; scoring is FTS5's
         model (every unit is a BM25 atom; a doc's score sums the
         contributions of the query units it contains — NOT/NEAR only
-        restrict the match set)."""
-        pq = parse_query(query_text, self.meta.analyzer)
+        restrict the match set). On a multi-field index the FTS5 column
+        filters are live (``col:tok``, ``{c1 c2}:"a b"``, ``-col:x``,
+        ``col:NEAR(...)``, ``col:(...)`` distribution) and ``weights``
+        supplies FTS5's per-column bm25() weights."""
+        pq = parse_query(
+            query_text, self.meta.analyzer, fields=self.meta.fields or None
+        )
         if not pq.disjuncts:
             if strict:
                 raise ValueError("empty query (FTS5 parity: empty MATCH is an error)")
             return self.spark.createDataFrame([], "rank int, doc_id long, score double")
-        return self._search_parsed(pq, k)
+        return self._search_parsed(pq, k, weights)
 
-    def _search_parsed(self, pq: ParsedQuery, k: int) -> DataFrame:
-        meta = self.meta
+    def _search_parsed(
+        self, pq: ParsedQuery, k: int, weights=None
+    ) -> DataFrame:
+        if self.meta.fields:
+            unit_tf, groups, near_uids = self._unit_tf_mc(pq, weights)
+        else:
+            if weights is not None:
+                raise ValueError(
+                    "per-column weights need a multi-field index "
+                    "(build_index(..., fields=[...]))"
+                )
+            unit_tf, groups, near_uids = self._unit_tf_sf(pq)
+        unit_tf = unit_tf.persist()
+        try:
+            return self._rank_units(pq, unit_tf, groups, near_uids, k)
+        finally:
+            unit_tf.unpersist()
+
+    def _unit_tf_sf(self, pq: ParsedQuery):
+        """Per-unit per-doc (tf, dl) relation for a SINGLE-FIELD index:
+        terms straight off the postings decode; phrases via position
+        intersection. Returns (unit_tf, near groups, member-uid map)."""
         units = pq.units()
-        # per-unit per-doc (tf, dl): terms straight off the postings
-        # decode; phrases via position intersection
         parts = []
         term_units = [
             u for u in units if not u.is_phrase and not u.prefix and not u.anchored
@@ -822,135 +921,416 @@ class InvertedIndex:
         unit_tf = parts[0]
         for p in parts[1:]:
             unit_tf = unit_tf.unionByName(p)
-        unit_tf = unit_tf.persist()
-        try:
-            # unit document frequencies (for terms this equals the stored
-            # df; for phrases it's the phrase-match doc count), then idf
-            # driver-side — one tiny collect
-            dfs = {
-                r["uid"]: r["df"]
-                for r in unit_tf.groupBy("uid").agg(F.count("*").alias("df")).collect()
-            }
-            # NEAR member atoms keep the member's FULL corpus presence as
-            # df (pinned against SQLite) even though their rows cover
-            # only satisfying docs
-            for gid, grp in enumerate(groups):
-                for u, nuid in zip(grp.phrases, near_uids[gid]):
-                    if nuid in dfs:
-                        dfs[nuid] = dfs[u.uid]
-            if not dfs:
-                return self.spark.createDataFrame(
-                    [], "rank int, doc_id long, score double"
-                )
-            idf_rows = [
-                (uid, float(idf_fn(meta.n_docs, dfs[uid], meta.idf_variant)))
-                for uid in sorted(dfs)
-            ]
-            idf_df = self.spark.createDataFrame(idf_rows, "uid string, idf double")
-            from sparkgrep.operators.score import bm25_contrib_col
+        return unit_tf, groups, near_uids
 
-            contribs = unit_tf.join(F.broadcast(idf_df), "uid").withColumn(
-                "contrib",
-                bm25_contrib_col(
-                    F.col("tf").cast("double"), F.col("dl").cast("double"),
-                    F.col("idf"), meta.avgdl, meta.k1, meta.b,
-                ),
+    # -- multi-field (FTS5 multi-column) unit relations ---------------------
+
+    def _weights_list(self, weights) -> list[float]:
+        """Per-field BM25 weights in field order. FTS5 parity (pinned):
+        missing trailing arguments default to 1.0, extras are ignored;
+        a dict keys by field name. Matching is weight-independent —
+        weights only scale each field's tf contribution."""
+        nf = len(self.meta.fields)
+        if not nf:
+            raise ValueError("per-column weights need a multi-field index")
+        if weights is None:
+            return [1.0] * nf
+        if isinstance(weights, dict):
+            return [float(weights.get(f, 1.0)) for f in self.meta.fields]
+        w = [float(x) for x in weights]
+        return (w + [1.0] * nf)[:nf]
+
+    def _raw_units_mc(self, terms: list[str], with_positions: bool = False) -> DataFrame:
+        schema = "term string, doc_id long, col int, tf int, dl int" + (
+            ", positions array<int>" if with_positions else ""
+        )
+        return self._matched(terms).mapInPandas(
+            _decode_raw_mc_gen(self.meta, with_positions, tomb=self._tomb_spec),
+            schema,
+        )
+
+    def _wsum_mc(self, percol: DataFrame, w: list[float], cols: list[int], keys=("doc_id",)) -> DataFrame:
+        """Collapse a per-(doc, field) relation to per-doc weighted tf:
+        tf = Σ_c w_c·tf_c over ``cols`` in ASCENDING field order (a fixed
+        left-associated float fold — the DuckDB oracle mirrors the same
+        order bitwise). A doc is kept when ANY colset field has an
+        instance (presence is weight-independent: zero weights still
+        match, pinned against SQLite)."""
+        aggs = [
+            F.sum(F.when(F.col("col") == c, F.col("tf"))).alias(f"_t{c}")
+            for c in cols
+        ]
+        g = percol.groupBy(*keys).agg(F.first("dl").alias("dl"), *aggs)
+        pres = None
+        expr = None
+        for c in cols:
+            t = F.coalesce(F.col(f"_t{c}").cast("double"), F.lit(0.0))
+            e = F.lit(float(w[c])) * t
+            expr = e if expr is None else expr + e
+            p = F.col(f"_t{c}").isNotNull()
+            pres = p if pres is None else (pres | p)
+        return g.filter(pres).select(*keys, expr.alias("tf"), "dl")
+
+    def _phrase_percol_mc(self, terms: tuple[str, ...]) -> DataFrame:
+        """(doc_id, col, dl, starts) of a phrase's instance starts per
+        (doc, FIELD) — positions are field-relative, so the slot-shifted
+        intersection runs within each field and a phrase can never span
+        fields (FTS5 parity)."""
+        if not self.meta.has_positions:
+            raise ValueError(
+                "phrase queries need an index built with store_positions=True"
             )
-            # pivot per unit (uid-sorted — deterministic fold order shared
-            # with the SQL oracle), then boolean match + score sum
-            order = [uid for uid, _ in idf_rows]
-            pos = {uid: i for i, uid in enumerate(order)}
-            aggs = [
-                F.sum(F.when(F.col("uid") == uid, F.col("contrib"))).alias(f"_c{i}")
-                for i, uid in enumerate(order)
+        uterms = sorted(set(terms))
+        raw = self._raw_units_mc(uterms, with_positions=True)
+        g = (
+            raw.groupBy("doc_id", "col")
+            .agg(
+                F.first("dl").alias("dl"),
+                F.map_from_entries(
+                    F.collect_list(F.struct("term", "positions"))
+                ).alias("pmap"),
+                F.count("*").alias("_nt"),
+            )
+            .filter(F.col("_nt") == len(uterms))
+        )
+        starts = F.element_at(F.col("pmap"), F.lit(terms[0]))
+        for i, t in enumerate(terms[1:], start=1):
+            starts = F.array_intersect(
+                starts, F.transform(F.element_at(F.col("pmap"), F.lit(t)), _shift_by(i))
+            )
+        return (
+            g.select("doc_id", "col", "dl", F.array_sort(starts).alias("starts"))
+            .filter(F.size("starts") > 0)
+        )
+
+    def _unit_percol_mc(self, u) -> DataFrame:
+        """(doc_id, col, tf int, dl) for one unit per (doc, FIELD) —
+        before colset filtering/weighting. Anchored units (FTS5 '^')
+        count one instance per field whose position 0 matches (a row's
+        anchored tf is the weighted count of anchored FIELDS, pinned
+        against SQLite)."""
+        if u.anchored:
+            if not self.meta.has_positions:
+                raise ValueError(
+                    "anchored (^) queries need an index built with store_positions=True"
+                )
+            if u.prefix:
+                raw = self._prefix_matched(u.terms[0]).mapInPandas(
+                    _decode_raw_mc_gen(
+                        self.meta, with_positions=True, tomb=self._tomb_spec
+                    ),
+                    "term string, doc_id long, col int, tf int, dl int, positions array<int>",
+                )
+                return (
+                    raw.groupBy("doc_id", "col")
+                    .agg(
+                        F.max(F.array_contains("positions", 0).cast("int")).alias("_hit"),
+                        F.first("dl").alias("dl"),
+                    )
+                    .filter(F.col("_hit") == 1)
+                    .select("doc_id", "col", F.lit(1).cast("int").alias("tf"), "dl")
+                )
+            if u.is_phrase:
+                return self._phrase_percol_mc(u.terms).filter(
+                    F.array_contains("starts", 0)
+                ).select("doc_id", "col", F.lit(1).cast("int").alias("tf"), "dl")
+            raw = self._raw_units_mc(list(u.terms), with_positions=True)
+            return raw.filter(F.array_contains("positions", 0)).select(
+                "doc_id", "col", F.lit(1).cast("int").alias("tf"), "dl"
+            )
+        if u.prefix:
+            raw = self._prefix_matched(u.terms[0]).mapInPandas(
+                _decode_raw_mc_gen(self.meta, tomb=self._tomb_spec),
+                "term string, doc_id long, col int, tf int, dl int",
+            )
+            return raw.groupBy("doc_id", "col").agg(
+                F.sum("tf").cast("int").alias("tf"), F.first("dl").alias("dl")
+            )
+        if u.is_phrase:
+            return self._phrase_percol_mc(u.terms).select(
+                "doc_id", "col", F.size("starts").cast("int").alias("tf"), "dl"
+            )
+        return self._raw_units_mc([u.terms[0]]).select("doc_id", "col", "tf", "dl")
+
+    def _member_starts_mc(self, u) -> DataFrame:
+        """(doc_id, col, dl, starts) of a NEAR member's instance starts
+        per (doc, FIELD)."""
+        if u.prefix:
+            if not self.meta.has_positions:
+                raise ValueError(
+                    "NEAR queries need an index built with store_positions=True"
+                )
+            raw = self._prefix_matched(u.terms[0]).mapInPandas(
+                _decode_raw_mc_gen(
+                    self.meta, with_positions=True, tomb=self._tomb_spec
+                ),
+                "term string, doc_id long, col int, tf int, dl int, positions array<int>",
+            )
+            return raw.groupBy("doc_id", "col").agg(
+                F.first("dl").alias("dl"),
+                F.array_sort(F.flatten(F.collect_list("positions"))).alias("starts"),
+            )
+        if u.is_phrase:
+            return self._phrase_percol_mc(u.terms)
+        return self._raw_units_mc(list(u.terms), with_positions=True).select(
+            "doc_id", "col", "dl", F.array_sort(F.col("positions")).alias("starts")
+        )
+
+    def _near_eval_mc(self, grp, w: list[float], cols: list[int]) -> DataFrame:
+        """(member int, doc_id, tf double, dl) for a NEAR group on a
+        multi-field index. FTS5 semantics (pinned): a selection lives
+        WITHIN one field — the per-(doc, field) start sets are joined and
+        tested independently per field — and a member's tf is the
+        weighted sum of its supported-instance counts over the satisfied
+        colset fields. Member df (handled by the caller's override) is
+        the member's colset-restricted full presence."""
+        from sparkgrep.functions.querylang import near_supported
+
+        if not self.meta.has_positions:
+            raise ValueError(
+                "NEAR queries need an index built with store_positions=True"
+            )
+        kk = len(grp.phrases)
+        joined = None
+        for i, u in enumerate(grp.phrases):
+            s = self._member_starts_mc(u).filter(F.col("col").isin(cols))
+            sel = ["doc_id", "col"] + (["dl"] if i == 0 else [])
+            s = s.select(*sel, F.col("starts").alias(f"s{i}"))
+            joined = s if joined is None else joined.join(s, ["doc_id", "col"])
+        lens = [1 if u.prefix else len(u.terms) for u in grp.phrases]
+        n = grp.n
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                mi, di, ci, tfs, dls = [], [], [], [], []
+                for r in pdf.itertuples():
+                    sup = near_supported(
+                        [getattr(r, f"s{i}") for i in range(kk)], lens, n
+                    )
+                    if sup is None:
+                        continue
+                    for i, cnt in enumerate(sup):
+                        mi.append(i)
+                        di.append(r.doc_id)
+                        ci.append(r.col)
+                        tfs.append(cnt)
+                        dls.append(r.dl)
+                if di:
+                    yield pd.DataFrame(
+                        {
+                            "member": np.asarray(mi, np.int32),
+                            "doc_id": np.asarray(di, np.int64),
+                            "col": np.asarray(ci, np.int32),
+                            "tf": np.asarray(tfs, np.int32),
+                            "dl": np.asarray(dls, np.int32),
+                        }
+                    )
+
+        percol = joined.mapInPandas(
+            gen, "member int, doc_id long, col int, tf int, dl int"
+        )
+        return self._wsum_mc(percol, w, cols, keys=("member", "doc_id"))
+
+    def _unit_tf_mc(self, pq: ParsedQuery, weights):
+        """Multi-field sibling of :meth:`_unit_tf_sf`: every unit's
+        relation is colset-filtered per (doc, FIELD) and collapsed to a
+        weighted per-doc tf (:meth:`_wsum_mc`), so unit dfs (counted by
+        the shared ranking tail) are colset-restricted and scoring
+        follows FTS5's multi-column bm25 exactly. tf is DOUBLE here (a
+        weighted sum); the shared tail treats both the same."""
+        w = self._weights_list(weights)
+        nf = len(self.meta.fields)
+        all_cols = list(range(nf))
+        units = pq.units()
+        parts = []
+        # batched common case: plain term atoms with no colset and no
+        # occurrence suffix share ONE decode + ONE grouped weighted sum
+        plain = [
+            u for u in units
+            if not u.is_phrase and not u.prefix and not u.anchored
+            and u.cols is None and not u.occ
+        ]
+        if plain:
+            terms = sorted({u.terms[0] for u in plain})
+            percol = self._raw_units_mc(terms).select(
+                "term", "doc_id", "col", "tf", "dl"
+            )
+            rel = self._wsum_mc(percol, w, all_cols, keys=("term", "doc_id"))
+            parts.append(
+                rel.select(
+                    F.concat(F.lit("t:"), F.col("term")).alias("uid"),
+                    "doc_id", "tf", "dl",
+                )
+            )
+        for u in units:
+            if u in plain:
+                continue
+            cols = sorted(u.cols) if u.cols is not None else all_cols
+            if not cols:
+                continue  # empty colset intersection: matches nothing
+            percol = self._unit_percol_mc(u).filter(F.col("col").isin(cols))
+            rel = self._wsum_mc(percol, w, cols)
+            parts.append(
+                rel.select(F.lit(u.uid).alias("uid"), "doc_id", "tf", "dl")
+            )
+        groups = pq.near_groups()
+        near_uids: dict[int, list[str]] = {}
+        for gid, grp in enumerate(groups):
+            uids_g = [f"n{gid}:{u.uid}" for u in grp.phrases]
+            near_uids[gid] = uids_g
+            cols_g = sorted(grp.cols) if grp.cols is not None else all_cols
+            if not cols_g:
+                continue  # unmatchable group: member atoms stay absent
+            uid_arr = F.array(*[F.lit(x) for x in uids_g])
+            parts.append(
+                self._near_eval_mc(grp, w, cols_g).select(
+                    F.element_at(uid_arr, F.col("member") + 1).alias("uid"),
+                    "doc_id", "tf", "dl",
+                )
+            )
+        if not parts:
+            parts = [
+                self.spark.createDataFrame(
+                    [], "uid string, doc_id long, tf double, dl int"
+                )
             ]
-            g = contribs.groupBy("doc_id").agg(*aggs)
+        unit_tf = parts[0]
+        for p in parts[1:]:
+            unit_tf = unit_tf.unionByName(p)
+        return unit_tf, groups, near_uids
 
-            def conj_cond(conj):
-                # None = statically unsatisfiable (an include unit or
-                # NEAR group with no matches anywhere)
-                c = None
-                for u in conj.includes:
-                    if u.uid not in pos:
-                        return None
-                    cond = F.col(f"_c{pos[u.uid]}").isNotNull()
-                    c = cond if c is None else (c & cond)
-                for grp in conj.nears:
-                    # group satisfied ⟺ its (first) member atom present —
-                    # constrained rows exist exactly for satisfying docs
-                    nuid = near_uids[groups.index(grp)][0]
-                    if nuid not in pos:
-                        return None
-                    cond = F.col(f"_c{pos[nuid]}").isNotNull()
-                    c = cond if c is None else (c & cond)
-                if c is None:
-                    return None  # bare-NOT conjunct matches nothing
-                for u in conj.excludes:
-                    if u.uid in pos:  # absent exclude unit is vacuous
-                        c = c & F.col(f"_c{pos[u.uid]}").isNull()
-                for e in conj.exclude_exprs:
-                    ec = expr_cond(e)
-                    if ec is not None:  # unmatchable exclusion is vacuous
-                        c = c & ~ec
-                return c
+    def _rank_units(
+        self, pq: ParsedQuery, unit_tf: DataFrame, groups, near_uids, k: int
+    ) -> DataFrame:
+        """Shared scoring/ranking tail over the per-unit relation (same
+        for single- and multi-field indexes): query-time unit dfs →
+        driver idf → gated uid-ordered fold → match filter → top-k."""
+        meta = self.meta
+        # unit document frequencies (for terms this equals the stored
+        # df; for phrases it's the phrase-match doc count), then idf
+        # driver-side — one tiny collect
+        dfs = {
+            r["uid"]: r["df"]
+            for r in unit_tf.groupBy("uid").agg(F.count("*").alias("df")).collect()
+        }
+        # NEAR member atoms keep the member's FULL corpus presence as
+        # df (pinned against SQLite) even though their rows cover
+        # only satisfying docs
+        for gid, grp in enumerate(groups):
+            for u, nuid in zip(grp.phrases, near_uids[gid]):
+                if nuid in dfs:
+                    dfs[nuid] = dfs[u.uid]
+        if not dfs:
+            return self.spark.createDataFrame(
+                [], "rank int, doc_id long, score double"
+            )
+        idf_rows = [
+            (uid, float(idf_fn(meta.n_docs, dfs[uid], meta.idf_variant)))
+            for uid in sorted(dfs)
+        ]
+        idf_df = self.spark.createDataFrame(idf_rows, "uid string, idf double")
+        from sparkgrep.operators.score import bm25_contrib_col
 
-            def expr_cond(conjs):
-                c = None
-                for conj in conjs:
+        contribs = unit_tf.join(F.broadcast(idf_df), "uid").withColumn(
+            "contrib",
+            bm25_contrib_col(
+                F.col("tf").cast("double"), F.col("dl").cast("double"),
+                F.col("idf"), meta.avgdl, meta.k1, meta.b,
+            ),
+        )
+        # pivot per unit (uid-sorted — deterministic fold order shared
+        # with the SQL oracle), then boolean match + score sum
+        order = [uid for uid, _ in idf_rows]
+        pos = {uid: i for i, uid in enumerate(order)}
+        aggs = [
+            F.sum(F.when(F.col("uid") == uid, F.col("contrib"))).alias(f"_c{i}")
+            for i, uid in enumerate(order)
+        ]
+        g = contribs.groupBy("doc_id").agg(*aggs)
+
+        def conj_cond(conj):
+            # None = statically unsatisfiable (an include unit or
+            # NEAR group with no matches anywhere)
+            c = None
+            for u in conj.includes:
+                if u.uid not in pos:
+                    return None
+                cond = F.col(f"_c{pos[u.uid]}").isNotNull()
+                c = cond if c is None else (c & cond)
+            for grp in conj.nears:
+                # group satisfied ⟺ its (first) member atom present —
+                # constrained rows exist exactly for satisfying docs
+                nuid = near_uids[groups.index(grp)][0]
+                if nuid not in pos:
+                    return None
+                cond = F.col(f"_c{pos[nuid]}").isNotNull()
+                c = cond if c is None else (c & cond)
+            if c is None:
+                return None  # bare-NOT conjunct matches nothing
+            for u in conj.excludes:
+                if u.uid in pos:  # absent exclude unit is vacuous
+                    c = c & F.col(f"_c{pos[u.uid]}").isNull()
+            for e in conj.exclude_exprs:
+                ec = expr_cond(e)
+                if ec is not None:  # unmatchable exclusion is vacuous
+                    c = c & ~ec
+            return c
+
+        def expr_cond(conjs):
+            c = None
+            for conj in conjs:
+                cc = conj_cond(conj)
+                if cc is not None:
+                    c = cc if c is None else (c | cc)
+            return c
+
+        match = expr_cond(pq.disjuncts)
+        if match is None:
+            return self.spark.createDataFrame(
+                [], "rank int, doc_id long, score double"
+            )
+        # FTS5 scoring gate (pinned against SQLite): a unit
+        # contributes to a doc's score only when some disjunct
+        # containing it as an INCLUDE matches the doc — a present
+        # unit whose own subexpression fails (NOT fired, co-include
+        # missing) adds nothing. For monotone queries this reduces to
+        # presence, and for single-disjunct queries to the match
+        # condition itself, so the fold is bitwise-unchanged there.
+        scoring_uids = []  # per top-level conjunct: the atoms it scores
+        for conj in pq.disjuncts:
+            s = {u.uid for u in conj.includes}
+            for grp in conj.nears:
+                s.update(near_uids[groups.index(grp)])
+            scoring_uids.append(s)
+        gates = {}
+        for uid in order:
+            gate = None
+            for conj, s in zip(pq.disjuncts, scoring_uids):
+                if uid in s:
                     cc = conj_cond(conj)
                     if cc is not None:
-                        c = cc if c is None else (c | cc)
-                return c
-
-            match = expr_cond(pq.disjuncts)
-            if match is None:
-                return self.spark.createDataFrame(
-                    [], "rank int, doc_id long, score double"
-                )
-            # FTS5 scoring gate (pinned against SQLite): a unit
-            # contributes to a doc's score only when some disjunct
-            # containing it as an INCLUDE matches the doc — a present
-            # unit whose own subexpression fails (NOT fired, co-include
-            # missing) adds nothing. For monotone queries this reduces to
-            # presence, and for single-disjunct queries to the match
-            # condition itself, so the fold is bitwise-unchanged there.
-            scoring_uids = []  # per top-level conjunct: the atoms it scores
-            for conj in pq.disjuncts:
-                s = {u.uid for u in conj.includes}
-                for grp in conj.nears:
-                    s.update(near_uids[groups.index(grp)])
-                scoring_uids.append(s)
-            gates = {}
-            for uid in order:
-                gate = None
-                for conj, s in zip(pq.disjuncts, scoring_uids):
-                    if uid in s:
-                        cc = conj_cond(conj)
-                        if cc is not None:
-                            gate = cc if gate is None else (gate | cc)
-                gates[uid] = gate
-            expr = None
-            for i, uid in enumerate(order):
-                gate = gates[uid]
-                contrib_i = F.coalesce(F.col(f"_c{i}"), F.lit(0.0))
-                col = (
-                    F.when(gate, contrib_i).otherwise(F.lit(0.0))
-                    if gate is not None
-                    else F.lit(0.0)
-                )
-                expr = col if expr is None else expr + col
-            scored = g.filter(match).select("doc_id", expr.alias("score"))
-            top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-            w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-            ranked = top.withColumn("rank", F.row_number().over(w).cast("int")).select(
-                "rank", "doc_id", "score"
+                        gate = cc if gate is None else (gate | cc)
+            gates[uid] = gate
+        expr = None
+        for i, uid in enumerate(order):
+            gate = gates[uid]
+            contrib_i = F.coalesce(F.col(f"_c{i}"), F.lit(0.0))
+            col = (
+                F.when(gate, contrib_i).otherwise(F.lit(0.0))
+                if gate is not None
+                else F.lit(0.0)
             )
-            rows = ranked.collect()  # ≤ k rows: eager so the cache can drop
-            return self.spark.createDataFrame(
-                rows, "rank int, doc_id long, score double"
-            )
-        finally:
-            unit_tf.unpersist()
+            expr = col if expr is None else expr + col
+        scored = g.filter(match).select("doc_id", expr.alias("score"))
+        top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        ranked = top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+            "rank", "doc_id", "score"
+        )
+        rows = ranked.collect()  # ≤ k rows: eager so the cache can drop
+        return self.spark.createDataFrame(
+            rows, "rank int, doc_id long, score double"
+        )
 
     def search_batch(
         self, queries: list[tuple[str, str, int]], pruned: bool = False

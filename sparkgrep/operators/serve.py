@@ -460,6 +460,11 @@ class LocalServer:
         from sparkgrep.operators.wand import seq_fold
 
         meta = self.meta
+        if meta.fields:
+            # multi-field expr queries (column filters, per-field
+            # phrase/NEAR positions) are served by the distributed path
+            # until the in-process mirror learns per-field streams
+            return self.index.search_expr(query_text, k, strict=strict).toPandas()
         pq = parse_query(query_text, meta.analyzer)
         if not pq.disjuncts:
             if strict:

@@ -33,6 +33,7 @@ from sparkgrep.operators.index_build import (
     load_meta,
     merge_and_write,
     spimi_term_freqs,
+    spimi_term_freqs_mc,
 )
 from sparkgrep.schema import SEGMENT_MANIFEST_SCHEMA
 from sparkgrep.sources import fsio
@@ -250,11 +251,18 @@ def _commit_segment(spark, sl: DataFrame, tf: DataFrame, out_dir: str, seg_id) -
         F.sum("tf").alias("n_tokens"),
         F.count(F.when(F.col("term") != "", 1)).alias("n_postings"),
     ).collect()[0]
-    h_col = (
-        F.sha2(F.col("content_sha256"), 256)
-        if "content_sha256" in sl.columns
-        else F.sha2(F.col("content"), 256)
-    )
+    if "content_sha256" in sl.columns:
+        h_col = F.sha2(F.col("content_sha256"), 256)
+    elif "content" in sl.columns:
+        h_col = F.sha2(F.col("content"), 256)
+    else:
+        # multi-field corpus: hash every non-key column, order-stable
+        h_col = F.sha2(
+            F.concat_ws(
+                "\x1f", *[c for c in sl.columns if c != "doc_id"]
+            ),
+            256,
+        )
     h = sl.select(
         F.sum(
             F.pmod(F.xxhash64(h_col), F.lit(1 << 61)).cast("decimal(38,0)")
@@ -289,6 +297,7 @@ def append_batch_delta(
     analyzer: str = "simple",
     use_lang: bool = False,
     store_positions: bool = False,
+    fields: tuple | list = (),
     **merge_kw,
 ) -> IndexMeta:
     """O(batch) incremental maintenance: the batch becomes its own
@@ -320,6 +329,7 @@ def append_batch_delta(
         # come from the index, not the caller
         analyzer = root.analyzer
         store_positions = root.has_positions
+        fields = tuple(root.fields or ())  # layer consistency
         merge_kw.setdefault("n_buckets", root.n_buckets)
         merge_kw.setdefault("postings_per_shard", root.postings_per_shard)
         merge_kw.setdefault("block_size", root.block_size)
@@ -331,18 +341,28 @@ def append_batch_delta(
     if seg_id in {m["segment_id"] for m in read_manifest(out_dir)}:
         return load_meta(out_dir)  # replayed micro-batch: no-op
 
-    tf = spimi_term_freqs(
-        corpus_batch, analyzer, use_lang, positions=store_positions
-    )
+    if fields:
+        tf = spimi_term_freqs_mc(
+            corpus_batch, list(fields), analyzer, use_lang,
+            positions=store_positions,
+        )
+    else:
+        tf = spimi_term_freqs(
+            corpus_batch, analyzer, use_lang, positions=store_positions
+        )
     seg_dir = _commit_segment(spark, corpus_batch, tf, out_dir, seg_id)
     tf_disk = spark.read.parquet(seg_dir)
 
     if not root_exists:  # bootstrap: the first batch IS the base layer
-        return merge_and_write(tf_disk, out_dir, analyzer, **merge_kw)
+        return merge_and_write(
+            tf_disk, out_dir, analyzer, fields=tuple(fields), **merge_kw
+        )
 
     seq = len(root.layers or ())
     delta_rel = f"delta/{seq:05d}"
-    dmeta = merge_and_write(tf_disk, f"{out_dir}/{delta_rel}", analyzer, **merge_kw)
+    dmeta = merge_and_write(
+        tf_disk, f"{out_dir}/{delta_rel}", analyzer, fields=tuple(fields), **merge_kw
+    )
 
     n_docs = root.n_docs + dmeta.n_docs
     total = root.total_tokens + dmeta.total_tokens
@@ -426,7 +446,15 @@ def delete_batch_delta(
 
     # O(batch): tokenize only the deleted docs (analyzer pinned by the
     # index; positions never needed — only dfs and lengths)
-    tf = spimi_term_freqs(corpus_batch, root.analyzer, use_lang, positions=False)
+    if root.fields:
+        tf = spimi_term_freqs_mc(
+            corpus_batch, list(root.fields), root.analyzer, use_lang,
+            positions=False,
+        )
+    else:
+        tf = spimi_term_freqs(
+            corpus_batch, root.analyzer, use_lang, positions=False
+        )
     seg_dir = _commit_segment(spark, corpus_batch, tf, out_dir, seg_id)
     tf_disk = spark.read.parquet(seg_dir)
 
@@ -447,7 +475,13 @@ def delete_batch_delta(
     (
         tf_disk.filter(F.col("term") != "")
         .groupBy("term")
-        .agg((-F.count("*")).cast("long").alias("df"))
+        # multi-field runs have one row per (doc, term, FIELD): df is
+        # distinct docs there (mirrors merge_and_write's df)
+        .agg(
+            (
+                -(F.countDistinct("doc_id") if root.fields else F.count("*"))
+            ).cast("long").alias("df")
+        )
         .withColumn("ub", F.lit(0.0))
         .withColumn(
             "bucket",
@@ -521,6 +555,9 @@ def compact_index(
         F.lit(0).cast("int").alias("tf"),
         F.col("dl"),
     ]
+    if meta.fields:
+        # multi-field raw rows carry the field index; sentinels use 0
+        sent_cols.insert(2, F.lit(0).cast("int").alias("col"))
     if meta.has_positions:
         sent_cols.append(F.array().cast("array<int>").alias("positions"))
     tf_all = raw.unionByName(dls.select(*sent_cols))
@@ -538,6 +575,7 @@ def compact_index(
         b=meta.b,
         idf_variant=meta.idf_variant,
         merge_partitions=merge_partitions,
+        fields=tuple(meta.fields or ()),
     )
     # the merge fully materialized the staging dir (writes are actions):
     # swap it in, then drop the folded delta layers

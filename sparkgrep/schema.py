@@ -60,6 +60,23 @@ TERM_FREQ_POS_SCHEMA = StructType(
     + [StructField("positions", ArrayType(IntegerType()), False)]
 )
 
+# Multi-field SPIMI output (FTS5 multi-column analogue — the reference's
+# FTS5 table indexes three columns, message_manager.py:101-110): one row
+# per (doc, term, field). ``col`` is the field index; ``tf`` the term's
+# frequency WITHIN that field; ``dl`` the doc's TOTAL token count across
+# all indexed fields (FTS5's bm25 uses the unweighted row total — pinned
+# against SQLite); positions are field-relative (they reset at each
+# field start, so '^' anchors to a field's first token and phrases/NEAR
+# never span fields — both pinned).
+_COL_FIELD = [StructField("col", IntegerType(), False)]
+TERM_FREQ_MC_SCHEMA = StructType(
+    TERM_FREQ_SCHEMA.fields[:2] + _COL_FIELD + TERM_FREQ_SCHEMA.fields[2:]
+)
+TERM_FREQ_MC_POS_SCHEMA = StructType(
+    TERM_FREQ_MC_SCHEMA.fields
+    + [StructField("positions", ArrayType(IntegerType()), False)]
+)
+
 # Global term-partitioned postings index, bucketed by hash(term) for
 # partition pruning at query time. doc_ids are delta(gap)+varint encoded;
 # tfs and dls are varint encoded, all aligned by position. block_max holds
