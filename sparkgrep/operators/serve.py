@@ -72,6 +72,17 @@ class LocalServer:
         # prefix positional tier (NEAR): stem -> {doc: sorted union of
         # matching terms' positions}
         self._xpcache: dict[str, dict[int, np.ndarray]] = {}
+        # multi-field tiers: per-field tf streams (and field-relative
+        # position streams) stay separate so column filters and weights
+        # mirror the distributed _unit_tf_mc bitwise
+        # term -> [(df, ids, [tf per field], dls)]
+        self._mc_cache: dict[str, list[tuple]] = {}
+        # term -> [(ids, [tf per field], dls, [positions per field])]
+        self._mc_pcache: dict[str, list[tuple]] = {}
+        # stem -> {doc: (dl, per-field tf sums)}
+        self._mc_xcache: dict[str, dict[int, tuple]] = {}
+        # stem -> ({(doc, col): sorted positions}, {doc: dl})
+        self._mc_xpcache: dict[str, tuple[dict, dict]] = {}
 
     def _seq_col(self) -> list[str]:
         """The postings rows' layer column — present only on tombstoned
@@ -451,25 +462,28 @@ class LocalServer:
             np.asarray(out_dl, np.int64),
         )
 
-    def search_expr(self, query_text: str, k: int = 10, strict: bool = False) -> pd.DataFrame:
+    def search_expr(
+        self, query_text: str, k: int = 10, strict: bool = False, weights=None
+    ) -> pd.DataFrame:
         """Full query language (implicit/explicit AND, OR, NOT, quoted
-        phrases) on the serving tier — rank- and score-identical to
-        ``InvertedIndex.search_expr`` (same unit tf/df, same driver-side
-        idf, same uid-sorted left-associated fold via ``seq_fold``, same
-        tie-break), at in-process latency."""
-        from sparkgrep.operators.wand import seq_fold
-
+        phrases; on multi-field indexes also FTS5 column filters and
+        per-column bm25 weights) on the serving tier — rank- and
+        score-identical to ``InvertedIndex.search_expr`` (same unit
+        tf/df, same driver-side idf, same uid-sorted left-associated
+        fold, same tie-break), at in-process latency."""
         meta = self.meta
-        if meta.fields:
-            # multi-field expr queries (column filters, per-field
-            # phrase/NEAR positions) are served by the distributed path
-            # until the in-process mirror learns per-field streams
-            return self.index.search_expr(query_text, k, strict=strict).toPandas()
-        pq = parse_query(query_text, meta.analyzer)
+        pq = parse_query(query_text, meta.analyzer, fields=meta.fields or None)
         if not pq.disjuncts:
             if strict:
                 raise ValueError("empty query (FTS5 parity: empty MATCH is an error)")
             return _EMPTY.copy()
+        if meta.fields:
+            return self._search_expr_mc(pq, k, weights)
+        if weights is not None:
+            raise ValueError(
+                "per-column weights need a multi-field index "
+                "(build_index(..., fields=[...]))"
+            )
         units = pq.units()
         if self._over_residency_cap(
             sorted({t for u in units if not u.prefix for t in u.terms}),
@@ -553,6 +567,17 @@ class LocalServer:
                     # df = the member's FULL presence (SQLite-pinned)
                     df_of[nuid] = int(per_unit[u.uid][0].size)
 
+        return self._gated_topk(pq, per_unit, df_of, near_groups, near_uids, k)
+
+    def _gated_topk(
+        self, pq, per_unit: dict, df_of: dict, near_groups, near_uids, k: int
+    ) -> pd.DataFrame:
+        """Shared boolean-match + gated-fold + top-k tail over the
+        per-unit postings (numpy mirror of query.InvertedIndex's
+        ``_rank_units``): identical for single- and multi-field
+        indexes — only how ``per_unit`` (ids, tf, dl) was built differs
+        (multi-field tfs are weighted-sum doubles)."""
+        meta = self.meta
         if not per_unit:
             return _EMPTY.copy()
         order = sorted(per_unit)
@@ -648,3 +673,332 @@ class LocalServer:
                 "score": scores[sel],
             }
         )
+
+    # -- multi-field (FTS5 multi-column) serving ----------------------------
+
+    def _fetch_mc(self, terms: list[str], positions: bool = False) -> None:
+        """Resident per-field postings for a multi-field index — the
+        serving analogue of ``query._decode_raw_mc_gen`` (tombstone
+        masking included)."""
+        cache = self._mc_pcache if positions else self._mc_cache
+        missing = [t for t in terms if t not in cache]
+        if not missing:
+            return
+        if positions and not self.meta.has_positions:
+            raise ValueError(
+                "phrase/NEAR/anchored queries need an index built with "
+                "store_positions=True"
+            )
+        nf = len(self.meta.fields)
+        sel = ["term", "df", "n", "doc_ids", "dls", "tfs_cols"]
+        if positions:
+            sel.append("poss_cols")
+        rows = (
+            self.index._matched(missing)
+            .select(*sel, *self._seq_col())
+            .collect()
+        )
+        for t in missing:
+            cache[t] = []
+        for r in rows:
+            ids = blocked_gap_decode(
+                r["doc_ids"], int(r["n"]), self.meta.block_size
+            ).astype(np.int64)
+            dls = varint_decode(r["dls"]).astype(np.int64)
+            tf_cols = [
+                varint_decode(r["tfs_cols"][c]).astype(np.int64)
+                for c in range(nf)
+            ]
+            pos_cols = None
+            if positions:
+                pos_cols = []
+                for c in range(nf):
+                    flat = delta_decode_segments(r["poss_cols"][c], tf_cols[c])
+                    pos_cols.append(
+                        np.split(flat, np.cumsum(tf_cols[c])[:-1])
+                    )
+            keep = self._keep(r, ids)
+            if keep is not None:
+                selj = np.flatnonzero(keep)
+                if not selj.size:
+                    continue
+                ids, dls = ids[selj], dls[selj]
+                tf_cols = [tc[selj] for tc in tf_cols]
+                if positions:
+                    pos_cols = [[pc[j] for j in selj] for pc in pos_cols]
+            if positions:
+                cache[r["term"]].append((ids, tf_cols, dls, pos_cols))
+            else:
+                cache[r["term"]].append((int(r["df"]), ids, tf_cols, dls))
+
+    def _fetch_prefix_mc(self, stem: str) -> dict[int, tuple]:
+        """``stem*`` on a multi-field index: {doc: (dl, per-field tf
+        sums over every matching term)} — integer sums, order-free."""
+        hit = self._mc_xcache.get(stem)
+        if hit is not None:
+            return hit
+        nf = len(self.meta.fields)
+        rows = (
+            self.index._prefix_matched(stem)
+            .select("term", "n", "doc_ids", "dls", "tfs_cols", *self._seq_col())
+            .collect()
+        )
+        acc: dict[int, tuple] = {}
+        for r in rows:
+            ids = blocked_gap_decode(
+                r["doc_ids"], int(r["n"]), self.meta.block_size
+            ).astype(np.int64)
+            dls = varint_decode(r["dls"]).astype(np.int64)
+            tf_cols = [
+                varint_decode(r["tfs_cols"][c]).astype(np.int64)
+                for c in range(nf)
+            ]
+            keep = self._keep(r, ids)
+            for j, d in enumerate(ids):
+                if keep is not None and not keep[j]:
+                    continue
+                dl, tfc = acc.get(int(d), (int(dls[j]), np.zeros(nf, np.int64)))
+                for c in range(nf):
+                    tfc[c] += tf_cols[c][j]
+                acc[int(d)] = (dl, tfc)
+        self._mc_xcache[stem] = acc
+        return acc
+
+    def _fetch_prefix_pos_mc(self, stem: str) -> tuple[dict, dict]:
+        """``stem*`` positional tier: ({(doc, col): sorted union of
+        matching terms' field-relative positions}, {doc: dl})."""
+        hit = self._mc_xpcache.get(stem)
+        if hit is not None:
+            return hit
+        if not self.meta.has_positions:
+            raise ValueError(
+                "NEAR/anchored queries need an index built with "
+                "store_positions=True"
+            )
+        nf = len(self.meta.fields)
+        rows = (
+            self.index._prefix_matched(stem)
+            .select(
+                "term", "n", "doc_ids", "dls", "tfs_cols", "poss_cols",
+                *self._seq_col(),
+            )
+            .collect()
+        )
+        acc: dict[tuple, list] = {}
+        dlm: dict[int, int] = {}
+        for r in rows:
+            ids = blocked_gap_decode(
+                r["doc_ids"], int(r["n"]), self.meta.block_size
+            ).astype(np.int64)
+            dls = varint_decode(r["dls"]).astype(np.int64)
+            tf_cols = [
+                varint_decode(r["tfs_cols"][c]).astype(np.int64)
+                for c in range(nf)
+            ]
+            pos_cols = []
+            for c in range(nf):
+                flat = delta_decode_segments(r["poss_cols"][c], tf_cols[c])
+                pos_cols.append(np.split(flat, np.cumsum(tf_cols[c])[:-1]))
+            keep = self._keep(r, ids)
+            for j, d in enumerate(ids):
+                if keep is not None and not keep[j]:
+                    continue
+                dlm[int(d)] = int(dls[j])
+                for c in range(nf):
+                    if tf_cols[c][j]:
+                        acc.setdefault((int(d), c), []).append(pos_cols[c][j])
+        out = {key: np.sort(np.concatenate(ps)) for key, ps in acc.items()}
+        self._mc_xpcache[stem] = (out, dlm)
+        return out, dlm
+
+    def _mc_term_percol(self, t: str) -> dict[int, tuple]:
+        """{doc: (dl, per-field tf array)} for one term."""
+        nf = len(self.meta.fields)
+        out: dict[int, tuple] = {}
+        for _df, ids, tf_cols, dls in self._mc_cache.get(t, []):
+            for j, d in enumerate(ids):
+                out[int(d)] = (
+                    int(dls[j]),
+                    np.array([tc[j] for tc in tf_cols], dtype=np.int64),
+                )
+        return out
+
+    def _mc_pos_maps(self, t: str) -> tuple[dict, dict]:
+        """({(doc, col): positions} for fields with an instance,
+        {doc: dl}) for one term, from the positional tier."""
+        nf = len(self.meta.fields)
+        m: dict[tuple, np.ndarray] = {}
+        dlm: dict[int, int] = {}
+        for ids, tf_cols, dls, pos_cols in self._mc_pcache.get(t, []):
+            for j, d in enumerate(ids):
+                dlm[int(d)] = int(dls[j])
+                for c in range(nf):
+                    if tf_cols[c][j]:
+                        m[(int(d), c)] = pos_cols[c][j]
+        return m, dlm
+
+    def _mc_phrase_starts(self, terms: tuple) -> tuple[dict, dict]:
+        """Slot-shifted intersection per (doc, FIELD) — the numpy mirror
+        of ``query._phrase_percol_mc`` (phrases never span fields)."""
+        maps, dlm = [], {}
+        for t in terms:
+            m, dl_t = self._mc_pos_maps(t)
+            maps.append(m)
+            dlm.update(dl_t)
+        common = set(maps[0])
+        for m in maps[1:]:
+            common &= set(m)
+        out: dict[tuple, np.ndarray] = {}
+        for key in common:
+            starts = maps[0][key]
+            for i in range(1, len(terms)):
+                starts = np.intersect1d(starts, maps[i][key] - i)
+                if starts.size == 0:
+                    break
+            if starts.size:
+                out[key] = np.sort(starts)
+        return out, dlm
+
+    def _mc_unit_percol(self, u) -> dict[int, tuple]:
+        """{doc: (dl, per-field tf array)} for one unit — the serving
+        mirror of ``query._unit_percol_mc`` (anchored units count one
+        instance per field anchored at its position 0)."""
+        nf = len(self.meta.fields)
+        if u.anchored:
+            if u.prefix:
+                posm, dlm = self._fetch_prefix_pos_mc(u.terms[0])
+            elif u.is_phrase:
+                posm, dlm = self._mc_phrase_starts(u.terms)
+            else:
+                posm, dlm = self._mc_pos_maps(u.terms[0])
+            out: dict[int, tuple] = {}
+            for (d, c), starts in posm.items():
+                if starts.size and starts[0] == 0:
+                    dl, tfc = out.get(d, (dlm[d], np.zeros(nf, np.int64)))
+                    tfc[c] = 1
+                    out[d] = (dl, tfc)
+            return out
+        if u.prefix:
+            return self._fetch_prefix_mc(u.terms[0])
+        if u.is_phrase:
+            posm, dlm = self._mc_phrase_starts(u.terms)
+            out = {}
+            for (d, c), starts in posm.items():
+                dl, tfc = out.get(d, (dlm[d], np.zeros(nf, np.int64)))
+                tfc[c] = starts.size
+                out[d] = (dl, tfc)
+            return out
+        return self._mc_term_percol(u.terms[0])
+
+    def _wfold(self, percol: dict[int, tuple], w: list[float], cols: list[int]):
+        """Fixed-order weighted fold over the colset — bitwise mirror of
+        ``query._wsum_mc``: tfw = (w_c0·tf_c0) + (w_c1·tf_c1) + … in
+        ascending field order; presence (weight-independent) keeps a doc
+        when ANY colset field has an instance."""
+        ids, tfw, dls = [], [], []
+        for d, (dl, tfc) in percol.items():
+            if not any(int(tfc[c]) for c in cols):
+                continue
+            v = w[cols[0]] * float(tfc[cols[0]])
+            for c in cols[1:]:
+                v = v + w[c] * float(tfc[c])
+            ids.append(d)
+            tfw.append(v)
+            dls.append(dl)
+        return (
+            np.asarray(ids, np.int64),
+            np.asarray(tfw, np.float64),
+            np.asarray(dls, np.int64),
+        )
+
+    def _mc_member_starts(self, u) -> tuple[dict, dict]:
+        """NEAR member instance starts per (doc, FIELD)."""
+        if u.prefix:
+            return self._fetch_prefix_pos_mc(u.terms[0])
+        if u.is_phrase:
+            return self._mc_phrase_starts(u.terms)
+        return self._mc_pos_maps(u.terms[0])
+
+    def _search_expr_mc(self, pq, k: int, weights) -> pd.DataFrame:
+        """Multi-field expr serving: builds the same colset-filtered,
+        weight-folded per-unit relations as the distributed
+        ``query._unit_tf_mc``, then the shared gated fold — results are
+        rank- and score-identical to ``InvertedIndex.search_expr``
+        (pinned in tests/test_multicol_parity.py)."""
+        from sparkgrep.functions.querylang import near_supported
+
+        meta = self.meta
+        w = self.index._weights_list(weights)
+        nf = len(meta.fields)
+        all_cols = list(range(nf))
+        units = pq.units()
+        near_groups = pq.near_groups()
+        if self._over_residency_cap(
+            sorted({t for u in units if not u.prefix for t in u.terms}),
+            sorted({u.terms[0] for u in units if u.prefix}),
+        ):
+            return self.index._search_parsed(pq, k, weights).toPandas()
+        # fetch tiers: positions for phrase/anchored units and NEAR
+        # members; plain tf streams for everything else
+        pos_terms = sorted(
+            {t for u in units if (u.is_phrase or u.anchored) and not u.prefix
+             for t in u.terms}
+            | {t for g in near_groups for u in g.phrases if not u.prefix
+               for t in u.terms}
+        )
+        plain_terms = sorted(
+            {u.terms[0] for u in units
+             if not u.is_phrase and not u.prefix and not u.anchored}
+        )
+        self._fetch_mc(plain_terms)
+        if pos_terms:
+            self._fetch_mc(pos_terms, positions=True)
+
+        per_unit: dict[str, tuple] = {}
+        df_of: dict[str, int] = {}
+        for u in units:
+            cols = sorted(u.cols) if u.cols is not None else all_cols
+            if not cols:
+                continue  # empty colset intersection: matches nothing
+            ids, tfw, dls = self._wfold(self._mc_unit_percol(u), w, cols)
+            if ids.size:
+                per_unit[u.uid] = (ids, tfw, dls)
+
+        near_uids: dict[int, list[str]] = {}
+        for gid, grp in enumerate(near_groups):
+            uids_g = [f"n{gid}:{u.uid}" for u in grp.phrases]
+            near_uids[gid] = uids_g
+            cols_g = sorted(grp.cols) if grp.cols is not None else all_cols
+            if not cols_g:
+                continue
+            starts_maps = [self._mc_member_starts(u) for u in grp.phrases]
+            dlm: dict[int, int] = {}
+            for _m, dl_t in starts_maps:
+                dlm.update(dl_t)
+            common = {
+                key for key in starts_maps[0][0] if key[1] in cols_g
+            }
+            for m, _dl in starts_maps[1:]:
+                common &= set(m)
+            lens = [1 if u.prefix else len(u.terms) for u in grp.phrases]
+            # per member: {doc: per-field supported counts}
+            per_member = [dict() for _ in grp.phrases]
+            for d, c in sorted(common):
+                sup = near_supported(
+                    [m[(d, c)] for m, _dl in starts_maps], lens, grp.n
+                )
+                if sup is None:
+                    continue
+                for i, cnt in enumerate(sup):
+                    dl, tfc = per_member[i].get(d, (dlm[d], np.zeros(nf, np.int64)))
+                    tfc[c] = cnt
+                    per_member[i][d] = (dl, tfc)
+            for i, (u, nuid) in enumerate(zip(grp.phrases, uids_g)):
+                ids, tfw, dls = self._wfold(per_member[i], w, cols_g)
+                if ids.size:
+                    per_unit[nuid] = (ids, tfw, dls)
+                    # member df = colset-restricted full presence (the
+                    # member's standalone relation — parser set its cols)
+                    if u.uid in per_unit:
+                        df_of[nuid] = int(per_unit[u.uid][0].size)
+        return self._gated_topk(pq, per_unit, df_of, near_groups, near_uids, k)

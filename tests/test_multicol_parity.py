@@ -170,12 +170,34 @@ def test_weights_on_single_field_index_raise(spark, tmp_path, emails):
         idx.search("receipt", k=5, weights=[2.0])
 
 
-def test_serving_tier_delegates_multicol_expr(fts5_mc, mc_index):
-    """LocalServer routes multi-field expr queries to the distributed
-    path (per-field residency not wired) — results stay correct."""
+@pytest.fixture(scope="module")
+def mc_server(mc_index):
     from sparkgrep.operators.serve import LocalServer
 
-    srv = LocalServer(mc_index)
-    ref = _ref_rows(fts5_mc, "subject:receipt", None, 10)
-    got = srv.search_expr("subject:receipt", k=10)
-    assert got["doc_id"].tolist() == [r[0] for r in ref]
+    return LocalServer(mc_index)
+
+
+@pytest.mark.parametrize("query,weights", MC_QUERIES)
+def test_serving_tier_multicol_bitwise(mc_server, mc_index, query, weights):
+    """The in-process multi-field mirror (per-field resident streams,
+    fixed-order weight fold) is BITWISE-identical to the distributed
+    expr path for every query class."""
+    w = list(weights) if weights else None
+    got = mc_server.search_expr(query, k=15, weights=w)
+    ref = mc_index.search_expr(query, k=15, weights=w).toPandas()
+    assert got["doc_id"].tolist() == ref["doc_id"].tolist(), query
+    assert (got["score"].to_numpy() == ref["score"].to_numpy()).all(), query
+
+
+def test_serving_tier_multicol_residency_fallback(mc_index):
+    """A cap below every df forces the distributed fallback — results
+    must stay identical (weights ride through the delegation)."""
+    from sparkgrep.operators.serve import LocalServer
+
+    capped = LocalServer(mc_index, max_resident_df=0)
+    got = capped.search_expr("subject:receipt OR amazon", k=10, weights=[2.0])
+    ref = mc_index.search_expr(
+        "subject:receipt OR amazon", k=10, weights=[2.0]
+    ).toPandas()
+    assert got["doc_id"].tolist() == ref["doc_id"].tolist()
+    assert (got["score"].to_numpy() == ref["score"].to_numpy()).all()
