@@ -27,7 +27,6 @@ at the plan level (BASELINE.json input_hint).
 from __future__ import annotations
 
 import re
-import unicodedata
 from functools import lru_cache
 
 import pandas as pd
@@ -36,11 +35,28 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType
 
 from sparkgrep.functions.porter import porter_stem
+from sparkgrep.functions._unicode61 import ALNUM_RANGES, FOLD
 
 SIMPLE_SPLIT_RE = "[^a-z0-9]+"  # shared with the DuckDB oracle SQL
 
-# unicode61-ish: token chars are unicode letters/digits (L*, N*)
+# `code` analyzer word chars: unicode letters/digits (engine-defined
+# split, mirrored by its oracle SQL — NOT an FTS5-parity surface)
 _UNICODE_WORD_RE = re.compile(r"[^\W_]+", re.UNICODE)
+
+# fts5 analyzer: SQLite unicode61's EXACT token-character set and
+# case-fold + remove_diacritics=1 map, generated from the installed
+# SQLite by tools/gen_unicode61.py (unassigned codepoints are token
+# chars in unicode61 — only known separators split)
+def _u61_class() -> str:
+    parts = []
+    for a, b in ALNUM_RANGES:
+        parts.append(
+            f"\\U{a:08x}" if a == b else f"\\U{a:08x}-\\U{b:08x}"
+        )
+    return "[" + "".join(parts) + "]+"
+
+
+_U61_TOKEN_RE = re.compile(_u61_class())
 # camelCase boundaries: lower/digit→Upper, and ACRONYMWord splits
 _CAMEL_RE = re.compile(r"(?<=[a-z0-9])(?=[A-Z])|(?<=[A-Z])(?=[A-Z][a-z])")
 
@@ -98,12 +114,11 @@ def _simple_py(text: str) -> list[str]:
 
 
 def _fts5_norm_stem(raw: str) -> str:
-    # unicode61 remove_diacritics + casefold, then porter. NFD (canonical)
-    # not NFKD: unicode61 strips combining marks but does NOT apply
-    # compatibility decomposition ('¼' stays one token).
-    t = unicodedata.normalize("NFD", raw)
-    t = "".join(c for c in t if not unicodedata.combining(c)).lower()
-    return porter_stem(t)
+    # unicode61 case-fold + remove_diacritics via the probed table (one
+    # translate — no str.lower(), whose mapping differs from SQLite's
+    # simple fold for some codepoints and is context-sensitive for final
+    # sigma), then SQLite's porter
+    return porter_stem(raw.translate(FOLD))
 
 
 # Vocabulary cache: stemming cost is O(distinct tokens), not O(tokens).
@@ -120,7 +135,7 @@ def _fts5_py(text: str) -> list[str]:
     if len(cache) > _FTS5_CACHE_MAX:
         cache.clear()
     out = []
-    for m in _UNICODE_WORD_RE.findall(text):
+    for m in _U61_TOKEN_RE.findall(text):
         s = cache.get(m)
         if s is None:
             s = cache[m] = _fts5_norm_stem(m)
