@@ -1283,6 +1283,58 @@ def q_bm25_cols_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
 
 
+def q_vocab_col(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fts5vocab 'col' table over the multi-field index (SQLite
+    fts5vocab module — per-(term, column) document and instance counts,
+    parity-pinned against real SQLite in tests/test_vocab.py). Computed
+    FROM the index's per-field tf streams, so the oracle's from-scratch
+    per-field recount checks the multi-column posting payloads
+    end-to-end."""
+    from sparkgrep.operators.vocab import vocab
+
+    idx = _mc_index(spark, sf_dir)
+    return vocab(idx, "col")
+
+
+def q_vocab_instance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fts5vocab 'instance' table (term, doc, col, offset) restricted to
+    three terms: every stored token POSITION in the postings payload is
+    value-checked against a from-scratch SQL tokenization — the direct
+    oracle for the position streams that phrase/NEAR/anchor queries
+    consume."""
+    from sparkgrep.operators.index_build import build_index
+    from sparkgrep.operators.query import InvertedIndex
+    from sparkgrep.operators.vocab import vocab
+
+    corpus = _corpus(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="sparkgrep_vocab_") + "/idx"
+    build_index(corpus, out, analyzer="simple", store_positions=True, n_buckets=8)
+    inst = vocab(InvertedIndex(spark, out), "instance")
+    return inst.filter(F.col("term").isin("hash", "join", "scan")).select(
+        "term", "doc_id", "col", "offset"
+    )
+
+
+def q_vocab_row_lsm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fts5vocab 'row' table over a LAYERED index (two delta appends +
+    a tombstone delete, no compaction): per-term df/cf summed across
+    layers with cut-aware tombstone masking must equal a from-scratch
+    recount over the surviving corpus."""
+    from sparkgrep.operators.vocab import vocab
+    from sparkgrep.plans.manifest import append_batch_delta, delete_batch_delta
+
+    corpus = _corpus(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="sparkgrep_vocabl_") + "/idx"
+    append_batch_delta(
+        corpus.filter("doc_id % 3 != 1"), out, "b0", analyzer="simple", n_buckets=8
+    )
+    append_batch_delta(corpus.filter("doc_id % 3 = 1"), out, "b1")
+    delete_batch_delta(corpus.filter(_DEL_PRED), out, "b2")
+    from sparkgrep.operators.query import InvertedIndex
+
+    return vocab(InvertedIndex(spark, out), "row")
+
+
 def q_delta_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O(batch) tombstone delete (the reference's AFTER DELETE trigger,
     message_manager.py:113-137, replayed log-structured): build over the
@@ -1382,6 +1434,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_cols_weighted": q_bm25_cols_weighted,
     "delta_delete": q_delta_delete,
     "delta_update": q_delta_update,
+    "vocab_col": q_vocab_col,
+    "vocab_instance": q_vocab_instance,
+    "vocab_row_lsm": q_vocab_row_lsm,
 }
 
 
@@ -1906,6 +1961,35 @@ FROM documents
                 f"(SELECT doc_id, CASE WHEN {_DEL_PRED} THEN text || "
                 "' window table' ELSE text END AS text FROM documents)"
             ),
+        ),
+        # fts5vocab 'col': per-(term, field) doc/instance recount from the
+        # raw parquet, mirroring the engine's per-field tf streams
+        "vocab_col": f"""
+WITH {_MC_CTES}
+SELECT term, 'meta' AS col, CAST(count(*) AS BIGINT) AS doc,
+       CAST(sum(tf) AS BIGINT) AS cnt FROM mtf GROUP BY term
+UNION ALL
+SELECT term, 'body' AS col, CAST(count(*) AS BIGINT) AS doc,
+       CAST(sum(tf) AS BIGINT) AS cnt FROM btf GROUP BY term
+""",
+        # fts5vocab 'instance': every stored token position for 3 terms
+        # (DuckDB list_transform index is 1-based -> offset = pos - 1)
+        "vocab_instance": f"""
+WITH {_TOK_CTES}
+SELECT term, doc_id, 'content' AS col, CAST(pos - 1 AS INT) AS offset
+FROM pos WHERE term IN ('hash', 'join', 'scan')
+""",
+        # fts5vocab 'row' over the layered+tombstoned index == recount
+        # over the surviving corpus
+        "vocab_row_lsm": (
+            "WITH "
+            + _tok_ctes(
+                f"(SELECT doc_id, text FROM documents WHERE NOT ({_DEL_PRED}))"
+            ).lstrip()
+            + """
+SELECT term, CAST(count(*) AS BIGINT) AS doc,
+       CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY term
+"""
         ),
     }
     # the ANN index must reproduce brute-force top-10 exactly at this
