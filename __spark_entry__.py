@@ -1335,6 +1335,52 @@ def q_vocab_row_lsm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab(InvertedIndex(spark, out), "row")
 
 
+def _aux_index(spark: SparkSession, sf_dir: str):
+    """Positional simple-analyzer index + its corpus, shared by the
+    highlight/snippet aux-function entries."""
+    from sparkgrep.operators.index_build import build_index
+    from sparkgrep.operators.query import InvertedIndex
+
+    corpus = _corpus(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="sparkgrep_aux_") + "/idx"
+    build_index(corpus, out, analyzer="simple", store_positions=True, n_buckets=8)
+    return InvertedIndex(spark, out), corpus
+
+
+def q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FTS5 ``highlight()`` aux function (semantics pinned against real
+    SQLite in tests/test_snippet_parity.py): top-10 docs for ``hash``
+    with every instance wrapped. The oracle recomputes the ranking AND
+    the wrapped text from the raw parquet."""
+    from sparkgrep.operators.snippet import search_highlight
+
+    idx, corpus = _aux_index(spark, sf_dir)
+    res = search_highlight(
+        idx, corpus, "hash", k=10, mark_start="[", mark_end="]"
+    )
+    return res.select(
+        "rank", "doc_id", F.round("score", 4).alias("score"), "highlight"
+    )
+
+
+def q_snippet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FTS5 ``snippet()`` aux function: best 8-token window per FTS5's
+    candidate algorithm (instance windows re-centered + clamped, the
+    token-0 sentence candidate with its +120 bonus, 1000/1 aSeen
+    scoring — all pinned against SQLite). The oracle reimplements the
+    whole window algorithm in DuckDB SQL over the raw parquet."""
+    from sparkgrep.operators.snippet import search_snippet
+
+    idx, corpus = _aux_index(spark, sf_dir)
+    res = search_snippet(
+        idx, corpus, "hash", k=10, n_tokens=8,
+        mark_start="[", mark_end="]", ellipsis="…",
+    )
+    return res.select(
+        "rank", "doc_id", F.round("score", 4).alias("score"), "snippet"
+    )
+
+
 def q_delta_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O(batch) tombstone delete (the reference's AFTER DELETE trigger,
     message_manager.py:113-137, replayed log-structured): build over the
@@ -1437,6 +1483,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_col": q_vocab_col,
     "vocab_instance": q_vocab_instance,
     "vocab_row_lsm": q_vocab_row_lsm,
+    "highlight": q_highlight,
+    "snippet": q_snippet,
 }
 
 
@@ -1978,6 +2026,107 @@ SELECT term, 'body' AS col, CAST(count(*) AS BIGINT) AS doc,
 WITH {_TOK_CTES}
 SELECT term, doc_id, 'content' AS col, CAST(pos - 1 AS INT) AS offset
 FROM pos WHERE term IN ('hash', 'join', 'scan')
+""",
+        # FTS5 highlight(): single-term top-10 + every instance wrapped.
+        # Text is pure [a-z0-9 ] (checked), so \b-bounded regex wrapping
+        # equals token-exact wrapping.
+        "highlight": f"""
+WITH {_TOK_CTES},
+dfq AS (SELECT count(*) AS df FROM tf WHERE term = 'hash'),
+scored AS (
+  SELECT tf.doc_id,
+         ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + (1.2 * (0.25 + ((0.75 * dl.dl) / stats.avgdl)))) AS score
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN dfq CROSS JOIN stats
+  WHERE tf.term = 'hash'
+),
+res AS (
+  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+         doc_id, round(score, 4) AS score
+  FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
+)
+SELECT r.rank, r.doc_id, r.score,
+       regexp_replace(d.text, '\\b(hash)\\b', '[\\1]', 'g') AS highlight
+FROM res r JOIN documents d USING (doc_id)
+""",
+        # FTS5 snippet(): the full window algorithm in SQL — instance
+        # candidates (1000 + repeats, re-centered, clamped) plus the
+        # token-0 sentence candidate (+120, only when the doc is longer
+        # than the window and some instance sits past token 0),
+        # candidate order inst_1, sent, inst_2, ... with strict-greater
+        # wins (row_number over (score DESC, ord ASC)).
+        "snippet": f"""
+WITH {_TOK_CTES},
+dfq AS (SELECT count(*) AS df FROM tf WHERE term = 'hash'),
+scored AS (
+  SELECT tf.doc_id,
+         ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + (1.2 * (0.25 + ((0.75 * dl.dl) / stats.avgdl)))) AS score
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN dfq CROSS JOIN stats
+  WHERE tf.term = 'hash'
+),
+res AS (
+  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+         doc_id, round(score, 4) AS score
+  FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
+),
+doc AS (
+  SELECT r.rank, r.doc_id, r.score, t.toks, CAST(len(t.toks) AS INT) AS ncol,
+         list_filter(
+           list_transform(t.toks, (x, i) -> CASE WHEN x = 'hash'
+                                            THEN CAST(i - 1 AS INT) END),
+           p -> p IS NOT NULL) AS ps
+  FROM res r JOIN tok t USING (doc_id)
+),
+cands AS (
+  SELECT rank, doc_id, score, toks, ncol, ps,
+         u.io AS io, 2 * u.jj AS ord, FALSE AS is_sent
+  FROM doc,
+       unnest(list_transform(ps, (p, jj) ->
+         struct_pack(io := p, jj := CAST(jj AS INT)))) AS c(u)
+  UNION ALL
+  SELECT rank, doc_id, score, toks, ncol, ps,
+         0 AS io,
+         2 * list_min(list_filter(
+               list_transform(ps, (p, jj) -> CASE WHEN p > 0
+                                             THEN CAST(jj AS INT) END),
+               x -> x IS NOT NULL)) + 1 AS ord,
+         TRUE AS is_sent
+  FROM doc
+  WHERE ncol > 8 AND len(list_filter(ps, p -> p > 0)) > 0
+),
+cscored AS (
+  SELECT rank, doc_id, score, toks, ncol, ps, io, ord, is_sent,
+         len(list_filter(ps, p -> p >= io AND p < io + 8)) AS cnt,
+         list_max(list_filter(ps, p -> p >= io AND p < io + 8)) AS maxp
+  FROM cands
+),
+cfinal AS (
+  SELECT rank, doc_id, score, toks, ncol, ord,
+         CASE WHEN is_sent
+              THEN (CASE WHEN cnt > 0 THEN 999 + cnt ELSE 0 END) + 120
+              ELSE 999 + cnt END AS sc,
+         CASE WHEN is_sent THEN 0
+              ELSE greatest(least(io - ((8 - (maxp + 1 - io)) // 2),
+                                  ncol - 8), 0) END AS s
+  FROM cscored
+),
+win AS (
+  SELECT rank, doc_id, score, toks, ncol, s,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY sc DESC, ord ASC) AS rn
+  FROM cfinal
+)
+SELECT rank, doc_id, score,
+       (CASE WHEN s > 0 THEN '…' ELSE '' END)
+       || array_to_string(
+            list_transform(toks[s + 1 : least(s + 8, ncol)],
+                           x -> CASE WHEN x = 'hash' THEN '[hash]' ELSE x END),
+            ' ')
+       || (CASE WHEN s + 8 < ncol THEN '…' ELSE '' END) AS snippet
+FROM win WHERE rn = 1
 """,
         # fts5vocab 'row' over the layered+tombstoned index == recount
         # over the surviving corpus
