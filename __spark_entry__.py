@@ -800,6 +800,30 @@ def q_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+def q_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN lifecycle (the FAISS IndexIVFFlat analogue next to
+    ann_indexed's LSH tables; faiss_manager.py:52-95,135-178): spherical
+    k-means quantizer trained on a bounded hash-ordered sample → per-list
+    partitioned assignment → load → probe → exact cosine re-rank.
+    nprobe = nlist here — the degenerate exhaustive probe, provably equal
+    to brute force (candidates = whole corpus, same re-rank expression),
+    so the brute-force oracle applies. The 500 sf0.01 embeddings are
+    i.i.d. random, i.e. near-orthogonal — the coarse quantizer's hardest
+    case (pruned recall at sf0.01: nprobe=8 of 16 → 0.7); PRUNED probing
+    is plan-asserted in tests/test_ivf_index.py (partition pruning,
+    home-list guarantee) and its recall/scan trade-off is the bench's
+    ivf_recall_at_10 field."""
+    from sparkgrep.operators.ivf_index import IvfIndex, build_ivf_index
+
+    emb = _emb(spark, sf_dir)
+    qvec = [float(x) for x in emb.filter("vec_id = 0").collect()[0]["embedding"]]
+    out = tempfile.mkdtemp(prefix="sparkgrep_ivf_") + "/idx"
+    build_ivf_index(emb, out, nlist=16, train_size=2048)
+    idx = IvfIndex(spark, out)
+    res = idx.search(qvec, k=10, nprobe=idx.meta.nlist)
+    return res.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkgrep.operators.textstats import token_counts
 
@@ -1454,6 +1478,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_pipeline": q_dedup_pipeline,
     "cosine_topk": q_cosine_topk,
     "ann_indexed": q_ann_indexed,
+    "ivf_indexed": q_ivf_indexed,
     "token_counts": q_token_counts,
     "quality": q_quality,
     "lang_id": q_lang_id,
@@ -2144,6 +2169,10 @@ SELECT term, CAST(count(*) AS BIGINT) AS doc,
     # the ANN index must reproduce brute-force top-10 exactly at this
     # scale (recall@10 = 1.0) — same oracle as the exact scan
     out["ann_indexed"] = out["cosine_topk"]
+    # the IVF entry runs the exhaustive probe (nprobe = nlist), which is
+    # provably brute force — same oracle; pruned probing is covered by
+    # plan-asserted tests and the bench's recall field
+    out["ivf_indexed"] = out["cosine_topk"]
     # multimodal stub decode: first feature = little-endian uint32 of the
     # first 4 bytes of sha256(payload) / 2^32, cast to float32 — the
     # identical arithmetic the Arrow kernel runs (multimodal.py)

@@ -28,7 +28,9 @@ Phases (on $SPARK_GRAFT_SF_DIR, default /root/testdata/sf0.1):
                      big index (base untouched) and the compaction that
                      folds it back; the pre-round-4 append paid
                      ~index_build seconds for ANY batch size
-- ann_recall_at_10 — multiprobe ANN recall vs brute-force cosine
+- ann_recall_at_10 / ivf_recall_at_10_nprobe4of16 — ANN recall vs brute-force
+                     cosine for both families (LSH multiprobe; IVF at a
+                     25% scan fraction)
 
 Scaling evidence (north rule's N vs 4N clusters, sandbox substitution
 per driver instruction): the SAME warmed index-build job runs in fresh
@@ -750,6 +752,29 @@ def main() -> None:
     except Exception:
         pass  # embeddings table absent at this sf
 
+    # --- IVF ANN: same recall@10 measurement for the inverted-file
+    # family (nprobe/nlist is the scan fraction; pruned probing —
+    # nprobe=4 of nlist=16 reads ~25% of the corpus)
+    ivf_recall = None
+    try:
+        from sparkgrep.operators.ivf_index import IvfIndex, build_ivf_index
+        from sparkgrep.operators.similarity import cosine_topk
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+        qvecs = [r["embedding"] for r in emb.limit(10).collect()]
+        ivf_out = tempfile.mkdtemp(prefix="sparkgrep_ivf_") + "/idx"
+        build_ivf_index(emb, ivf_out, nlist=16, train_size=2048)
+        ivf = IvfIndex(spark, ivf_out)
+        hits = 0
+        for qv in qvecs:
+            exact = {r["vec_id"] for r in cosine_topk(emb, qv, k=10).collect()}
+            approx = {r["vec_id"] for r in ivf.search(qv, k=10, nprobe=4).collect()}
+            hits += len(exact & approx)
+        ivf_recall = round(hits / (10 * len(qvecs)), 3)
+        emb.unpersist()
+    except Exception:
+        pass  # embeddings table absent at this sf
+
     # --- incremental freshness: a 1k-doc batch appended as an O(batch)
     # delta layer onto the big index (base untouched), then one
     # compaction folding it back. Contrast: the pre-round-4 append paid
@@ -792,6 +817,8 @@ def main() -> None:
     }
     if ann_recall is not None:
         result["ann_recall_at_10"] = ann_recall
+    if ivf_recall is not None:
+        result["ivf_recall_at_10_nprobe4of16"] = ivf_recall
 
     # full detail (per-rep arrays, methodology prose) goes to a side file
     # next to this script; the PRINTED line stays compact so the driver's
