@@ -416,6 +416,16 @@ def run_scaling() -> dict:
             "all_steal_sec": {str(k): v for k, v in all_steal.items()},
             "all_tree_cpu_sec": {str(k): v for k, v in all_tree_cpu.items()},
             "min_tree_cpu_sec": {str(k): v for k, v in min_cpu.items()},
+            # work-preservation audit in per-doc units, comparable ACROSS
+            # pairs/corpus sizes: flat ms/doc from the 1-core level up
+            # proves the parallel decomposition adds no work; growth at
+            # wide levels that tracks TOTAL active cores on the box
+            # (regardless of process layout — see the weak phase) is the
+            # shared host's memory-bandwidth ceiling, not engine overhead
+            "cpu_ms_per_doc": {
+                str(lv): round(min_cpu[lv] * 1000.0 / cfg["docs"], 3)
+                for lv in (a, b)
+            },
         })
     if pair_stats:
         p1 = pair_stats[0]
