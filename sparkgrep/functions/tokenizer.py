@@ -222,6 +222,51 @@ def tokenize_series(texts: pd.Series, analyzer: str, langs: pd.Series | None = N
     raise ValueError(f"unknown analyzer {analyzer!r} (choose from {ANALYZERS})")
 
 
+def tokenize_flat(
+    texts: pd.Series, analyzer: str, langs: pd.Series | None = None
+):
+    """Batch tokenization into ONE flat token array + per-doc lengths —
+    the SPIMI pass's shape. Same analyzers and token streams as
+    :func:`tokenize_series` (doc i's tokens are
+    ``flat[lens[:i].sum() : lens[:i+1].sum()]``), but skips the per-doc
+    list objects and the re-concatenation the Series form forces —
+    measured as large as the tokenize itself on code batches.
+
+    Returns ``(flat: np.ndarray[object], lens: np.ndarray[int64])``."""
+    import numpy as np
+
+    n = len(texts)
+    lens = np.empty(n, dtype=np.int64)
+    out: list[str] = []
+    vals = texts.fillna("")
+    if analyzer == "simple":
+        fn = _simple_py
+        for i, t in enumerate(vals):
+            n0 = len(out)
+            out.extend(fn(t))
+            lens[i] = len(out) - n0
+    elif analyzer == "fts5":
+        for i, t in enumerate(vals):
+            n0 = len(out)
+            out.extend(_fts5_py(t))
+            lens[i] = len(out) - n0
+    elif analyzer == "code":
+        if langs is None:
+            for i, t in enumerate(vals):
+                n0 = len(out)
+                out.extend(_code_py(t))
+                lens[i] = len(out) - n0
+        else:
+            for i, (t, lg) in enumerate(zip(vals, langs)):
+                n0 = len(out)
+                out.extend(_code_py(t, lg))
+                lens[i] = len(out) - n0
+    else:
+        raise ValueError(f"unknown analyzer {analyzer!r} (choose from {ANALYZERS})")
+    flat = np.asarray(out, dtype=object) if out else np.empty(0, dtype=object)
+    return flat, lens
+
+
 # ---------------------------------------------------------------------------
 # Spark surface
 

@@ -80,3 +80,29 @@ def xxhash64(data: bytes | str, seed: int = SPARK_SEED) -> int:
 def term_bucket(term: str, n_buckets: int) -> int:
     """pmod(xxhash64(term), n_buckets) — Spark's pmod semantics."""
     return xxhash64(term) % n_buckets
+
+
+def xxhash64_long_vec(vals, seed: int = SPARK_SEED):
+    """Vectorized XXH64 of int64 values, bit-compatible with Spark's
+    ``F.xxhash64`` on a LongType column (XXH64.hashLong: the 8-byte
+    single-block path — one round fold + 27-rotl + fmix). Returns a
+    SIGNED int64 array; parity with the JVM is pinned by
+    tests/test_xxhash.py. Used to assign postings to shards inside the
+    SPIMI run encoder without a JVM round-trip."""
+    import numpy as np
+
+    x = np.asarray(vals).astype(np.int64).view(np.uint64)
+    P1, P2, P3 = np.uint64(_P1), np.uint64(_P2), np.uint64(_P3)
+    P4, P5 = np.uint64(_P4), np.uint64(_P5)
+    with np.errstate(over="ignore"):
+        h = np.uint64((seed + _P5 + 8) & _M)
+        k = x * P2
+        k = ((k << np.uint64(31)) | (k >> np.uint64(33))) * P1
+        h = h ^ k
+        h = (((h << np.uint64(27)) | (h >> np.uint64(37))) * P1) + P4
+        h ^= h >> np.uint64(33)
+        h *= P2
+        h ^= h >> np.uint64(29)
+        h *= P3
+        h ^= h >> np.uint64(32)
+    return h.view(np.int64)

@@ -49,11 +49,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sparkgrep import BM25_B, BM25_K1
-from sparkgrep.functions.tokenizer import tokenize_series
+from sparkgrep.functions.tokenizer import tokenize_flat, tokenize_series
 from sparkgrep.functions.varint import (
     blocked_gap_encode,
+    delta_decode_segments,
     delta_encode_segments,
     segment_byte_offsets,
+    varint_byte_lengths,
+    varint_decode,
     varint_encode,
 )
 from sparkgrep.schema import TERM_FREQ_POS_SCHEMA, TERM_FREQ_SCHEMA
@@ -188,53 +191,62 @@ def spimi_term_freqs(
         for pdf in batches:
             if pdf.empty:
                 continue
-            toks = tokenize_series(
+            # flat token stream + per-doc lengths: skips the per-doc list
+            # objects AND the re-flattening concat (each measured as
+            # expensive as tokenization itself on code batches)
+            flat, lens = tokenize_flat(
                 pdf["content"], analyzer, pdf["lang"] if "lang" in pdf else None
             )
-            dls = toks.map(len).astype("int32")
             frames = []
             sent = pd.DataFrame(
                 {
                     "term": np.full(len(pdf), "", dtype=object),
                     "doc_id": pdf["doc_id"].to_numpy(),
                     "tf": np.zeros(len(pdf), dtype=np.int32),
-                    "dl": dls.to_numpy(),
+                    "dl": lens.astype("int32"),
                 }
             )
             if positions:
                 sent["positions"] = [[] for _ in range(len(pdf))]
             frames.append(sent)
-            lens = dls.to_numpy()
-            exploded = pd.DataFrame(
-                {
-                    "term": np.concatenate([np.asarray(t, dtype=object) for t in toks])
-                    if len(toks)
-                    else np.empty(0, dtype=object),
-                    "doc_id": np.repeat(pdf["doc_id"].to_numpy(), lens),
-                    "dl": np.repeat(lens, lens),
-                }
-            )
-            if positions and not exploded.empty:
-                # 0-based token position within each doc, vectorized
-                offs = np.repeat(np.cumsum(lens) - lens, lens)
-                exploded["pos"] = (
-                    np.arange(int(lens.sum()), dtype=np.int64) - offs
-                ).astype(np.int32)
-            if not exploded.empty:
-                aggs = {"tf": ("dl", "size"), "dl": ("dl", "first")}
-                if positions:
-                    aggs["positions"] = ("pos", list)
-                run = (
-                    exploded.groupby(["term", "doc_id"], sort=False)
-                    .agg(**aggs)
-                    .reset_index()
+            total = int(lens.sum())
+            if total:
+                # vectorized (doc, term)-pair counting: factorize terms
+                # to int codes, STABLE lexsort by (doc, code) — within a
+                # pair the original token order (= ascending positions)
+                # is preserved — then boundary detection gives tf per
+                # pair. Replaces a pandas object-key groupby.
+                doc_idx = np.repeat(np.arange(len(pdf), dtype=np.int64), lens)
+                codes, uniq = pd.factorize(flat, sort=False)
+                order = np.lexsort((codes, doc_idx))
+                sc = codes[order]
+                sd = doc_idx[order]
+                change = (
+                    np.flatnonzero((sc[1:] != sc[:-1]) | (sd[1:] != sd[:-1])) + 1
                 )
-                run["tf"] = run["tf"].astype("int32")
-                run["dl"] = run["dl"].astype("int32")
-                cols = ["term", "doc_id", "tf", "dl"] + (["positions"] if positions else [])
-                frames.append(run[cols])
-            if frames:
-                yield pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+                pstarts = np.concatenate(([0], change))
+                pends = np.concatenate((change, [total]))
+                uniq_arr = np.asarray(uniq, dtype=object)
+                run = pd.DataFrame(
+                    {
+                        "term": uniq_arr[sc[pstarts]],
+                        "doc_id": pdf["doc_id"].to_numpy()[sd[pstarts]],
+                        "tf": (pends - pstarts).astype("int32"),
+                        "dl": lens[sd[pstarts]].astype("int32"),
+                    }
+                )
+                if positions:
+                    # 0-based token position within each doc, reordered
+                    # with the same stable sort → ascending per pair
+                    offs = np.repeat(np.cumsum(lens) - lens, lens)
+                    pos = (
+                        np.arange(total, dtype=np.int64) - offs
+                    ).astype(np.int32)[order]
+                    run["positions"] = [
+                        pos[a:b] for a, b in zip(pstarts, pends)
+                    ]
+                frames.append(run)
+            yield pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
 
     schema = TERM_FREQ_POS_SCHEMA if positions else TERM_FREQ_SCHEMA
     return narrow.mapInPandas(gen, schema)
@@ -321,10 +333,198 @@ def spimi_term_freqs_mc(
     return narrow.mapInPandas(gen, schema)
 
 
+def _block_offset_lists(
+    cum: np.ndarray,
+    g_start_rows: np.ndarray,
+    g_end_rows: np.ndarray,
+    bstart_rows: np.ndarray,
+    bg: np.ndarray,
+    nb_per_g: np.ndarray,
+) -> list[np.ndarray]:
+    """Per-group block byte-offset arrays (len nb+1 each: 0, block
+    starts…, group total) from a whole-frame prefix-byte array ``cum``
+    (cum[k] = encoded bytes before value k). Vectorized fill + one
+    np.split — replaces a segment_byte_offsets call per group."""
+    g_byte_start = cum[g_start_rows]
+    nb1 = nb_per_g + 1
+    slot0 = np.concatenate(([0], np.cumsum(nb1)[:-1]))
+    out = np.zeros(int(nb1.sum()), dtype=np.int64)
+    # within-group block ordinal of each block, vectorized
+    cum_nb = np.concatenate(([0], np.cumsum(nb_per_g)[:-1]))
+    ordinal = np.arange(len(bstart_rows), dtype=np.int64) - cum_nb[bg]
+    out[slot0[bg] + ordinal] = cum[bstart_rows] - g_byte_start[bg]
+    out[slot0 + nb_per_g] = cum[g_end_rows] - g_byte_start
+    return _split_views(out.astype(np.int32), np.cumsum(nb1))
+
+
+def _split_views(arr: np.ndarray, ends: np.ndarray) -> list[np.ndarray]:
+    """Per-group views of a flat array (np.split pays a swapaxes per
+    piece — a plain slice is ~10× cheaper at 10^5+ groups)."""
+    out, prev = [], 0
+    for e in ends:
+        out.append(arr[prev:e])
+        prev = e
+    return out
+
+
+def _group_byte_slices(
+    stream: bytes, cum: np.ndarray, g_start_rows: np.ndarray, g_end_rows: np.ndarray
+) -> list[bytes]:
+    """Slice a whole-frame varint stream into per-group bytes (varints
+    are stateless per value, so the concatenation of per-group encodes
+    IS the whole-frame encode)."""
+    mv = memoryview(stream)
+    a = cum[g_start_rows]
+    b = cum[g_end_rows]
+    return [bytes(mv[int(x):int(y)]) for x, y in zip(a, b)]
+
+
 def _encode_groups_frame(meta: IndexMeta, pdf: pd.DataFrame, starts, ends) -> pd.DataFrame:
     """Encode the groups delimited by (starts, ends) in a sorted frame
-    into one columnar output frame (no per-group dict/DataFrame churn).
-    Input must be sorted by (term, shard, doc_id)."""
+    into one columnar output frame. Input must be sorted by
+    (term, shard, doc_id).
+
+    VECTORIZED ACROSS GROUPS: every stream (gap'd doc_ids, tfs, dls) is
+    varint-encoded in ONE whole-frame kernel call and sliced per group
+    by prefix byte offsets; block maxima come from one
+    ``np.maximum.reduceat``. The per-group-loop kernel this replaces
+    (:func:`_encode_groups_frame_ref`, kept as the test oracle) paid
+    ~300 µs of small-numpy-call overhead PER GROUP — cost proportional
+    to vocabulary size, which is exactly what explodes on a long-tail
+    corpus at scale (measured: 73% of build CPU at a 240k-term
+    vocabulary). Output is byte-for-byte identical
+    (tests/test_index.py::test_encode_kernel_matches_reference)."""
+    from sparkgrep.operators.score import idf as idf_fn
+
+    k1, b, avgdl, block = meta.k1, meta.b, meta.avgdl, meta.block_size
+    terms = pdf["term"].to_numpy()
+    shards = pdf["shard"].to_numpy()
+    buckets = pdf["bucket"].to_numpy()
+    dfs_in = pdf["df"].to_numpy(dtype=np.float64, na_value=np.nan)
+    cfs_in = pdf["cf"].to_numpy(dtype=np.float64, na_value=np.nan)
+    ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+    tfs = pdf["tf"].to_numpy(dtype=np.int64)
+    dls = pdf["dl"].to_numpy(dtype=np.int64)
+    tf_norm = (tfs * (k1 + 1.0)) / (tfs + (k1 * ((1.0 - b) + ((b * dls) / avgdl))))
+
+    has_pos = "positions" in pdf.columns
+    poscol = pdf["positions"].to_numpy() if has_pos else None
+
+    starts_a = np.asarray(starts, dtype=np.int64)
+    ends_a = np.asarray(ends, dtype=np.int64)
+    glen = ends_a - starts_a
+    n = len(starts_a)
+    total = int(ends_a[-1]) if n else 0
+    if total < len(pdf):
+        # the caller carried the frame's final (possibly incomplete)
+        # group into the next batch — whole-frame kernels below must not
+        # see those tail rows
+        ids = ids[:total]
+        tfs = tfs[:total]
+        dls = dls[:total]
+        tf_norm = tf_norm[:total]
+        if has_pos:
+            poscol = poscol[:total]
+    gidx = np.repeat(np.arange(n, dtype=np.int64), glen)
+    pos_in_g = np.arange(total, dtype=np.int64) - starts_a[gidx]
+
+    # df/cf: pre-joined (broadcast) for HOT terms, counted locally for
+    # cold groups (whole posting lists). Per-group Σtf via prefix sums.
+    ctf = np.cumsum(tfs)
+    gsum = ctf[ends_a - 1] - np.where(starts_a > 0, ctf[starts_a - 1], 0)
+    d0, c0 = dfs_in[starts_a], cfs_in[starts_a]
+    dfs_ = np.where(np.isnan(d0), glen, d0).astype(np.int64)
+    cfs = np.where(np.isnan(c0), gsum, c0).astype(np.int64)
+
+    # block grid: gap encoding resets at every block start (group heads
+    # are block starts), so each block decodes independently
+    is_bstart = (pos_in_g % block) == 0
+    bstart_rows = np.flatnonzero(is_bstart)
+    bg = gidx[bstart_rows]
+    nb_per_g = (glen + block - 1) // block
+    cum_nb = np.cumsum(nb_per_g)
+
+    # doc_ids: blocked gap encode, whole frame at once
+    d = np.empty(total, dtype=np.int64)
+    if total:
+        d[0] = ids[0]
+        np.subtract(ids[1:], ids[:-1], out=d[1:])
+        d[bstart_rows] = ids[bstart_rows]
+    u_ids = d.astype(np.uint64)
+    ids_stream = varint_encode(u_ids)
+    cum_ids = np.concatenate(([0], np.cumsum(varint_byte_lengths(u_ids))))
+    u_tfs = tfs.astype(np.uint64)
+    tfs_stream = varint_encode(u_tfs)
+    cum_tfs = np.concatenate(([0], np.cumsum(varint_byte_lengths(u_tfs))))
+    u_dls = dls.astype(np.uint64)
+    dls_stream = varint_encode(u_dls)
+    cum_dls = np.concatenate(([0], np.cumsum(varint_byte_lengths(u_dls))))
+
+    # block_max: idf per group (same scalar fn as the scorer — bitwise
+    # parity with the serving path's bounds), contribution max per block
+    idfs = np.fromiter(
+        (idf_fn(meta.n_docs, int(v), meta.idf_variant) for v in dfs_),
+        dtype=np.float64,
+        count=n,
+    )
+    contrib = idfs[gidx] * tf_norm
+    bm64 = np.maximum.reduceat(contrib, bstart_rows) if total else np.empty(0)
+    # round UP to the next float32: block_max is consumed as an exact
+    # upper bound by MaxScore pruning (wand.py)
+    bm32 = bm64.astype(np.float32)
+    low = bm32.astype(np.float64) < bm64
+    bm32[low] = np.nextafter(bm32[low], np.float32(np.inf))
+
+    out = {
+        "bucket": buckets[starts_a].astype("int32"),
+        "term": terms[starts_a],
+        "shard": shards[starts_a].astype("int32"),
+        "df": dfs_,
+        "cf": cfs,
+        "n": glen.astype("int32"),
+        "doc_ids": _group_byte_slices(ids_stream, cum_ids, starts_a, ends_a),
+        "tfs": _group_byte_slices(tfs_stream, cum_tfs, starts_a, ends_a),
+        "dls": _group_byte_slices(dls_stream, cum_dls, starts_a, ends_a),
+        "block_max": _split_views(bm32, cum_nb),
+        "block_min": _split_views(ids[bstart_rows], cum_nb),
+        "offs_ids": _block_offset_lists(cum_ids, starts_a, ends_a, bstart_rows, bg, nb_per_g),
+        "offs_tfs": _block_offset_lists(cum_tfs, starts_a, ends_a, bstart_rows, bg, nb_per_g),
+        "offs_dls": _block_offset_lists(cum_dls, starts_a, ends_a, bstart_rows, bg, nb_per_g),
+    }
+    if has_pos:
+        # positions: per-doc (= per-row) delta streams are independent,
+        # so one whole-frame delta_encode_segments == the concatenation
+        # of per-group encodes; slice per group at value boundaries
+        flat = (
+            np.concatenate([np.asarray(p, dtype=np.int64) for p in poscol])
+            if total
+            else np.empty(0, dtype=np.int64)
+        )
+        if flat.size:
+            dpos = np.empty_like(flat)
+            dpos[0] = flat[0]
+            np.subtract(flat[1:], flat[:-1], out=dpos[1:])
+            seg_starts = np.cumsum(tfs)[:-1]
+            seg_starts = seg_starts[seg_starts < flat.size]
+            dpos[seg_starts] = flat[seg_starts]  # absolute at each row head
+        else:
+            dpos = flat
+        poss_stream = varint_encode(dpos.astype(np.uint64))
+        plen = varint_byte_lengths(dpos.astype(np.uint64)) if flat.size else np.empty(0, dtype=np.int64)
+        # byte offset of each ROW's position segment = cum bytes of all
+        # positions before it (row r holds tfs[r] position values)
+        cum_vals = np.concatenate(([0], ctf))  # value index per row start
+        cum_pbytes = np.concatenate(([0], np.cumsum(plen)))
+        row_byte = cum_pbytes[cum_vals]  # bytes before row r's segment
+        out["poss"] = _group_byte_slices(poss_stream, row_byte, starts_a, ends_a)
+    return pd.DataFrame(out)
+
+
+def _encode_groups_frame_ref(meta: IndexMeta, pdf: pd.DataFrame, starts, ends) -> pd.DataFrame:
+    """REFERENCE kernel (pre-vectorization): per-group loop over the
+    same primitives. Kept as the test oracle for
+    :func:`_encode_groups_frame` — byte-for-byte equality is asserted on
+    randomized frames; not used in the build path."""
     from sparkgrep.operators.score import idf as idf_fn
 
     k1, b, avgdl, block = meta.k1, meta.b, meta.avgdl, meta.block_size
@@ -566,6 +766,510 @@ def _make_partition_encoder(meta: IndexMeta):
     return encode
 
 
+# transient SPIMI-run rows shuffled by the merge (run-shuffle path): one
+# row per (term, shard) per accumulation window — postings ride as plain
+# delta-varint streams (~3-6 bytes each) instead of raw unsafe rows
+# (~50 bytes each incl. the repeated term string), so the build's one
+# full-width exchange ships ~6× fewer bytes and ~10× fewer rows
+RUNS_SCHEMA = (
+    "term string, shard int, bucket int, df double, cf double, n int, "
+    "ids binary, tfs binary, dls binary"
+)
+
+
+def _spimi_run_encoder(
+    hot: dict,
+    n_buckets: int,
+    postings_per_shard: int,
+    acc_rows: int = 1 << 17,
+):
+    """mapInPandas generator over the persisted SPIMI relation (term !=
+    '' rows): accumulates ~acc_rows posting rows, groups them by
+    (term, shard) and emits varint-encoded RUN rows — the true SPIMI
+    'write sorted per-partition runs' step, done before the exchange so
+    the shuffle carries encoded streams, not raw postings.
+
+    ``hot`` maps the few terms with df > postings_per_shard to their
+    global (df, cf): their postings hash across ceil(df/pps) shards via
+    the SAME xxhash64(doc_id) Spark's raw-row path used (python mirror,
+    bit-compatible — tests/test_xxhash.py), and their runs carry the
+    global df/cf so merge groups that see only a slice never count
+    locally. Cold runs carry NaN → the encode kernel counts the (whole)
+    group, exactly like the broadcast-join path."""
+    from sparkgrep.functions.xxhash import term_bucket, xxhash64_long_vec
+
+    hot_df = {t: float(v[0]) for t, v in hot.items()}
+    hot_cf = {t: float(v[1]) for t, v in hot.items()}
+    hot_ns = {
+        t: int(-(-v[0] // postings_per_shard)) for t, v in hot.items()
+    }
+    bucket_cache: dict[str, int] = {}
+
+    def _bucket(t: str) -> int:
+        b = bucket_cache.get(t)
+        if b is None:
+            b = bucket_cache[t] = term_bucket(t, n_buckets)
+        return b
+
+    def encode_window(pdf: pd.DataFrame) -> pd.DataFrame:
+        tser = pdf["term"]
+        ids_raw = pdf["doc_id"].to_numpy(np.int64)
+        nsh = tser.map(hot_ns).fillna(1.0).to_numpy(np.float64)
+        shard = np.zeros(len(pdf), dtype=np.int64)
+        multi = nsh > 1.0
+        if multi.any():
+            h = xxhash64_long_vec(ids_raw[multi])
+            shard[multi] = np.mod(h, nsh[multi].astype(np.int64))
+        # sort by int term CODES, not strings: group order within a
+        # window is irrelevant (the merge re-sorts globally); only
+        # within-run doc order matters for the delta encoding — and
+        # object-key lexsort costs python comparisons per element
+        codes, _uniq = pd.factorize(tser, sort=False)
+        order = np.lexsort((ids_raw, shard, codes))
+        terms = tser.to_numpy()[order]
+        shards = shard[order]
+        ids = ids_raw[order]
+        tfs = pdf["tf"].to_numpy(np.int64)[order]
+        dls = pdf["dl"].to_numpy(np.int64)[order]
+        scodes = codes[order]
+        change = (
+            np.flatnonzero((scodes[1:] != scodes[:-1]) | (shards[1:] != shards[:-1]))
+            + 1
+        )
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(pdf)]))
+        glen = ends - starts
+        # delta varint, reset at run heads (runs internally doc-sorted)
+        d = np.empty(len(ids), dtype=np.int64)
+        d[0] = ids[0]
+        np.subtract(ids[1:], ids[:-1], out=d[1:])
+        d[starts] = ids[starts]
+        u = d.astype(np.uint64)
+        ids_stream = varint_encode(u)
+        cum_ids = np.concatenate(([0], np.cumsum(varint_byte_lengths(u))))
+        u_tfs = tfs.astype(np.uint64)
+        tfs_stream = varint_encode(u_tfs)
+        cum_tfs = np.concatenate(([0], np.cumsum(varint_byte_lengths(u_tfs))))
+        u_dls = dls.astype(np.uint64)
+        dls_stream = varint_encode(u_dls)
+        cum_dls = np.concatenate(([0], np.cumsum(varint_byte_lengths(u_dls))))
+        gterms = terms[starts]
+        return pd.DataFrame(
+            {
+                "term": gterms,
+                "shard": shards[starts].astype(np.int32),
+                "bucket": np.fromiter(
+                    (_bucket(t) for t in gterms), dtype=np.int32, count=len(gterms)
+                ),
+                "df": pd.Series(gterms).map(hot_df).to_numpy(
+                    dtype=np.float64, na_value=np.nan
+                ),
+                "cf": pd.Series(gterms).map(hot_cf).to_numpy(
+                    dtype=np.float64, na_value=np.nan
+                ),
+                "n": glen.astype(np.int32),
+                "ids": _group_byte_slices(ids_stream, cum_ids, starts, ends),
+                "tfs": _group_byte_slices(tfs_stream, cum_tfs, starts, ends),
+                "dls": _group_byte_slices(dls_stream, cum_dls, starts, ends),
+            }
+        )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        buf: list[pd.DataFrame] = []
+        nrows = 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            buf.append(pdf)
+            nrows += len(pdf)
+            if nrows >= acc_rows:
+                yield encode_window(pd.concat(buf, ignore_index=True))
+                buf, nrows = [], 0
+        if buf:
+            yield encode_window(
+                pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+            )
+
+    return gen
+
+
+def _decode_runs_encode_groups(meta: IndexMeta, runs: pd.DataFrame) -> pd.DataFrame:
+    """Decode a frame of COMPLETE (term, shard) groups' runs back to
+    posting arrays, merge-sort by doc_id within each group, and hand the
+    result to the SAME :func:`_encode_groups_frame` kernel the raw-row
+    path uses — so the written postings are byte-for-byte independent of
+    which shuffle format carried them
+    (tests/test_index.py::test_run_shuffle_build_identical)."""
+    ns = runs["n"].to_numpy(np.int64)
+    total = int(ns.sum())
+    ids = delta_decode_segments(b"".join(runs["ids"]), ns).astype(np.int64)
+    tfs = varint_decode(b"".join(runs["tfs"])).astype(np.int64)
+    dls = varint_decode(b"".join(runs["dls"])).astype(np.int64)
+    rterms = runs["term"].to_numpy()
+    rshards = runs["shard"].to_numpy()
+    rchange = (
+        np.flatnonzero((rterms[1:] != rterms[:-1]) | (rshards[1:] != rshards[:-1]))
+        + 1
+    )
+    rstarts = np.concatenate(([0], rchange))
+    rgi = np.zeros(len(runs), dtype=np.int64)
+    rgi[rstarts[1:]] = 1
+    rgi = np.cumsum(rgi)  # group id per RUN row
+    gidx = np.repeat(rgi, ns)  # group id per posting
+    order = np.lexsort((ids, gidx))
+    glen = np.bincount(rgi, weights=ns).astype(np.int64)
+    ends_a = np.cumsum(glen)
+    starts_a = ends_a - glen
+    # group-level attributes: _encode_groups_frame reads term/shard/
+    # bucket/df/cf ONLY at group starts — fill just those slots instead
+    # of materializing 10^6-element object columns
+    terms_full = np.empty(total, dtype=object)
+    shards_full = np.zeros(total, dtype=np.int32)
+    buckets_full = np.zeros(total, dtype=np.int32)
+    dfs_full = np.full(total, np.nan)
+    cfs_full = np.full(total, np.nan)
+    terms_full[starts_a] = rterms[rstarts]
+    shards_full[starts_a] = rshards[rstarts]
+    buckets_full[starts_a] = runs["bucket"].to_numpy()[rstarts]
+    dfs_full[starts_a] = runs["df"].to_numpy(dtype=np.float64, na_value=np.nan)[rstarts]
+    cfs_full[starts_a] = runs["cf"].to_numpy(dtype=np.float64, na_value=np.nan)[rstarts]
+    pdf = pd.DataFrame(
+        {
+            "term": terms_full,
+            "shard": shards_full,
+            "bucket": buckets_full,
+            "df": dfs_full,
+            "cf": cfs_full,
+            "doc_id": ids[order],
+            "tf": tfs[order],
+            "dl": dls[order],
+        }
+    )
+    return _encode_groups_frame(meta, pdf, starts_a, ends_a)
+
+
+def _make_run_merge_encoder(meta: IndexMeta):
+    """Streaming merge for ``mapInPandas`` over RUN rows repartitioned by
+    (term, shard) and sorted within partitions by (term, shard): decodes
+    each complete group's runs and re-encodes through the shared kernel,
+    carrying the final (possibly incomplete) group across Arrow
+    batches."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if pdf.empty:
+                continue
+            terms = pdf["term"].to_numpy()
+            shards = pdf["shard"].to_numpy()
+            change = np.flatnonzero(
+                (terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1])
+            ) + 1
+            if len(change) == 0:
+                carry = pdf
+                continue
+            last_start = int(change[-1])
+            carry = pdf.iloc[last_start:]
+            yield _decode_runs_encode_groups(
+                meta, pdf.iloc[:last_start].reset_index(drop=True)
+            )
+        if carry is not None and not carry.empty:
+            yield _decode_runs_encode_groups(meta, carry.reset_index(drop=True))
+
+    return gen
+
+
+# shard-less run rows from the FUSED single-pass SPIMI encoder: the one
+# tokenize pass emits encoded runs directly (no raw (term, doc) rows ever
+# materialize), sentinel runs (term='') carry each batch's doc lengths,
+# and sum_tf lets the df/cf aggregate run over RUN rows without decoding
+RUNS0_SCHEMA = (
+    "term string, bucket int, n int, sum_tf long, "
+    "ids binary, tfs binary, dls binary"
+)
+
+
+def _spimi_fused_run_encoder(analyzer: str, use_lang: bool, n_buckets: int):
+    """ONE mapInPandas pass: tokenize → vectorized (doc, term)-pair
+    counting → shard-less varint RUN rows (RUNS0_SCHEMA). Fusing SPIMI
+    and run encoding means the raw posting relation (one ~50-byte row
+    per (doc, term)) never exists: nothing caches it, nothing
+    Arrow-serializes it, and the exchange downstream ships only encoded
+    streams. Per batch also emits ONE sentinel run (term='') holding the
+    batch's (doc_id, dl) pairs for the doc_lengths table."""
+    from sparkgrep.functions.xxhash import term_bucket
+
+    bucket_cache: dict[str, int] = {}
+
+    def _bucket(t: str) -> int:
+        bk = bucket_cache.get(t)
+        if bk is None:
+            bk = bucket_cache[t] = term_bucket(t, n_buckets)
+        return bk
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            flat, lens = tokenize_flat(
+                pdf["content"], analyzer, pdf["lang"] if "lang" in pdf else None
+            )
+            ndocs = len(pdf)
+            doc_ids_b = pdf["doc_id"].to_numpy(np.int64)
+            # sentinel run: every doc's length, ids ascending (delta codec)
+            sorder = np.argsort(doc_ids_b)
+            s_ids = doc_ids_b[sorder]
+            d = np.empty(ndocs, dtype=np.int64)
+            d[0] = s_ids[0]
+            np.subtract(s_ids[1:], s_ids[:-1], out=d[1:])
+            frames = [
+                pd.DataFrame(
+                    {
+                        "term": [""],
+                        "bucket": np.zeros(1, dtype=np.int32),
+                        "n": np.array([ndocs], dtype=np.int32),
+                        "sum_tf": np.zeros(1, dtype=np.int64),
+                        "ids": [varint_encode(d.astype(np.uint64))],
+                        "tfs": [b""],
+                        "dls": [varint_encode(lens[sorder].astype(np.uint64))],
+                    }
+                )
+            ]
+            total = int(lens.sum())
+            if total:
+                doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), lens)
+                codes, uniq = pd.factorize(flat, sort=False)
+                # pair extraction: one combined-key sort (order within a
+                # pair is irrelevant — only the count survives)
+                key = codes.astype(np.int64) * ndocs + doc_idx
+                korder = np.argsort(key)
+                sk = key[korder]
+                change = np.flatnonzero(sk[1:] != sk[:-1]) + 1
+                pstarts = np.concatenate(([0], change))
+                pends = np.concatenate((change, [total]))
+                p_code = codes[korder[pstarts]]
+                p_didx = doc_idx[korder[pstarts]]
+                p_tf = (pends - pstarts).astype(np.int64)
+                p_id = doc_ids_b[p_didx]
+                p_dl = lens[p_didx]
+                # runs = pairs grouped by term, doc_ids ASCENDING within
+                # (the delta codec's requirement — batch doc order is
+                # arbitrary after a repartition, so sort by real doc_id)
+                porder = np.lexsort((p_id, p_code))
+                c = p_code[porder]
+                ids = p_id[porder]
+                tfs = p_tf[porder]
+                dls = p_dl[porder]
+                rchange = np.flatnonzero(c[1:] != c[:-1]) + 1
+                rstarts = np.concatenate(([0], rchange))
+                rends = np.concatenate((rchange, [len(ids)]))
+                glen = rends - rstarts
+                dd = np.empty(len(ids), dtype=np.int64)
+                dd[0] = ids[0]
+                np.subtract(ids[1:], ids[:-1], out=dd[1:])
+                dd[rstarts] = ids[rstarts]
+                u = dd.astype(np.uint64)
+                ids_stream = varint_encode(u)
+                cum_ids = np.concatenate(([0], np.cumsum(varint_byte_lengths(u))))
+                u_tfs = tfs.astype(np.uint64)
+                tfs_stream = varint_encode(u_tfs)
+                cum_tfs = np.concatenate(
+                    ([0], np.cumsum(varint_byte_lengths(u_tfs)))
+                )
+                u_dls = dls.astype(np.uint64)
+                dls_stream = varint_encode(u_dls)
+                cum_dls = np.concatenate(
+                    ([0], np.cumsum(varint_byte_lengths(u_dls)))
+                )
+                ctf = np.cumsum(tfs)
+                sum_tf = ctf[rends - 1] - np.where(rstarts > 0, ctf[rstarts - 1], 0)
+                uniq_arr = np.asarray(uniq, dtype=object)
+                gterms = uniq_arr[c[rstarts]]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "term": gterms,
+                            "bucket": np.fromiter(
+                                (_bucket(t) for t in gterms),
+                                dtype=np.int32,
+                                count=len(gterms),
+                            ),
+                            "n": glen.astype(np.int32),
+                            "sum_tf": sum_tf.astype(np.int64),
+                            "ids": _group_byte_slices(ids_stream, cum_ids, rstarts, rends),
+                            "tfs": _group_byte_slices(tfs_stream, cum_tfs, rstarts, rends),
+                            "dls": _group_byte_slices(dls_stream, cum_dls, rstarts, rends),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+
+    return gen
+
+
+def _decode_doc_lens(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Sentinel runs → (doc_id, dl) rows (narrow; each doc appears in
+    exactly one batch's sentinel run)."""
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        ns = pdf["n"].to_numpy(np.int64)
+        ids = delta_decode_segments(b"".join(pdf["ids"]), ns).astype(np.int64)
+        dls = varint_decode(b"".join(pdf["dls"])).astype(np.int32)
+        yield pd.DataFrame({"doc_id": ids, "dl": dls})
+
+
+def _assign_shards_gen(hot: dict, postings_per_shard: int):
+    """Narrow pass over shard-less runs: COLD runs (the overwhelming
+    majority) pass through undecoded with shard 0 and NaN df/cf; the few
+    HOT-term runs are decoded, split by the bit-compatible
+    xxhash64(doc_id) shard hash, and re-encoded as per-shard runs
+    carrying the global df/cf."""
+    from sparkgrep.functions.xxhash import xxhash64_long_vec
+
+    hot_df = {t: float(v[0]) for t, v in hot.items()}
+    hot_cf = {t: float(v[1]) for t, v in hot.items()}
+    hot_ns = {t: int(-(-v[0] // postings_per_shard)) for t, v in hot.items()}
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            is_hot = pdf["term"].isin(hot_ns).to_numpy()
+            cold = pdf.loc[~is_hot]
+            out = pd.DataFrame(
+                {
+                    "term": cold["term"].to_numpy(),
+                    "shard": np.zeros(len(cold), dtype=np.int32),
+                    "bucket": cold["bucket"].to_numpy(),
+                    "df": np.full(len(cold), np.nan),
+                    "cf": np.full(len(cold), np.nan),
+                    "n": cold["n"].to_numpy(),
+                    "ids": cold["ids"].to_numpy(),
+                    "tfs": cold["tfs"].to_numpy(),
+                    "dls": cold["dls"].to_numpy(),
+                }
+            )
+            frames = [out]
+            if is_hot.any():
+                hp = pdf.loc[is_hot]
+                rows: dict[str, list] = {
+                    k: [] for k in ("term", "shard", "bucket", "df", "cf", "n", "ids", "tfs", "dls")
+                }
+                for r in hp.itertuples(index=False):
+                    n = int(r.n)
+                    rids = delta_decode_segments(bytes(r.ids), np.array([n])).astype(np.int64)
+                    rtfs = varint_decode(bytes(r.tfs)).astype(np.int64)
+                    rdls = varint_decode(bytes(r.dls)).astype(np.int64)
+                    ns_t = hot_ns[r.term]
+                    shards = np.mod(xxhash64_long_vec(rids), ns_t)
+                    for s in np.unique(shards):
+                        m = shards == s
+                        sub = rids[m]
+                        dsub = np.empty(len(sub), dtype=np.int64)
+                        dsub[0] = sub[0]
+                        np.subtract(sub[1:], sub[:-1], out=dsub[1:])
+                        rows["term"].append(r.term)
+                        rows["shard"].append(int(s))
+                        rows["bucket"].append(r.bucket)
+                        rows["df"].append(hot_df[r.term])
+                        rows["cf"].append(hot_cf[r.term])
+                        rows["n"].append(int(m.sum()))
+                        rows["ids"].append(varint_encode(dsub.astype(np.uint64)))
+                        rows["tfs"].append(varint_encode(rtfs[m].astype(np.uint64)))
+                        rows["dls"].append(varint_encode(rdls[m].astype(np.uint64)))
+                frames.append(pd.DataFrame(rows))
+            yield pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+
+    return gen
+
+
+def _build_index_fused(
+    corpus: DataFrame,
+    out_dir: str,
+    analyzer: str,
+    use_lang: bool,
+    n_buckets: int,
+    postings_per_shard: int,
+    block_size: int,
+    k1: float,
+    b: float,
+    idf_variant: str,
+    mode: str,
+    merge_partitions: int | None,
+    t0: float,
+) -> IndexMeta:
+    """Single-tokenize fused build (single-field, no positions — the
+    scale shape): corpus → fused SPIMI-run pass (persisted: ~10× smaller
+    than the raw posting relation) → doc_lens decoded from sentinel
+    runs → df/cf aggregated over RUN rows (no decode) → narrow hot-term
+    shard split → the standard (term, shard) exchange + merge. Postings
+    are byte-for-byte identical to the raw-row build
+    (test_run_shuffle_build_identical)."""
+    spark = corpus.sparkSession
+    cols = ["doc_id", "content"] + (
+        ["lang"] if use_lang and "lang" in corpus.columns else []
+    )
+    runs0 = (
+        corpus.select(*cols)
+        .mapInPandas(
+            _spimi_fused_run_encoder(analyzer, use_lang, n_buckets), RUNS0_SCHEMA
+        )
+        .persist()
+    )
+    try:
+        runs0.filter(F.col("term") == "").mapInPandas(
+            _decode_doc_lens, "doc_id long, dl int"
+        ).write.mode(mode).parquet(f"{out_dir}/doc_lens")
+        row = (
+            spark.read.schema("doc_id long, dl int")
+            .parquet(f"{out_dir}/doc_lens")
+            .agg(
+                F.count("*").alias("n"),
+                F.avg("dl").alias("avgdl"),
+                F.sum("dl").alias("tot"),
+            )
+            .collect()[0]
+        )
+        meta = IndexMeta(
+            n_docs=int(row["n"]),
+            avgdl=float(row["avgdl"] or 0.0),
+            total_tokens=int(row["tot"] or 0),
+            analyzer=analyzer,
+            n_buckets=n_buckets,
+            postings_per_shard=postings_per_shard,
+            block_size=block_size,
+            k1=k1,
+            b=b,
+            idf_variant=idf_variant,
+        )
+        real = runs0.filter(F.col("term") != "")
+        hot_rows = (
+            real.groupBy("term")
+            .agg(F.sum("n").alias("df"), F.sum("sum_tf").alias("cf"))
+            .filter(F.col("df") > postings_per_shard)
+            .collect()
+        )
+        hot_map = {r["term"]: (int(r["df"]), int(r["cf"])) for r in hot_rows}
+        runs = real.mapInPandas(
+            _assign_shards_gen(hot_map, postings_per_shard), RUNS_SCHEMA
+        )
+        n_merge_parts = merge_partitions or spark.sparkContext.defaultParallelism * 2
+        postings = (
+            runs.repartition(n_merge_parts, "term", "shard")
+            .sortWithinPartitions("term", "shard")
+            .mapInPandas(_make_run_merge_encoder(meta), postings_schema(meta))
+        )
+        return _finalize_index_write(
+            spark, postings, meta, out_dir, mode, t0, n_buckets
+        )
+    finally:
+        runs0.unpersist()
+
+
 def merge_and_write(
     tf: DataFrame,
     out_dir: str,
@@ -642,33 +1346,78 @@ def merge_and_write(
         F.sum("tf").cast("long").alias("cf"),
     )
     hot = dfs.filter(F.col("df") > postings_per_shard)
-    joined = (
-        real.join(F.broadcast(hot), "term", "left")
-        .withColumn(
-            "n_shards",
-            F.greatest(
-                F.lit(1),
-                F.ceil(F.coalesce(F.col("df"), F.lit(1)) / F.lit(postings_per_shard)).cast("int"),
-            ),
-        )
-        .withColumn("shard", F.pmod(F.xxhash64("doc_id"), F.col("n_shards")).cast("int"))
-        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
-        .drop("n_shards")  # shave shuffle bytes: only shard/bucket ride on
-    )
-    # sorted-partition streaming merge: one shuffle keyed on (term, shard)
-    # + in-partition sort, then a single mapInPandas that encodes many
-    # groups per Arrow batch (see _make_partition_encoder). The partition
-    # count is EXPLICIT: a column-only repartition lets AQE coalesce the
-    # exchange down to a handful of tasks (compressed-size heuristic),
-    # silently capping the encode stage's parallelism.
     n_merge_parts = merge_partitions or spark.sparkContext.defaultParallelism * 2
     out_schema = postings_schema(meta)
-    sort_keys = ["term", "shard", "doc_id"] + (["col"] if mc else [])
-    postings = (
-        joined.repartition(n_merge_parts, "term", "shard")
-        .sortWithinPartitions(*sort_keys)
-        .mapInPandas(_make_partition_encoder(meta), out_schema)
+    # RUN-SHUFFLE path (single-field, no positions — the scale shape):
+    # the SPIMI relation is folded into per-window varint RUN rows BEFORE
+    # the exchange, so the build's one full-width shuffle carries ~6×
+    # fewer bytes and ~10× fewer rows than raw postings (measured at a
+    # 200k-doc/240k-term corpus: 289 MB → ~70 MB, and the merge stage's
+    # sort + Arrow transfer shrink with it). The merge decodes each
+    # (term, shard) group's runs and re-encodes through the SAME kernel,
+    # so postings are byte-for-byte identical to the raw-row path
+    # (pinned by test_run_shuffle_build_identical). Positions/multi-field
+    # builds keep the raw path (feature shapes; payload dominates there).
+    use_runs = (
+        not has_positions
+        and not mc
+        and os.environ.get("SPARKGREP_RUN_SHUFFLE", "on") != "off"
     )
+    if use_runs:
+        hot_map = {
+            r["term"]: (int(r["df"]), int(r["cf"])) for r in hot.collect()
+        }
+        runs = real.mapInPandas(
+            _spimi_run_encoder(hot_map, n_buckets, postings_per_shard),
+            RUNS_SCHEMA,
+        )
+        postings = (
+            runs.repartition(n_merge_parts, "term", "shard")
+            .sortWithinPartitions("term", "shard")
+            .mapInPandas(_make_run_merge_encoder(meta), out_schema)
+        )
+    else:
+        joined = (
+            real.join(F.broadcast(hot), "term", "left")
+            .withColumn(
+                "n_shards",
+                F.greatest(
+                    F.lit(1),
+                    F.ceil(F.coalesce(F.col("df"), F.lit(1)) / F.lit(postings_per_shard)).cast("int"),
+                ),
+            )
+            .withColumn("shard", F.pmod(F.xxhash64("doc_id"), F.col("n_shards")).cast("int"))
+            .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+            .drop("n_shards")  # shave shuffle bytes: only shard/bucket ride on
+        )
+        # sorted-partition streaming merge: one shuffle keyed on
+        # (term, shard) + in-partition sort, then a single mapInPandas
+        # that encodes many groups per Arrow batch (see
+        # _make_partition_encoder). The partition count is EXPLICIT: a
+        # column-only repartition lets AQE coalesce the exchange down to
+        # a handful of tasks (compressed-size heuristic), silently
+        # capping the encode stage's parallelism.
+        sort_keys = ["term", "shard", "doc_id"] + (["col"] if mc else [])
+        postings = (
+            joined.repartition(n_merge_parts, "term", "shard")
+            .sortWithinPartitions(*sort_keys)
+            .mapInPandas(_make_partition_encoder(meta), out_schema)
+        )
+    return _finalize_index_write(spark, postings, meta, out_dir, mode, t0, n_buckets)
+
+
+def _finalize_index_write(
+    spark: SparkSession,
+    postings: DataFrame,
+    meta: IndexMeta,
+    out_dir: str,
+    mode: str,
+    t0: float,
+    n_buckets: int,
+) -> IndexMeta:
+    """Shared tail of every build: bucket-partitioned postings write,
+    term_ubs sidecar (always a full overwrite snapshot), stats.json."""
+    out_schema = postings_schema(meta)
     # encoded postings are ~2 bytes/posting — a cheap extra shuffle keyed
     # on bucket turns tasks×buckets tiny files into one file per bucket
     # (faster writes now, fewer files to list/scan at query time)
@@ -736,6 +1485,29 @@ def build_index(
     phrases/NEAR/'^' confined to a field exactly like SQLite. None keeps
     the classic single-'content' index, byte-for-byte."""
     t0 = time.time()
+    if (
+        not fields
+        and not store_positions
+        and os.environ.get("SPARKGREP_RUN_SHUFFLE", "on") != "off"
+    ):
+        # fused single-tokenize path (see _build_index_fused) — byte-
+        # identical output, one pass over the corpus instead of a raw
+        # posting relation cached + re-serialized between stages
+        return _build_index_fused(
+            corpus,
+            out_dir,
+            analyzer,
+            use_lang,
+            n_buckets=merge_kw.get("n_buckets", 64),
+            postings_per_shard=merge_kw.get("postings_per_shard", 1 << 20),
+            block_size=merge_kw.get("block_size", BLOCK_SIZE),
+            k1=merge_kw.get("k1", BM25_K1),
+            b=merge_kw.get("b", BM25_B),
+            idf_variant=merge_kw.get("idf_variant", "okapi"),
+            mode=merge_kw.get("mode", "overwrite"),
+            merge_partitions=merge_kw.get("merge_partitions"),
+            t0=t0,
+        )
     if fields:
         tf = spimi_term_freqs_mc(
             corpus, list(fields), analyzer, use_lang, positions=store_positions

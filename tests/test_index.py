@@ -294,3 +294,172 @@ def test_empty_corpus_build_and_search(spark, tmp_path):
     assert meta.n_docs == 0 and meta.avgdl == 0.0
     idx = InvertedIndex(spark, out)
     assert idx.search("anything", k=5).count() == 0
+
+
+def _random_sorted_frame(rng, n_groups: int, positions: bool, hot_frac: float = 0.2):
+    """A sorted (term, shard, doc_id) frame shaped like the merge
+    encoder's input: mixed cold groups (NaN df/cf — counted locally) and
+    hot groups (pre-joined df/cf), group sizes spanning well past one
+    block, zipf-ish doc-id gaps."""
+    import pandas as pd
+
+    sizes = np.clip(rng.zipf(1.5, n_groups), 1, 500)
+    total = int(sizes.sum())
+    starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+    ends = np.cumsum(sizes)
+    terms = np.repeat(np.array([f"t{i}" for i in range(n_groups)], dtype=object), sizes)
+    ids = np.concatenate([np.cumsum(rng.integers(1, 10_000, s)) for s in sizes])
+    hot = rng.random(n_groups) < hot_frac
+    dfv = np.where(hot, rng.integers(1, 10**6, n_groups).astype(float), np.nan)
+    cfv = np.where(hot, rng.integers(1, 10**7, n_groups).astype(float), np.nan)
+    tfs = rng.integers(1, 6, total).astype(np.int64)
+    pdf = pd.DataFrame(
+        {
+            "term": terms,
+            "shard": np.repeat(rng.integers(0, 4, n_groups), sizes).astype(np.int32),
+            "bucket": np.repeat(rng.integers(0, 64, n_groups), sizes).astype(np.int32),
+            "df": np.repeat(dfv, sizes),
+            "cf": np.repeat(cfv, sizes),
+            "doc_id": ids.astype(np.int64),
+            "tf": tfs,
+            "dl": rng.integers(1, 200, total).astype(np.int64),
+        }
+    )
+    if positions:
+        pdf["positions"] = [
+            np.sort(rng.choice(10_000, int(t), replace=False)).astype(np.int64).tolist()
+            for t in tfs
+        ]
+    return pdf, list(starts), list(ends)
+
+
+@pytest.mark.parametrize("positions", [False, True])
+@pytest.mark.parametrize("block_size", [4, 128])
+def test_encode_kernel_matches_reference(positions, block_size):
+    """The vectorized whole-frame encode kernel is byte-for-byte the
+    per-group reference kernel — every stream, offset array, block_max
+    float, df/cf — on randomized frames (hot + cold groups, group sizes
+    crossing many block boundaries)."""
+    from sparkgrep.operators.index_build import (
+        IndexMeta,
+        _encode_groups_frame,
+        _encode_groups_frame_ref,
+    )
+
+    rng = np.random.default_rng(13 + block_size + positions)
+    meta = IndexMeta(
+        n_docs=500_000, avgdl=37.5, total_tokens=10**7, analyzer="code",
+        n_buckets=64, postings_per_shard=1 << 16, block_size=block_size,
+        k1=1.2, b=0.75, idf_variant="lucene", has_positions=positions,
+    )
+    for trial in range(3):
+        pdf, starts, ends = _random_sorted_frame(rng, 401, positions)
+        # drop the final group from (starts, ends) but keep its rows in
+        # the frame — exactly how the streaming encoder carries a
+        # possibly-incomplete last group into the next Arrow batch
+        starts, ends = starts[:-1], ends[:-1]
+        got = _encode_groups_frame(meta, pdf, starts, ends)
+        want = _encode_groups_frame_ref(meta, pdf, starts, ends)
+        assert list(got.columns) == list(want.columns)
+        assert len(got) == len(want) == 400
+        for col in got.columns:
+            for gi in range(len(got)):
+                a, b = got[col].iloc[gi], want[col].iloc[gi]
+                if isinstance(b, (bytes, bytearray)):
+                    assert bytes(a) == bytes(b), (trial, col, gi)
+                elif isinstance(b, np.ndarray):
+                    assert np.array_equal(np.asarray(a), b), (trial, col, gi)
+                    assert np.asarray(a).dtype == b.dtype, (trial, col, gi)
+                else:
+                    assert a == b, (trial, col, gi)
+
+
+def test_encode_kernel_single_group_flush():
+    """The encoder's carry path calls the kernel with ONE group — the
+    vectorized kernel must match there too (degenerate reduceat input)."""
+    from sparkgrep.operators.index_build import (
+        IndexMeta,
+        _encode_groups_frame,
+        _encode_groups_frame_ref,
+    )
+
+    rng = np.random.default_rng(99)
+    meta = IndexMeta(
+        n_docs=1000, avgdl=12.0, total_tokens=12_000, analyzer="simple",
+        n_buckets=8, postings_per_shard=1 << 16, block_size=128,
+        k1=1.2, b=0.75, idf_variant="okapi",
+    )
+    pdf, starts, ends = _random_sorted_frame(rng, 1, False)
+    got = _encode_groups_frame(meta, pdf, [0], [len(pdf)])
+    want = _encode_groups_frame_ref(meta, pdf, [0], [len(pdf)])
+    for col in got.columns:
+        a, b = got[col].iloc[0], want[col].iloc[0]
+        if isinstance(b, (bytes, bytearray)):
+            assert bytes(a) == bytes(b)
+        elif isinstance(b, np.ndarray):
+            assert np.array_equal(np.asarray(a), b)
+        else:
+            assert a == b
+
+
+def _collect_postings_sorted(spark, out):
+    from sparkgrep.operators.index_build import load_meta, postings_schema
+
+    meta = load_meta(out)
+    pdf = (
+        spark.read.schema(postings_schema(meta))
+        .parquet(f"{out}/postings")
+        .toPandas()
+        .sort_values(["term", "shard"])
+        .reset_index(drop=True)
+    )
+    return meta, pdf
+
+
+def test_run_shuffle_build_identical(spark, tmp_path, monkeypatch):
+    """The run-shuffle merge (SPIMI runs varint-encoded BEFORE the
+    exchange) writes byte-for-byte the same index as the raw-row merge —
+    every stream, offset array, block bound, df/cf — including hot terms
+    sharded across ceil(df/pps) shards by the python xxhash64 mirror."""
+    from sparkgrep.operators.index_build import build_index
+    from sparkgrep.sources.corpus import load_corpus, synth_code_corpus
+
+    corp = load_corpus(spark, "/root/testdata/sf0.001")
+    # tiny postings_per_shard so real hot terms exercise multi-shard
+    # assignment through the python hash path
+    kw = dict(analyzer="simple", n_buckets=8, postings_per_shard=64)
+    monkeypatch.setenv("SPARKGREP_RUN_SHUFFLE", "on")
+    m_runs = build_index(corp, str(tmp_path / "runs_idx"), **kw)
+    monkeypatch.setenv("SPARKGREP_RUN_SHUFFLE", "off")
+    m_raw = build_index(corp, str(tmp_path / "raw_idx"), **kw)
+    assert m_runs == m_raw
+    _, a = _collect_postings_sorted(spark, str(tmp_path / "runs_idx"))
+    _, b = _collect_postings_sorted(spark, str(tmp_path / "raw_idx"))
+    assert len(a) == len(b) > 0
+    assert (a["shard"].max()) > 0  # hot sharding actually exercised
+    for col in a.columns:
+        for i in range(len(a)):
+            x, y = a[col].iloc[i], b[col].iloc[i]
+            if isinstance(y, (bytes, bytearray)):
+                assert bytes(x) == bytes(y), (col, i, a["term"].iloc[i])
+            elif isinstance(y, np.ndarray):
+                assert np.array_equal(np.asarray(x), y), (col, i)
+            else:
+                assert x == y, (col, i)
+    # code-analyzer corpus too (long-tail vocabulary, lang stoplists)
+    code = synth_code_corpus(spark, 2000, seed=11)
+    kw2 = dict(analyzer="code", use_lang=True, n_buckets=8, postings_per_shard=256)
+    monkeypatch.setenv("SPARKGREP_RUN_SHUFFLE", "on")
+    build_index(code, str(tmp_path / "c_runs"), **kw2)
+    monkeypatch.setenv("SPARKGREP_RUN_SHUFFLE", "off")
+    build_index(code, str(tmp_path / "c_raw"), **kw2)
+    _, ca = _collect_postings_sorted(spark, str(tmp_path / "c_runs"))
+    _, cb = _collect_postings_sorted(spark, str(tmp_path / "c_raw"))
+    assert len(ca) == len(cb) > 0
+    for col in ("term", "shard", "df", "cf", "n", "doc_ids", "tfs", "dls"):
+        for i in range(len(ca)):
+            x, y = ca[col].iloc[i], cb[col].iloc[i]
+            if isinstance(y, (bytes, bytearray)):
+                assert bytes(x) == bytes(y), (col, i)
+            else:
+                assert x == y, (col, i)
