@@ -283,7 +283,10 @@ def run_scaling() -> dict:
     )
     cfgs = [{
         "levels": pair1,
-        "docs": int(os.environ.get("SPARKGREP_SCALE_DOCS", "200000")),
+        # 400k (round 4): the fused run-shuffle build roughly halved
+        # per-doc work, so 200k no longer times the pre-declared 2-3 min
+        # region at the low level — same criterion, re-sized corpus
+        "docs": int(os.environ.get("SPARKGREP_SCALE_DOCS", "400000")),
         "reps": int(os.environ.get("SPARKGREP_SCALING_REPS", "5")),
     }]
     pair2_env = os.environ.get("SPARKGREP_SCALE_LEVELS2", "4,16")
