@@ -824,6 +824,29 @@ def q_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+def q_ivf2_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level IVF lifecycle (clustered coarse quantizer — FAISS's
+    prescribed shape past ~10^5 lists, the reference's own scale plan
+    ARCHITECTURE.md:826-836): flat-identical fine quantizer + grouped
+    centroid blocks so a query node holds only ngroups centroids
+    resident and fetches probed groups' blocks on demand. Full probe
+    (nprobe_groups = ngroups, nprobe = nlist) is provably brute force —
+    same oracle as cosine_topk; pruned two-level probing (group pruning
+    + list pruning, lazy bounded residency) is plan-asserted in
+    tests/test_ivf_index.py."""
+    from sparkgrep.operators.ivf_index import Ivf2Index, build_ivf2_index
+
+    emb = _emb(spark, sf_dir)
+    qvec = [float(x) for x in emb.filter("vec_id = 0").collect()[0]["embedding"]]
+    out = tempfile.mkdtemp(prefix="sparkgrep_ivf2_") + "/idx"
+    build_ivf2_index(emb, out, nlist=16, ngroups=4, train_size=2048)
+    idx = Ivf2Index(spark, out)
+    res = idx.search(
+        qvec, k=10, nprobe_groups=idx.meta.ngroups, nprobe=idx.meta.nlist
+    )
+    return res.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkgrep.operators.textstats import token_counts
 
@@ -1479,6 +1502,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_topk": q_cosine_topk,
     "ann_indexed": q_ann_indexed,
     "ivf_indexed": q_ivf_indexed,
+    "ivf2_indexed": q_ivf2_indexed,
     "token_counts": q_token_counts,
     "quality": q_quality,
     "lang_id": q_lang_id,
@@ -2173,6 +2197,7 @@ SELECT term, CAST(count(*) AS BIGINT) AS doc,
     # provably brute force — same oracle; pruned probing is covered by
     # plan-asserted tests and the bench's recall field
     out["ivf_indexed"] = out["cosine_topk"]
+    out["ivf2_indexed"] = out["cosine_topk"]
     # multimodal stub decode: first feature = little-endian uint32 of the
     # first 4 bytes of sha256(payload) / 2^32, cast to float32 — the
     # identical arithmetic the Arrow kernel runs (multimodal.py)

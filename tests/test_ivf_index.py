@@ -113,3 +113,109 @@ def test_empty_build_raises(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="empty"):
         build_ivf_index(empty, "/tmp/should_not_exist_ivf")
+
+# ---- two-level IVF (clustered coarse quantizer — the nlist ~ 10^6 shape)
+
+
+@pytest.fixture(scope="module")
+def ivf2(spark, emb, tmp_path_factory):
+    from sparkgrep.operators.ivf_index import Ivf2Index, build_ivf2_index
+
+    out = str(tmp_path_factory.mktemp("ivf2") / "idx")
+    build_ivf2_index(emb, out, nlist=16, ngroups=4, train_size=512)
+    return Ivf2Index(spark, out)
+
+
+def test_ivf2_fine_level_identical_to_flat(ivf, ivf2):
+    """Same parameters → the fine quantizer IS the flat index's: same
+    centroids (fetched via the group blocks) and the same per-vector
+    list assignment on disk."""
+    ids = np.concatenate([ivf2._group_block(g)[0] for g in range(4)])
+    cents = np.concatenate([ivf2._group_block(g)[1] for g in range(4)])
+    order = np.argsort(ids)
+    assert np.array_equal(ids[order], np.arange(16))
+    assert np.array_equal(cents[order], ivf.centroids)
+    a = ivf.vectors.select("vec_id", "list")
+    b = ivf2.vectors.select("vec_id", "list")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_ivf2_full_group_probe_equals_flat_probe(ivf, ivf2, emb):
+    """nprobe_groups = ngroups considers every fine centroid, so the
+    probed-list choice equals the flat index's exactly (same dots, same
+    lowest-id ties)."""
+    for vid in (0, 3, 7, 42):
+        qvec = [float(x) for x in emb.filter(f"vec_id = {vid}").first()["embedding"]]
+        for np_ in (1, 2, 4, 16):
+            assert ivf2.probe_lists(qvec, nprobe_groups=4, nprobe=np_) == \
+                ivf.probe_lists(qvec, np_)
+
+
+def test_ivf2_full_probe_equals_bruteforce(ivf2, emb):
+    qvec = [float(x) for x in emb.filter("vec_id = 7").first()["embedding"]]
+    want = cosine_topk(emb, qvec, k=10).collect()
+    got = ivf2.search(
+        qvec, k=10, nprobe_groups=ivf2.meta.ngroups, nprobe=ivf2.meta.nlist
+    ).collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in want]
+    assert all(a["cosine"] == b["cosine"] for a, b in zip(got, want))
+
+
+def test_ivf2_residency_is_lazy_and_bounded(spark, ivf2, emb):
+    """Init loads only the (ngroups × dim) group centroids; fine-centroid
+    blocks arrive per probed group and are memoized."""
+    from sparkgrep.operators.ivf_index import Ivf2Index
+
+    fresh = Ivf2Index(spark, ivf2.index_dir)
+    assert fresh.group_centroids.shape == (4, fresh.meta.dim)
+    assert fresh._blocks == {}
+    qvec = [float(x) for x in emb.filter("vec_id = 3").first()["embedding"]]
+    fresh.probe_lists(qvec, nprobe_groups=1, nprobe=2)
+    assert len(fresh._blocks) == 1
+    fresh.probe_lists(qvec, nprobe_groups=2, nprobe=2)
+    assert len(fresh._blocks) == 2
+
+
+def test_ivf2_centroid_fetch_and_vector_scan_prune(ivf2, emb):
+    """Both levels prune: the centroid-block fetch reads only its group=
+    partition, the vectors scan only the probed list= partitions."""
+    cent_plan = (
+        ivf2._cent_table.filter(F.col("group") == 1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [" in cent_plan
+    assert "group" in cent_plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    plan = (
+        ivf2.search(qvec, k=5, nprobe_groups=1, nprobe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [" in plan
+    assert "list" in plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+
+
+def test_ivf2_home_list_probed(ivf2, emb):
+    """With every group probed, the top-1 fine list is the flat index's
+    (build-time argmax kernel) — a corpus vector finds itself. A PRUNED
+    group probe carries no such guarantee: the home list's group need
+    not be the query's nearest group (that recall loss is the level-2
+    trade-off the nprobe_groups knob prices)."""
+    for vid in (0, 11, 42):
+        qvec = [float(x) for x in emb.filter(f"vec_id = {vid}").first()["embedding"]]
+        got = ivf2.search(
+            qvec, k=1, nprobe_groups=ivf2.meta.ngroups, nprobe=1
+        ).first()
+        assert got is not None and got["vec_id"] == vid
+
+
+def test_ivf2_determinism_and_guards(spark, emb, tmp_path):
+    from sparkgrep.operators.ivf_index import Ivf2Index, build_ivf2_index
+
+    a = build_ivf2_index(emb, str(tmp_path / "a"), nlist=8, ngroups=2, train_size=256)
+    b = build_ivf2_index(emb, str(tmp_path / "b"), nlist=8, ngroups=2, train_size=256)
+    assert a == b
+    ga = Ivf2Index(spark, str(tmp_path / "a")).group_centroids
+    gb = Ivf2Index(spark, str(tmp_path / "b")).group_centroids
+    assert np.array_equal(ga, gb)
+    with pytest.raises(ValueError, match="ngroups"):
+        build_ivf2_index(emb, str(tmp_path / "c"), nlist=8, ngroups=9)
