@@ -31,6 +31,13 @@ Phases (on $SPARK_GRAFT_SF_DIR, default /root/testdata/sf0.1):
 - ann_recall_at_10 / ivf_recall_at_10_nprobe4of16 — ANN recall vs brute-force
                      cosine for both families (LSH multiprobe; IVF at a
                      25% scan fraction)
+- ivf_recall_at_10_curve_of16 — the flat-IVF recall curve over nprobe
+                     (scan fraction nprobe/16), derived driver-side from
+                     one exact-ranking job per query
+- ivf2_recall_at_10_of16_groups4 — two-level IVF at fixed nprobe=4:
+                     recall vs groups probed (group-pruned centroid
+                     fetch; groups4 = every fine centroid considered =
+                     the flat nprobe4 point)
 
 Scaling evidence (north rule's N vs 4N clusters, sandbox substitution
 per driver instruction): the SAME warmed index-build job runs in fresh
@@ -266,7 +273,13 @@ def run_scaling() -> dict:
     reps is the co-tenant-noise-robust estimator (this sandbox carries
     outside load — all rep times/steal/tree-CPU recorded).
     Runs standalone via `python bench.py --scaling-only`; multiple
-    sessions' reps may be merged under the same min estimator."""
+    sessions' reps may be merged under the same min estimator.
+
+    Do NOT run two bench processes concurrently: every entry point
+    calls ``_reset_scratch()`` on the shared ``SPARKGREP_LOCAL_DIR``
+    scratch, so a second bench wipes this run's staged corpora from
+    under its pinned subprocesses (reps then die RESULT-less and are
+    dropped by the min estimator — observed, not hypothetical)."""
     from sparkgrep.session import get_spark
     from sparkgrep.sources.corpus import synth_code_corpus
 
@@ -765,25 +778,67 @@ def main() -> None:
     except Exception:
         pass  # embeddings table absent at this sf
 
-    # --- IVF ANN: same recall@10 measurement for the inverted-file
-    # family (nprobe/nlist is the scan fraction; pruned probing —
-    # nprobe=4 of nlist=16 reads ~25% of the corpus)
+    # --- IVF ANN: recall@10 CURVE for the inverted-file family.
+    # nprobe/nlist is the scan fraction, nprobe_groups/ngroups the
+    # level-2 centroid-fetch fraction. One Spark job per query: the full
+    # exact ranking is collected once WITH each vector's list id; every
+    # (nprobe, nprobe_groups) point is then derived driver-side (pruned
+    # search re-ranks its candidates with the exact expression, so its
+    # top-10 = the first 10 ranking rows whose list is probed). The
+    # two-level index's fine quantizer is bit-identical at equal
+    # parameters (tests/test_ivf_index.py), so it reuses the same
+    # rankings — its curve costs only the tiny group-block fetches.
     ivf_recall = None
+    ivf_curve: dict[str, float] = {}
+    ivf2_curve: dict[str, float] = {}
     try:
-        from sparkgrep.operators.ivf_index import IvfIndex, build_ivf_index
-        from sparkgrep.operators.similarity import cosine_topk
+        from pyspark.sql import functions as F
+        from sparkgrep.operators.ivf_index import (
+            Ivf2Index,
+            IvfIndex,
+            build_ivf2_index,
+            build_ivf_index,
+        )
+        from sparkgrep.operators.similarity import cosine_col
 
         emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
         qvecs = [r["embedding"] for r in emb.limit(10).collect()]
         ivf_out = tempfile.mkdtemp(prefix="sparkgrep_ivf_") + "/idx"
         build_ivf_index(emb, ivf_out, nlist=16, train_size=2048)
         ivf = IvfIndex(spark, ivf_out)
-        hits = 0
+        ivf2_out = tempfile.mkdtemp(prefix="sparkgrep_ivf2_") + "/idx"
+        build_ivf2_index(emb, ivf2_out, nlist=16, ngroups=4, train_size=2048)
+        ivf2 = Ivf2Index(spark, ivf2_out)
+        rankings = []  # per query: [(vec_id, list), ...] cosine-desc
         for qv in qvecs:
-            exact = {r["vec_id"] for r in cosine_topk(emb, qv, k=10).collect()}
-            approx = {r["vec_id"] for r in ivf.search(qv, k=10, nprobe=4).collect()}
-            hits += len(exact & approx)
-        ivf_recall = round(hits / (10 * len(qvecs)), 3)
+            q = F.array(*[F.lit(float(x)) for x in qv])
+            rows = (
+                ivf.vectors.select(
+                    "vec_id", "list",
+                    cosine_col(F.col("embedding"), q).alias("cosine"),
+                )
+                .orderBy(F.desc("cosine"), F.asc("vec_id"))
+                .collect()
+            )
+            rankings.append([(r["vec_id"], r["list"]) for r in rows])
+
+        def _recall(probe_sets: list[set]) -> float:
+            hits = 0
+            for rank, probes in zip(rankings, probe_sets):
+                exact = {vid for vid, _ in rank[:10]}
+                # rank is cosine-desc: the pruned top-10 is the first 10
+                # rows whose list is probed
+                cand = [vid for vid, lst in rank if lst in probes]
+                hits += len(exact & set(cand[:10]))
+            return round(hits / (10 * len(rankings)), 3)
+
+        for np_ in (1, 2, 4, 8):
+            sets = [set(ivf.probe_lists(qv, np_)) for qv in qvecs]
+            ivf_curve[f"nprobe{np_}"] = _recall(sets)
+        ivf_recall = ivf_curve.get("nprobe4")
+        for g in (1, 2, 4):
+            sets = [set(ivf2.probe_lists(qv, g, 4)) for qv in qvecs]
+            ivf2_curve[f"groups{g}_nprobe4"] = _recall(sets)
         emb.unpersist()
     except Exception:
         pass  # embeddings table absent at this sf
@@ -832,6 +887,10 @@ def main() -> None:
         result["ann_recall_at_10"] = ann_recall
     if ivf_recall is not None:
         result["ivf_recall_at_10_nprobe4of16"] = ivf_recall
+    if ivf_curve:
+        result["ivf_recall_at_10_curve_of16"] = ivf_curve
+    if ivf2_curve:
+        result["ivf2_recall_at_10_of16_groups4"] = ivf2_curve
 
     # full detail (per-rep arrays, methodology prose) goes to a side file
     # next to this script; the PRINTED line stays compact so the driver's
