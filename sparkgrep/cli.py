@@ -1,15 +1,29 @@
-"""spark-submit-able CLI: build / query / metrics subcommands.
+"""spark-submit-able CLI: the full index lifecycle as subcommands.
 
 Usage (local or on a cluster via ``spark-submit --py-files sparkgrep.zip``):
 
     python -m sparkgrep.cli build --input /root/testdata/sf0.01 --out /tmp/idx
     python -m sparkgrep.cli build --input ... --out ... --segments 16   # resumable
+    python -m sparkgrep.cli build --input ... --out ... --fields repo,path,content
     python -m sparkgrep.cli query --index /tmp/idx --query "hash join" -k 10
+    python -m sparkgrep.cli query --index /tmp/idx --mode expr \
+        --query 'hash AND ("join order" OR merge*)' --pruned
+    python -m sparkgrep.cli serve --index /tmp/idx --query "hash join"   # in-process
+    python -m sparkgrep.cli append  --index /tmp/idx --batch b1 --input new_rows/
+    python -m sparkgrep.cli delete  --index /tmp/idx --batch b2 --input old_rows/
+    python -m sparkgrep.cli compact --index /tmp/idx
     python -m sparkgrep.cli metrics --index /tmp/idx
 
 Reference analogue: the ingestion entry point (`python -m
-src.email_categorizer.ingestion.ingestion inbox.jsonl`, Instructions.md)
-and the interactive search CLI (cli.py option flows).
+src.email_categorizer.ingestion.ingestion inbox.jsonl`, Instructions.md),
+the interactive search CLI (cli.py option flows), and the FTS5
+INSERT/DELETE/UPDATE triggers (message_manager.py:113-137) — here the
+O(batch) ``append``/``delete`` delta layers plus ``compact``.
+
+``append``/``delete`` read a parquet of CORPUS-SHAPED rows (the columns
+the index was built over, plus ``doc_id``): append requires ingest-
+assigned doc_ids distinct from every prior batch; delete carries the
+docs' ORIGINAL content (what the reference trigger's ``old.*`` holds).
 """
 
 from __future__ import annotations
@@ -19,7 +33,39 @@ import json
 import sys
 
 
-def main(argv: list[str] | None = None) -> int:
+def _parse_weights(s: str | None):
+    """``--weights 2.0,1.0,0.5`` (field order) or ``path=2,content=1``."""
+    if not s:
+        return None
+    if "=" in s:
+        return {
+            k.strip(): float(v)
+            for k, v in (part.split("=", 1) for part in s.split(","))
+        }
+    return [float(x) for x in s.split(",")]
+
+
+def _print_hits(rows) -> None:
+    for r in rows:
+        print(f"{int(r['rank']):>3}  doc={int(r['doc_id']):<10}  score={r['score']:.6f}")
+
+
+def _read_batch(spark, path: str, require: tuple[str, ...] = ("doc_id", "content")):
+    df = spark.read.parquet(path)
+    missing = [c for c in require if c not in df.columns]
+    if missing:
+        raise SystemExit(
+            f"batch parquet {path!r} lacks column(s) {missing}: append/delete "
+            "take corpus-shaped rows (ingest-assigned doc_id + the indexed "
+            "columns; delete rows carry the docs' original content)"
+        )
+    return df
+
+
+def main(argv: list[str] | None = None, spark=None) -> int:
+    """Entry point. ``spark`` is injectable for in-process tests; when
+    None a session is created (and stopped) here — under spark-submit
+    the submitted ``--master`` is honored (see session.get_spark)."""
     p = argparse.ArgumentParser(prog="sparkgrep")
     sub = p.add_subparsers(dest="cmd", required=True)
 
@@ -33,7 +79,11 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--segments", type=int, default=0,
                    help=">0: checkpointed resumable build with N segments")
     b.add_argument("--positions", action="store_true",
-                   help="store token positions (enables phrase queries)")
+                   help="store token positions (enables phrase/NEAR queries)")
+    b.add_argument("--fields", default=None,
+                   help="comma-separated corpus columns for an FTS5-style "
+                        "multi-column index (enables col: filters + per-"
+                        "column bm25 weights)")
 
     q = sub.add_parser("query", help="top-k BM25 search against a built index")
     q.add_argument("--index", required=True)
@@ -41,7 +91,52 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--mode", default="or", choices=["or", "and", "expr"],
                    help="or: bag-of-words; and: conjunctive; expr: full "
-                        'query language (AND/OR/"quoted phrases")')
+                        "FTS5 grammar (AND/OR/NOT, \"phrases\", tok*, "
+                        "parens, NEAR, col: filters)")
+    q.add_argument("--pruned", action="store_true",
+                   help="MaxScore dynamic pruning (bag-of-words queries; "
+                        "exact-path fallback whenever pruning is unsound "
+                        "or would not pay)")
+    q.add_argument("--weights", default=None,
+                   help="per-field bm25 weights on a multi-column index: "
+                        "'2.0,1.0,...' (field order) or 'path=2,content=1'")
+
+    sv = sub.add_parser(
+        "serve",
+        help="one-shot query on the in-process serving tier (ms latency; "
+             "rank/score-identical to the distributed path)",
+    )
+    sv.add_argument("--index", required=True)
+    sv.add_argument("--query", required=True)
+    sv.add_argument("-k", type=int, default=10)
+    sv.add_argument("--weights", default=None)
+    sv.add_argument("--max-resident-df", type=int, default=None,
+                    help="residency cap: terms with df above this are "
+                         "answered by delegating to the distributed path")
+
+    for name, hlp in (
+        ("append", "O(batch) incremental append: the batch becomes a delta "
+                    "layer; the base index is never read or rewritten"),
+        ("delete", "O(batch) delete: rows carry the docs' ORIGINAL content "
+                    "(the FTS5 delete-command model); creates a tombstone "
+                    "layer"),
+    ):
+        d = sub.add_parser(name, help=hlp)
+        d.add_argument("--index", required=True)
+        d.add_argument("--input", required=True,
+                       help="parquet of corpus-shaped rows (doc_id + indexed "
+                            "columns)")
+        d.add_argument("--batch", required=True,
+                       help="idempotency key: replaying a batch id is a no-op")
+
+    c = sub.add_parser(
+        "compact",
+        help="fold delta + tombstone layers back into one base layer "
+             "(queries byte-identical before/after; re-enables MaxScore "
+             "pruning)",
+    )
+    c.add_argument("--index", required=True)
+    c.add_argument("--merge-partitions", type=int, default=None)
 
     m = sub.add_parser("metrics", help="print per-segment lineage manifest")
     m.add_argument("--index", required=True)
@@ -62,9 +157,11 @@ def main(argv: list[str] | None = None) -> int:
 
     args = p.parse_args(argv)
 
-    from sparkgrep.session import get_spark
+    owns_session = spark is None
+    if owns_session:
+        from sparkgrep.session import get_spark
 
-    spark = get_spark(f"sparkgrep-{args.cmd}")
+        spark = get_spark(f"sparkgrep-{args.cmd}")
     try:
         if args.cmd == "build":
             from sparkgrep.operators.index_build import build_index
@@ -79,20 +176,75 @@ def main(argv: list[str] | None = None) -> int:
                 idf_variant=args.idf,
             )
             if args.segments > 0:
+                if args.fields:
+                    raise SystemExit(
+                        "--segments and --fields are mutually exclusive "
+                        "(checkpointed multi-column builds: use one-shot)"
+                    )
                 meta = build_index_checkpointed(
                     corpus, args.out, n_segments=args.segments, **kw
                 )
             else:
                 meta = build_index(
-                    corpus, args.out, store_positions=args.positions, **kw
+                    corpus,
+                    args.out,
+                    store_positions=args.positions,
+                    fields=args.fields.split(",") if args.fields else None,
+                    **kw,
                 )
-            print(json.dumps(meta.__dict__))
+            print(json.dumps(meta.__dict__, default=list))
         elif args.cmd == "query":
             from sparkgrep.operators.query import InvertedIndex
 
             idx = InvertedIndex(spark, args.index)
-            for r in idx.search(args.query, args.k, mode=args.mode).collect():
-                print(f"{r['rank']:>3}  doc={r['doc_id']:<10}  score={r['score']:.6f}")
+            if args.pruned:
+                from sparkgrep.operators.wand import search_pruned
+
+                if args.mode != "or" or args.weights:
+                    raise SystemExit(
+                        "--pruned applies to bag-of-words (--mode or, "
+                        "default weights) queries"
+                    )
+                hits = search_pruned(idx, args.query, args.k)
+            else:
+                hits = idx.search(
+                    args.query, args.k, mode=args.mode,
+                    weights=_parse_weights(args.weights),
+                )
+            _print_hits(hits.collect())
+        elif args.cmd == "serve":
+            from sparkgrep.operators.query import InvertedIndex
+            from sparkgrep.operators.serve import LocalServer
+
+            srv = LocalServer(
+                InvertedIndex(spark, args.index),
+                max_resident_df=args.max_resident_df,
+            )
+            hits = srv.search_expr(
+                args.query, args.k, weights=_parse_weights(args.weights)
+            )
+            _print_hits(hits.to_dict("records"))
+        elif args.cmd == "append":
+            from sparkgrep.plans.manifest import append_batch_delta
+
+            meta = append_batch_delta(
+                _read_batch(spark, args.input), args.index, args.batch
+            )
+            print(json.dumps(meta.__dict__, default=list))
+        elif args.cmd == "delete":
+            from sparkgrep.plans.manifest import delete_batch_delta
+
+            meta = delete_batch_delta(
+                _read_batch(spark, args.input), args.index, args.batch
+            )
+            print(json.dumps(meta.__dict__, default=list))
+        elif args.cmd == "compact":
+            from sparkgrep.plans.manifest import compact_index
+
+            meta = compact_index(
+                spark, args.index, merge_partitions=args.merge_partitions
+            )
+            print(json.dumps(meta.__dict__, default=list))
         elif args.cmd == "metrics":
             from sparkgrep.plans.manifest import read_manifest
 
@@ -119,7 +271,8 @@ def main(argv: list[str] | None = None) -> int:
             for r in idx.search(qvec, args.k, probe_hamming=args.probe).collect():
                 print(f"vec={r['vec_id']:<10}  cosine={r['cosine']:.6f}")
     finally:
-        spark.stop()
+        if owns_session:
+            spark.stop()
     return 0
 
 
