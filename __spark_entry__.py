@@ -25,6 +25,8 @@ from sparkgrep import BM25_B, BM25_K1
 # flagship inputs
 
 FLAGSHIP_QUERY = "hash join table window"
+TRIGRAM_QUERY = '"hash join" OR "slow scan"'  # trigram phrases = substrings
+LIKE_PATTERN = "%hash join%table%"
 MULTI_QUERIES = [
     ("q_hot", "the", 5),                      # hot token, df ≈ N
     ("q_mid", "spark query filter sort", 10),
@@ -101,6 +103,53 @@ contrib AS (
 ),
 scored AS (SELECT doc_id, sum(c ORDER BY term) AS score FROM contrib GROUP BY doc_id {having})
 SELECT {qid_col}CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, round(score, 4) AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def _substr_bm25_sql(pats: list[str], k: int) -> str:
+    """DuckDB BM25 oracle for the TRIGRAM analyzer: a trigram phrase
+    match is exactly a substring occurrence (1:1 fold, window i covers
+    codepoints [i, i+3)), so per-atom tf = OVERLAP-counted substring
+    occurrences, df = docs containing the substring, dl = len(text)-2
+    (the trigram count). documents.text is lowercase ASCII at every sf,
+    so the fold is the identity and raw substr comparison is exact.
+    Same okapi contribution and operation order as _bm25_sql."""
+    tf_blocks = []
+    for aid, p in enumerate(pats):
+        lp = len(p)
+        tf_blocks.append(f"""
+  SELECT doc_id, {aid} AS aid,
+         len(list_filter(range(1, greatest(length(text) - {lp - 1}, 0) + 1),
+                         i -> substr(text, i, {lp}) = '{p}')) AS tf,
+         greatest(length(text) - 2, 0) AS dl
+  FROM documents""")
+    tf_union = " UNION ALL ".join(tf_blocks)
+    return f"""
+WITH stats AS (
+  SELECT count(*) AS n,
+         sum(greatest(length(text) - 2, 0)) / count(*) AS avgdl
+  FROM documents
+),
+tfs AS ({tf_union}),
+dfq AS (
+  SELECT aid, count(*) FILTER (WHERE tf > 0) AS df FROM tfs GROUP BY aid
+),
+contrib AS (
+  SELECT tfs.doc_id, tfs.aid,
+         ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5))
+           * (tfs.tf * {BM25_K1 + 1.0})
+           / (tfs.tf + ({BM25_K1} * ({1.0 - BM25_B} + (({BM25_B} * tfs.dl) / stats.avgdl)))) AS c
+  FROM tfs
+  JOIN dfq USING (aid)
+  CROSS JOIN stats
+  WHERE tfs.tf > 0
+),
+scored AS (SELECT doc_id, sum(c ORDER BY aid) AS score FROM contrib GROUP BY doc_id)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
        doc_id, round(score, 4) AS score
 FROM scored
 ORDER BY score DESC, doc_id ASC
@@ -1471,6 +1520,42 @@ def q_delta_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
 
 
+def q_trigram_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQLite fts5 trigram tokenizer family (public fts5 docs §4.3.3,
+    parity-pinned in tests/test_trigram_parity.py): every bareword/quoted
+    string is the PHRASE of its 3-codepoint windows, so a match is a
+    substring occurrence. BM25 over the trigram index; the oracle computes
+    the identical score from raw overlap-counted substring occurrences
+    (1:1 fold — window i covers codepoints [i, i+3))."""
+    from sparkgrep.operators.index_build import build_index
+    from sparkgrep.operators.query import InvertedIndex
+
+    out = tempfile.mkdtemp(prefix="sparkgrep_tri_") + "/idx"
+    build_index(
+        _corpus(spark, sf_dir), out, analyzer="trigram",
+        n_buckets=8, store_positions=True,
+    )
+    res = InvertedIndex(spark, out).search_expr(TRIGRAM_QUERY, k=10)
+    return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
+
+
+def q_trigram_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE acceleration from the trigram index (SQLite's stated purpose
+    for the trigram tokenizer): pattern literal runs become trigram
+    phrases -> candidate doc_ids from bucket-pruned posting decodes ->
+    residual JVM-side LIKE makes it exact. Oracle: plain SQL LIKE."""
+    from sparkgrep.operators.index_build import build_index
+    from sparkgrep.operators.like import like_search
+    from sparkgrep.operators.query import InvertedIndex
+
+    corpus = _corpus(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="sparkgrep_tril_") + "/idx"
+    build_index(corpus, out, analyzer="trigram", n_buckets=8,
+                store_positions=True)
+    res = like_search(InvertedIndex(spark, out), corpus, LIKE_PATTERN)
+    return res.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_stats": q_corpus_stats,
     "doc_lengths": q_doc_lengths,
@@ -1534,6 +1619,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_row_lsm": q_vocab_row_lsm,
     "highlight": q_highlight,
     "snippet": q_snippet,
+    "trigram_match": q_trigram_match,
+    "trigram_like": q_trigram_like,
 }
 
 
@@ -2219,4 +2306,9 @@ SELECT media_id, kind, n_bytes,
          AS DOUBLE) / 4294967296.0 AS FLOAT4) AS DOUBLE), 6) AS f0
 FROM m
 """
+    out["trigram_match"] = _substr_bm25_sql(["hash join", "slow scan"], 10)
+    out["trigram_like"] = (
+        f"SELECT doc_id FROM documents WHERE text LIKE '{LIKE_PATTERN}' "
+        "ORDER BY doc_id"
+    )
     return out

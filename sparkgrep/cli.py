@@ -72,7 +72,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     b = sub.add_parser("build", help="build the inverted index")
     b.add_argument("--input", required=True, help="sf dir containing documents.parquet")
     b.add_argument("--out", required=True)
-    b.add_argument("--analyzer", default="simple", choices=["simple", "fts5", "code"])
+    b.add_argument("--analyzer", default="simple",
+                   choices=["simple", "fts5", "code", "trigram"])
     b.add_argument("--buckets", type=int, default=64)
     b.add_argument("--postings-per-shard", type=int, default=1 << 20)
     b.add_argument("--idf", default="okapi", choices=["okapi", "fts5", "lucene"])

@@ -378,6 +378,16 @@ class _OccCounter:
         return g if n == 0 else replace(g, occ=n)
 
 
+# Analyzers under which a bareword that tokenizes to SEVERAL tokens is
+# ONE ordered phrase — FTS5's reading (probed: `foo_bar` under porter
+# unicode61 matches only adjacent "foo bar"; under trigram EVERY word
+# >= 4 codepoints is a multi-trigram phrase). The engine-defined
+# analyzers (`simple`, `code`) keep the historical AND reading: for code
+# search, `buildSide` should match build/side anywhere in the doc, and
+# every DuckDB contract oracle encodes that semantics.
+PHRASE_BAREWORD_ANALYZERS = frozenset({"fts5", "trigram"})
+
+
 def _parse_near(body: str, n: str | None, analyzer: str, phrases: list[str]):
     """NEAR(member member ..., N) → NearGroup (or a plain unit list when
     fewer than 2 members survive tokenization — no predicate needed).
@@ -405,6 +415,10 @@ def _parse_near(body: str, n: str | None, analyzer: str, phrases: list[str]):
         if raw.endswith("*"):
             toks = tokenize_py(raw.rstrip("*"), analyzer)
             if toks:
+                if analyzer == "trigram":
+                    # 3-cp prefix over 3-cp terms = exact phrase (see _lex)
+                    units.append(Unit(tuple(toks)))
+                    continue
                 # inside NEAR a multi-token stem is one phrase... but a
                 # prefix phrase isn't supported — keep FTS5's reading of
                 # the common case (single-token stem → prefix unit)
@@ -485,13 +499,24 @@ def _lex(text: str, analyzer: str, phrases: list[str]) -> list:
             # FTS5-valid stems are single-token, where '^stem*' is exact).
             toks = tokenize_py(raw.rstrip("*"), analyzer)
             if toks:
-                if len(toks) == 1:
+                if analyzer == "trigram":
+                    # trigram: all stored terms are EXACTLY 3 codepoints
+                    # (1:1 fold, asserted at table generation), so a
+                    # 3-cp prefix over them is an exact match — `X*` is
+                    # score-identical to the plain phrase `X` (probed:
+                    # hel* == hel, hell* == hello-window phrase)
+                    out.append([occ.unit(Unit(tuple(toks), anchored=anchored))])
+                elif len(toks) == 1:
                     out.append(
                         [occ.unit(Unit((toks[0],), prefix=True, anchored=anchored))]
                     )
-                elif anchored:
+                elif anchored or analyzer in PHRASE_BAREWORD_ANALYZERS:
+                    # FTS5 reads `foo_bar*` as the phrase "foo + bar*";
+                    # the engine approximates with phrase(head) AND
+                    # prefix(tail) — a documented SUPERSET (drops the
+                    # head-tail adjacency), pending phrase-prefix units
                     out.append(
-                        [occ.unit(Unit(tuple(toks[:-1]), anchored=True))]
+                        [occ.unit(Unit(tuple(toks[:-1]), anchored=anchored))]
                         + [occ.unit(Unit((toks[-1],), prefix=True))]
                     )
                 else:
@@ -503,13 +528,15 @@ def _lex(text: str, analyzer: str, phrases: list[str]) -> list:
         toks = tokenize_py(raw, analyzer)
         if not toks:
             continue
-        if anchored and len(toks) > 1:
-            # an anchored multi-token word reads as one anchored phrase
-            # (FTS5 treats a multi-token string as a phrase)
-            out.append([occ.unit(Unit(tuple(toks), anchored=True))])
+        if len(toks) > 1 and (anchored or analyzer in PHRASE_BAREWORD_ANALYZERS):
+            # a multi-token word reads as ONE ordered phrase — FTS5's
+            # semantics (always under `^`; for fts5/trigram analyzers
+            # everywhere, probed: `foo_bar` == "foo bar" phrase, and a
+            # trigram bareword is its sliding-window phrase)
+            out.append([occ.unit(Unit(tuple(toks), anchored=anchored))])
         else:
             out.append(
-                [occ.unit(Unit((toks[0],), anchored=True))]
+                [occ.unit(Unit((toks[0],), anchored=anchored))]
                 if anchored
                 else [occ.unit(Unit((t,))) for t in toks]
             )

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType
 
 from sparkgrep.functions.porter import porter_stem
+from sparkgrep.functions._trigramfold import TRIGRAM_FOLD
 from sparkgrep.functions._unicode61 import ALNUM_RANGES, FOLD
 
 SIMPLE_SPLIT_RE = "[^a-z0-9]+"  # shared with the DuckDB oracle SQL
@@ -91,7 +92,7 @@ CODE_STOPLISTS: dict[str, frozenset[str]] = {
     ),
 }
 
-ANALYZERS = ("simple", "fts5", "code")
+ANALYZERS = ("simple", "fts5", "code", "trigram")
 
 
 # ---------------------------------------------------------------------------
@@ -144,6 +145,21 @@ def _fts5_py(text: str) -> list[str]:
     return out
 
 
+def _trigram_py(text: str) -> list[str]:
+    """SQLite fts5 ``trigram`` tokenizer (fts5 docs §4.3.3, defaults
+    ``case_sensitive=0 remove_diacritics=0``): every contiguous
+    3-CODEPOINT window of the case-folded text — no separator classes
+    (whitespace/punctuation are token chars), no diacritic removal. The
+    fold table is probe-generated from the installed SQLite
+    (tools/gen_trigram_fold.py) and 1:1, so token i covers codepoints
+    [i, i+3) and positions are ordinary sequential token indexes —
+    barewords/phrases/NEAR/anchors ride the standard phrase machinery.
+    Texts (and query words) shorter than 3 codepoints yield no tokens,
+    matching SQLite (a 2-char trigram query matches nothing)."""
+    folded = text.translate(TRIGRAM_FOLD)
+    return [folded[i : i + 3] for i in range(len(folded) - 2)]
+
+
 @lru_cache(maxsize=1 << 20)
 def _code_subtokens(raw: str) -> tuple[str, ...]:
     return tuple(p.lower() for p in _CAMEL_RE.split(raw) if p)
@@ -190,6 +206,8 @@ def tokenize_py(text: str, analyzer: str = "simple", lang: str | None = None) ->
         return _fts5_py(text)
     if analyzer == "code":
         return _code_py(text, lang)
+    if analyzer == "trigram":
+        return _trigram_py(text)
     raise ValueError(f"unknown analyzer {analyzer!r} (choose from {ANALYZERS})")
 
 
@@ -219,6 +237,8 @@ def tokenize_series(texts: pd.Series, analyzer: str, langs: pd.Series | None = N
             [_code_py(t, lg) for t, lg in zip(texts.fillna(""), langs)],
             index=texts.index,
         )
+    if analyzer == "trigram":
+        return texts.fillna("").map(_trigram_py)
     raise ValueError(f"unknown analyzer {analyzer!r} (choose from {ANALYZERS})")
 
 
@@ -261,6 +281,11 @@ def tokenize_flat(
                 n0 = len(out)
                 out.extend(_code_py(t, lg))
                 lens[i] = len(out) - n0
+    elif analyzer == "trigram":
+        for i, t in enumerate(vals):
+            n0 = len(out)
+            out.extend(_trigram_py(t))
+            lens[i] = len(out) - n0
     else:
         raise ValueError(f"unknown analyzer {analyzer!r} (choose from {ANALYZERS})")
     flat = np.asarray(out, dtype=object) if out else np.empty(0, dtype=object)
@@ -302,5 +327,13 @@ def tokens_col(text: Column, analyzer: str = "simple", lang: Column | None = Non
             return tokenize_series(s, "code", lg)
 
         return _code_lang_udf(text, lang)
+
+    if analyzer == "trigram":
+
+        @F.pandas_udf(ArrayType(StringType()))
+        def _trigram_udf(s: pd.Series) -> pd.Series:
+            return tokenize_series(s, "trigram")
+
+        return _trigram_udf(text)
 
     raise ValueError(f"unknown analyzer {analyzer!r} (choose from {ANALYZERS})")

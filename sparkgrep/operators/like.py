@@ -1,0 +1,100 @@
+"""Substring / SQL-LIKE search served from the trigram index.
+
+SQLite's fts5 trigram tokenizer exists precisely to accelerate
+``LIKE``/``GLOB`` predicates with an inverted index (SQLite fts5 docs
+§4.3.3: "the trigram tokenizer allows fts5 to be used to speed up LIKE
+and GLOB queries"). This is the engine's Spark-native analogue:
+
+1. the pattern's maximal LITERAL RUNS (split on ``%`` and ``_``) of
+   ≥3 codepoints are case-folded with the index's probed fold table and
+   turned into trigram PHRASES — a doc's folded text contains a run as
+   a substring **iff** the run's trigrams occur at consecutive
+   positions (1:1 fold, so window i covers codepoints [i, i+3));
+2. candidates = docs matching ALL run phrases (inner doc_id joins of
+   bucket-pruned posting decodes — never a corpus scan);
+3. a residual JVM-side ``LIKE``/``ILIKE`` filter over the candidates
+   makes the result exact (it re-checks case sensitivity, ``_``
+   single-char arity, run ordering/overlap, and runs shorter than a
+   trigram).
+
+The candidate set is a sound superset for both case modes: the index
+folds doc text with the same table the pattern runs are folded with,
+and ASCII LIKE-folding is a subset of the trigram fold. Patterns with
+no ≥3-cp literal run (e.g. ``%ab%``) fall back to a full corpus filter
+— exactly when SQLite's LIKE optimization bails out too.
+
+Scale shape: the expensive operand is the phrase decode, which rides
+the standard bucket-pruned postings path; the corpus is touched only
+by a semi-join on the (typically tiny) candidate set plus the residual
+filter. No driver-side collects.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, functions as F
+
+from sparkgrep.functions._trigramfold import TRIGRAM_FOLD
+
+
+def literal_runs(pattern: str) -> list[str]:
+    """Maximal literal substrings of a LIKE pattern (``%`` = any run,
+    ``_`` = any single char; backslash escapes are not interpreted —
+    callers with escaped patterns should pre-process)."""
+    runs, cur = [], []
+    for ch in pattern:
+        if ch in "%_":
+            if cur:
+                runs.append("".join(cur))
+                cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        runs.append("".join(cur))
+    return runs
+
+
+def like_candidates(index, pattern: str) -> DataFrame | None:
+    """doc_ids possibly matching ``pattern`` (sound superset), from the
+    trigram index alone — or None when the pattern has no ≥3-cp literal
+    run and indexed candidate generation cannot prune anything."""
+    if index.meta.analyzer != "trigram":
+        raise ValueError(
+            "like_search needs an index built with analyzer='trigram' "
+            f"(got {index.meta.analyzer!r})"
+        )
+    runs = {
+        r.translate(TRIGRAM_FOLD)
+        for r in literal_runs(pattern)
+        if len(r) >= 3
+    }
+    if not runs:
+        return None
+    cands = [
+        index._phrase_tf(
+            tuple(r[i : i + 3] for i in range(len(r) - 2))
+        ).select("doc_id")
+        for r in sorted(runs)
+    ]
+    return reduce(lambda a, b: a.join(b, "doc_id"), cands)
+
+
+def like_search(
+    index,
+    corpus: DataFrame,
+    pattern: str,
+    case_insensitive: bool = False,
+    text_col: str = "content",
+) -> DataFrame:
+    """doc_ids whose ``text_col`` matches the SQL LIKE ``pattern``,
+    ordered by doc_id. Exact (candidates + residual verify); the
+    residual predicate is Spark's native ``like``/``ilike`` (JVM-side,
+    whole-stage codegen)."""
+    cand = like_candidates(index, pattern)
+    base = corpus
+    if cand is not None:
+        base = corpus.join(cand, "doc_id", "left_semi")
+    col = F.col(text_col)
+    cond = col.ilike(pattern) if case_insensitive else col.like(pattern)
+    return base.filter(cond).select("doc_id").orderBy("doc_id")
