@@ -31,6 +31,7 @@ filter. No driver-side collects.
 
 from __future__ import annotations
 
+import re
 from functools import reduce
 
 from pyspark.sql import DataFrame, functions as F
@@ -78,6 +79,101 @@ def like_candidates(index, pattern: str) -> DataFrame | None:
         for r in sorted(runs)
     ]
     return reduce(lambda a, b: a.join(b, "doc_id"), cands)
+
+
+def glob_runs_and_regex(pattern: str) -> tuple[list[str], str]:
+    """Parse a SQLite GLOB pattern → (literal runs, equivalent Java
+    regex). GLOB is case-SENSITIVE with ``*`` (any run, crosses
+    newlines — probed), ``?`` (one char) and ``[seq]``/``[^seq]``
+    classes where a leading ``]`` is literal (all probed against
+    SQLite's globCompare)."""
+    runs: list[str] = []
+    cur: list[str] = []
+    rx = ["(?s)^"]
+
+    def _flush():
+        if cur:
+            runs.append("".join(cur))
+            cur.clear()
+
+    i, n = 0, len(pattern)
+    while i < n:
+        c = pattern[i]
+        if c == "*":
+            _flush()
+            rx.append(".*")
+            i += 1
+        elif c == "?":
+            _flush()
+            rx.append(".")
+            i += 1
+        elif c == "[":
+            _flush()
+            j = i + 1
+            neg = j < n and pattern[j] == "^"
+            if neg:
+                j += 1
+            body_start = j
+            if j < n and pattern[j] == "]":  # leading ']' is literal
+                j += 1
+            while j < n and pattern[j] != "]":
+                j += 1
+            if j >= n:  # unterminated class: literal '[' (SQLite: no match
+                # is possible, but a literal read keeps the residual exact
+                # via the regex; candidates stay a superset either way)
+                cur.append("[")
+                rx.append(re.escape("["))
+                i += 1
+                continue
+            body = pattern[body_start:j]
+            # escape regex metachars inside the class except '-' ranges
+            esc = body.replace("\\", "\\\\").replace("]", "\\]").replace(
+                "^", "\\^").replace("[", "\\[")
+            rx.append("[" + ("^" if neg else "") + esc + "]")
+            i = j + 1
+        else:
+            cur.append(c)
+            rx.append(re.escape(c))
+            i += 1
+    _flush()
+    rx.append("$")
+    return runs, "".join(rx)
+
+
+def glob_search(
+    index,
+    corpus: DataFrame,
+    pattern: str,
+    text_col: str = "content",
+) -> DataFrame:
+    """doc_ids whose ``text_col`` matches the SQLite GLOB ``pattern``,
+    ordered by doc_id — same candidate-then-verify shape as
+    :func:`like_search` (SQLite's trigram LIKE/GLOB optimization).
+    GLOB is case-sensitive; the folded trigram candidates remain a
+    sound superset, and the residual ``rlike`` enforces exact case."""
+    if index.meta.analyzer != "trigram":
+        raise ValueError(
+            "glob_search needs an index built with analyzer='trigram' "
+            f"(got {index.meta.analyzer!r})"
+        )
+    runs, regex = glob_runs_and_regex(pattern)
+    tri = {r.translate(TRIGRAM_FOLD) for r in runs if len(r) >= 3}
+    base = corpus
+    if tri:
+        cands = [
+            index._phrase_tf(
+                tuple(r[i : i + 3] for i in range(len(r) - 2))
+            ).select("doc_id")
+            for r in sorted(tri)
+        ]
+        base = corpus.join(
+            reduce(lambda a, b: a.join(b, "doc_id"), cands), "doc_id", "left_semi"
+        )
+    return (
+        base.filter(F.col(text_col).rlike(regex))
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
 
 
 def like_search(

@@ -195,6 +195,51 @@ def test_literal_runs():
     assert literal_runs("%%__%") == []
 
 
+GLOB_PATTERNS = [
+    "*thank you*",
+    "*Thank You*",                 # case-sensitive
+    "*order*shipped*",
+    "*conf?rm*",                   # ? single char
+    "*thank[sy ]*",                # class
+    "*rece[^x]pt*",                # negated class
+    "*unsubscribe",
+]
+
+
+@pytest.mark.parametrize("pattern", GLOB_PATTERNS)
+def test_glob_search_matches_sqlite(tri_index, fts5_tri, pattern):
+    """glob_search == SQLite's GLOB verbatim (the ground truth the
+    trigram LIKE/GLOB optimization serves), candidates via the index."""
+    from sparkgrep.operators.like import glob_search
+
+    idx, corpus = tri_index
+    got = [r["doc_id"] for r in glob_search(idx, corpus, pattern).collect()]
+    want = [
+        r[0]
+        for r in fts5_tri.execute(
+            "SELECT rowid FROM b WHERE content GLOB ? ORDER BY rowid",
+            (pattern,),
+        ).fetchall()
+    ]
+    assert got == want, pattern
+
+
+def test_serve_trigram_bitwise(tri_index, spark):
+    """The in-process serving tier answers trigram-grammar queries
+    rank/score-identically to the distributed path."""
+    from sparkgrep.operators.serve import LocalServer
+
+    idx, _ = tri_index
+    srv = LocalServer(idx)
+    for q in TRI_QUERIES[:6] + ["NEAR(thank you, 5)", "^dear"]:
+        dist = [(r["doc_id"], r["score"]) for r in idx.search_expr(q, 10).collect()]
+        served = list(
+            srv.search_expr(q, 10)[["doc_id", "score"]]
+            .itertuples(index=False, name=None)
+        )
+        assert served == dist, q
+
+
 # ---------------------------------------------------------------------------
 # fts5-analyzer bareword-as-phrase fix (FTS5 semantics, probed: foo_bar
 # under porter unicode61 matches ONLY adjacent "foo bar")
