@@ -130,6 +130,18 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         d.add_argument("--batch", required=True,
                        help="idempotency key: replaying a batch id is a no-op")
 
+    for name, hlp in (
+        ("like", "SQL LIKE substring search accelerated by a trigram "
+                  "index (candidates from the index, residual verify)"),
+        ("glob", "SQLite GLOB search accelerated by a trigram index"),
+    ):
+        g = sub.add_parser(name, help=hlp)
+        g.add_argument("--index", required=True,
+                       help="index built with --analyzer trigram --positions")
+        g.add_argument("--input", required=True, help="sf dir (the corpus)")
+        g.add_argument("--pattern", required=True)
+        g.add_argument("--case-insensitive", action="store_true")
+
     c = sub.add_parser(
         "compact",
         help="fold delta + tombstone layers back into one base layer "
@@ -225,6 +237,24 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 args.query, args.k, weights=_parse_weights(args.weights)
             )
             _print_hits(hits.to_dict("records"))
+        elif args.cmd in ("like", "glob"):
+            from sparkgrep.operators.like import glob_search, like_search
+            from sparkgrep.operators.query import InvertedIndex
+            from sparkgrep.sources.corpus import load_corpus
+
+            idx = InvertedIndex(spark, args.index)
+            corpus = load_corpus(spark, args.input)
+            if args.cmd == "like":
+                res = like_search(
+                    idx, corpus, args.pattern,
+                    case_insensitive=args.case_insensitive,
+                )
+            else:
+                if args.case_insensitive:
+                    raise SystemExit("GLOB is case-sensitive (SQLite semantics)")
+                res = glob_search(idx, corpus, args.pattern)
+            for r in res.collect():
+                print(int(r["doc_id"]))
         elif args.cmd == "append":
             from sparkgrep.plans.manifest import append_batch_delta
 

@@ -155,6 +155,29 @@ def test_append_rejects_bad_batch(spark, built, tmp_path):
         )
 
 
+def test_like_glob_subcommands(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("clitri")
+    sf = "/root/testdata/sf0.001"
+    idx = str(d / "tidx")
+    rc, _ = run_cli(
+        spark, "build", "--input", sf, "--out", idx,
+        "--analyzer", "trigram", "--positions", "--buckets", "4",
+    )
+    assert rc == 0
+    rc, out = run_cli(
+        spark, "like", "--index", idx, "--input", sf,
+        "--pattern", "%hash join%",
+    )
+    assert rc == 0
+    like_ids = [int(x) for x in out.split()]
+    rc, out = run_cli(
+        spark, "glob", "--index", idx, "--input", sf,
+        "--pattern", "*hash join*",
+    )
+    assert rc == 0
+    assert [int(x) for x in out.split()] == like_ids and len(like_ids) == 24
+
+
 def test_session_not_stopped_when_injected(spark, built):
     # the injection seam must never stop the caller's session
     run_cli(spark, "metrics", "--index", built["idx"])
