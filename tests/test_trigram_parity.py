@@ -224,6 +224,53 @@ def test_glob_search_matches_sqlite(tri_index, fts5_tri, pattern):
     assert got == want, pattern
 
 
+HL_QUERIES = ["receipt", '"thank you"', "receipt OR unsubscribe", "order"]
+
+
+@pytest.mark.parametrize("query", HL_QUERIES)
+def test_highlight_trigram_parity(tri_index, fts5_tri, query):
+    """highlight() on a trigram table: overlapping matched windows merge
+    into the full matched substring — byte-for-byte vs SQLite."""
+    from sparkgrep.operators.snippet import search_highlight
+
+    idx, corpus = tri_index
+    ref = {
+        r[0]: r[1]
+        for r in fts5_tri.execute(
+            "SELECT rowid, highlight(b, 0, '[', ']') FROM b WHERE b MATCH ?",
+            (query,),
+        ).fetchall()
+    }
+    got = search_highlight(
+        idx, corpus, query, k=30, mark_start="[", mark_end="]"
+    ).collect()
+    assert got, query
+    for r in got:
+        assert r["highlight"] == ref[r["doc_id"]], (query, r["doc_id"])
+
+
+@pytest.mark.parametrize("query", HL_QUERIES[:2])
+def test_snippet_trigram_parity(tri_index, fts5_tri, query):
+    from sparkgrep.operators.snippet import search_snippet
+
+    idx, corpus = tri_index
+    ref = {
+        r[0]: r[1]
+        for r in fts5_tri.execute(
+            "SELECT rowid, snippet(b, 0, '[', ']', '...', 12) "
+            "FROM b WHERE b MATCH ?",
+            (query,),
+        ).fetchall()
+    }
+    got = search_snippet(
+        idx, corpus, query, k=30, n_tokens=12,
+        mark_start="[", mark_end="]", ellipsis="...",
+    ).collect()
+    assert got, query
+    for r in got:
+        assert r["snippet"] == ref[r["doc_id"]], (query, r["doc_id"])
+
+
 def test_serve_trigram_bitwise(tri_index, spark):
     """The in-process serving tier answers trigram-grammar queries
     rank/score-identically to the distributed path."""
