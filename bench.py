@@ -31,6 +31,14 @@ Phases (on $SPARK_GRAFT_SF_DIR, default /root/testdata/sf0.1):
 - ann_recall_at_10 / ivf_recall_at_10_nprobe4of16 — ANN recall vs brute-force
                      cosine for both families (LSH multiprobe; IVF at a
                      25% scan fraction)
+- trigram_index_build / like_indexed / like_scan — the trigram family:
+                     LIKE served from the index (literal-run trigram
+                     phrases → candidates → residual verify) vs the full
+                     corpus scan. At sandbox SF the scan is trivially
+                     cheap and the indexed path pays the fixed Spark-job
+                     floor; the scale story is work ∝ candidate postings
+                     vs work ∝ corpus bytes (the same crossover as
+                     bm25_pruned — both recorded honestly)
 - ivf_recall_at_10_curve_of16 — the flat-IVF recall curve over nprobe
                      (scan fraction nprobe/16), derived driver-side from
                      one exact-ranking job per query
@@ -754,6 +762,40 @@ def main() -> None:
         shlat.append(time.time() - t0)
     timings["minhash_lsh"] = round(min(llat), 3)
     timings["simhash"] = round(min(shlat), 3)
+
+    # --- trigram family: LIKE served from the inverted index vs the
+    # full-scan filter (SQLite's trigram LIKE optimization, Spark-native).
+    # Corpus capped at 20k docs: trigram token volume is ~6x the word
+    # analyzers' (dl = len(text)-2), and the phase measures the QUERY
+    # paths' ratio, which the cap does not change.
+    from pyspark.sql import functions as F
+
+    from sparkgrep.operators.like import like_search
+    from sparkgrep.operators.query import InvertedIndex as _II
+    from sparkgrep.sources.corpus import documents_as_corpus, with_ingest_columns
+
+    tri_corpus = with_ingest_columns(
+        documents_as_corpus(docs.filter(F.col("doc_id") < 20_000))
+    ).cache()
+    n_tri = tri_corpus.count()
+    tri_out = tempfile.mkdtemp(prefix="sparkgrep_tri_") + "/idx"
+    t0 = time.time()
+    build_index(tri_corpus, tri_out, analyzer="trigram",
+                store_positions=True, n_buckets=32)
+    timings["trigram_index_build"] = round(time.time() - t0, 3)
+    tri_idx = _II(spark, tri_out)
+    ilat, slat2 = [], []
+    pat = "%hash join%table%"
+    for _ in range(3):
+        t0 = time.time()
+        like_search(tri_idx, tri_corpus, pat).count()
+        ilat.append(time.time() - t0)
+        t0 = time.time()
+        tri_corpus.filter(F.col("content").like(pat)).count()
+        slat2.append(time.time() - t0)
+    timings["like_indexed"] = round(min(ilat), 3)
+    timings["like_scan"] = round(min(slat2), 3)
+    tri_corpus.unpersist()
 
     # --- ANN quality/cost trade-off: multiprobe recall@10 vs brute-force
     # cosine over the driver's embeddings table (judge item: a measured
