@@ -58,7 +58,7 @@ from sparkgrep.functions.tokenizer import tokenize_py
 
 # optional '^' captured so the anchor stays attached to the phrase
 # placeholder through lexing (FTS5 '^"a b"')
-_PHRASE_RE = re.compile(r'(\^?)"([^"]*)"')
+_PHRASE_RE = re.compile(r'(\^?)"([^"]*)"\s*(\*?)')
 
 
 @dataclass(frozen=True)
@@ -113,7 +113,7 @@ class Unit:
             base = "x:" if self.prefix else ("p:" if self.is_phrase else ":")
             out = "c" + base + " ".join(self.terms)
         elif self.prefix:
-            out = "x:" + self.terms[0]
+            out = "x:" + " ".join(self.terms)
         else:
             out = ("p:" if self.is_phrase else "t:") + " ".join(self.terms)
         if self.cols is not None:
@@ -406,11 +406,12 @@ def _parse_near(body: str, n: str | None, analyzer: str, phrases: list[str]):
             raw = raw.lstrip("^")
             if not raw:
                 continue
-        m = re.fullmatch("\x00(\\d+)\x00", raw)
+        m = re.fullmatch("\x00(\\d+)\x00(\\*?)", raw)
         if m:
             terms = tuple(tokenize_py(phrases[int(m.group(1))], analyzer))
             if terms:
-                units.append(Unit(terms))
+                star = bool(m.group(2)) and analyzer != "trigram"
+                units.append(Unit(terms, prefix=star))
             continue
         if raw.endswith("*"):
             toks = tokenize_py(raw.rstrip("*"), analyzer)
@@ -419,13 +420,9 @@ def _parse_near(body: str, n: str | None, analyzer: str, phrases: list[str]):
                     # 3-cp prefix over 3-cp terms = exact phrase (see _lex)
                     units.append(Unit(tuple(toks)))
                     continue
-                # inside NEAR a multi-token stem is one phrase... but a
-                # prefix phrase isn't supported — keep FTS5's reading of
-                # the common case (single-token stem → prefix unit)
-                units.extend(
-                    [Unit(tuple(toks[:-1]))] if len(toks) > 1 else []
-                )
-                units.append(Unit((toks[-1],), prefix=True))
+                # inside NEAR a multi-token stem is ONE phrase-prefix
+                # member (FTS5: the phrase "a + b*")
+                units.append(Unit(tuple(toks), prefix=True))
             continue
         toks = tokenize_py(raw, analyzer)
         if toks:
@@ -482,11 +479,18 @@ def _lex(text: str, analyzer: str, phrases: list[str]) -> list:
             raw = raw.lstrip("^")
             if not raw:
                 continue
-        m = re.fullmatch("\x00(\\d+)\x00", raw)
+        m = re.fullmatch("\x00(\\d+)\x00(\\*?)", raw)
         if m:
             terms = tuple(tokenize_py(phrases[int(m.group(1))], analyzer))
+            # '"a b"*': ordered phrase whose LAST token is a prefix stem
+            # (FTS5, probed: tf = instance count, df = docs with an
+            # instance). Trigram: ≡ the plain phrase (3-cp prefix over
+            # 3-cp terms is exact)
+            star = bool(m.group(2)) and analyzer != "trigram"
             if terms:
-                out.append([occ.unit(Unit(terms, anchored=anchored))])
+                out.append(
+                    [occ.unit(Unit(terms, prefix=star, anchored=anchored))]
+                )
             continue
         if raw.endswith("*"):
             # FTS5 prefix token: the stem goes THROUGH the tokenizer
@@ -511,13 +515,11 @@ def _lex(text: str, analyzer: str, phrases: list[str]) -> list:
                         [occ.unit(Unit((toks[0],), prefix=True, anchored=anchored))]
                     )
                 elif anchored or analyzer in PHRASE_BAREWORD_ANALYZERS:
-                    # FTS5 reads `foo_bar*` as the phrase "foo + bar*";
-                    # the engine approximates with phrase(head) AND
-                    # prefix(tail) — a documented SUPERSET (drops the
-                    # head-tail adjacency), pending phrase-prefix units
+                    # FTS5 reads `foo_bar*` as the phrase "foo + bar*":
+                    # one phrase-prefix unit (exact — tf = instance
+                    # count, df = docs with an instance; probed)
                     out.append(
-                        [occ.unit(Unit(tuple(toks[:-1]), anchored=anchored))]
-                        + [occ.unit(Unit((toks[-1],), prefix=True))]
+                        [occ.unit(Unit(tuple(toks), prefix=True, anchored=anchored))]
                     )
                 else:
                     out.append(
@@ -716,7 +718,10 @@ def parse_query(
 
     def _stash(m: re.Match) -> str:
         phrases.append(m.group(2))
-        return f" {m.group(1)}\x00{len(phrases) - 1}\x00 "
+        # trailing '*' (attached or whitespace-detached — FTS5 accepts
+        # both, probed) rides the marker: the phrase's LAST token
+        # becomes a prefix stem ('"foo bar"*' = the phrase "foo + bar*")
+        return f" {m.group(1)}\x00{len(phrases) - 1}\x00{m.group(3)} "
 
     rest = _PHRASE_RE.sub(_stash, text or "")
     if fields:

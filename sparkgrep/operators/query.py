@@ -655,22 +655,73 @@ class InvertedIndex:
             "doc_id", "dl", F.size("starts").cast("int").alias("tf")
         ).select("doc_id", "tf", "dl")
 
+    def _prefix_positions(self, stem: str) -> DataFrame:
+        """(doc_id, dl, tpos array<int>): per-doc UNION of positions of
+        every stored term matching the prefix stem."""
+        raw = self._prefix_matched(stem).mapInPandas(
+            _decode_raw_gen(self.meta, with_positions=True, tomb=self._tomb_spec),
+            "term string, doc_id long, tf int, dl int, positions array<int>",
+        )
+        return raw.groupBy("doc_id").agg(
+            F.first("dl").alias("dl"),
+            F.array_sort(F.flatten(F.collect_list("positions"))).alias("tpos"),
+        )
+
+    def _phrase_prefix_starts(self, terms: tuple[str, ...]) -> DataFrame:
+        """(doc_id, dl, starts) of a phrase whose LAST token is a prefix
+        stem — FTS5 '"a b"*' / 'a_b*': instance starts are head-phrase
+        positions where SOME stem-matching term follows immediately.
+        Pinned against SQLite (tests/test_phrase_prefix.py): the atom's
+        tf is the instance count, df the docs with ≥1 instance, '^'
+        keeps only start 0. Two matched tail terms can never share a
+        position, so each start counts once."""
+        if not self.meta.has_positions:
+            raise ValueError(
+                "phrase queries need an index built with store_positions=True"
+            )
+        head = terms[:-1]
+        uhead = sorted(set(head))
+        raw = self._raw_units(uhead, with_positions=True)
+        g = (
+            raw.groupBy("doc_id")
+            .agg(
+                F.first("dl").alias("dl"),
+                F.map_from_entries(
+                    F.collect_list(F.struct("term", "positions"))
+                ).alias("pmap"),
+                F.count("*").alias("_nt"),
+            )
+            .filter(F.col("_nt") == len(uhead))
+        )
+        tail = self._prefix_positions(terms[-1]).select("doc_id", "tpos")
+        j = g.join(tail, "doc_id")
+        starts = F.element_at(F.col("pmap"), F.lit(terms[0]))
+        for i, t in enumerate(head[1:], start=1):
+            starts = F.array_intersect(
+                starts, F.transform(F.element_at(F.col("pmap"), F.lit(t)), _shift_by(i))
+            )
+        starts = F.array_intersect(
+            starts, F.transform(F.col("tpos"), _shift_by(len(head)))
+        )
+        return (
+            j.select("doc_id", "dl", F.array_sort(starts).alias("starts"))
+            .filter(F.size("starts") > 0)
+        )
+
     def _unit_starts(self, u) -> DataFrame:
         """(doc_id, dl, starts array<int>, asc) of a unit's instance
         START positions — term: its positions; phrase: intersected
-        starts; prefix: union of matching terms' positions."""
+        starts; prefix: union of matching terms' positions; phrase-
+        prefix: head starts with a stem-matching successor."""
         if u.prefix:
             if not self.meta.has_positions:
                 raise ValueError(
                     "NEAR queries need an index built with store_positions=True"
                 )
-            raw = self._prefix_matched(u.terms[0]).mapInPandas(
-                _decode_raw_gen(self.meta, with_positions=True, tomb=self._tomb_spec),
-                "term string, doc_id long, tf int, dl int, positions array<int>",
-            )
-            return raw.groupBy("doc_id").agg(
-                F.first("dl").alias("dl"),
-                F.array_sort(F.flatten(F.collect_list("positions"))).alias("starts"),
+            if u.is_phrase:
+                return self._phrase_prefix_starts(u.terms)
+            return self._prefix_positions(u.terms[0]).select(
+                "doc_id", "dl", F.col("tpos").alias("starts")
             )
         if u.is_phrase:
             return self._phrase_starts(u.terms).select("doc_id", "dl", "starts")
@@ -689,17 +740,13 @@ class InvertedIndex:
                 "anchored (^) queries need an index built with store_positions=True"
             )
         if u.prefix:
-            raw = self._prefix_matched(u.terms[0]).mapInPandas(
-                _decode_raw_gen(self.meta, with_positions=True, tomb=self._tomb_spec),
-                "term string, doc_id long, tf int, dl int, positions array<int>",
-            )
+            if u.is_phrase:
+                return self._phrase_prefix_starts(u.terms).filter(
+                    F.array_contains("starts", 0)
+                ).select("doc_id", F.lit(1).cast("int").alias("tf"), "dl")
             return (
-                raw.groupBy("doc_id")
-                .agg(
-                    F.max(F.array_contains("positions", 0).cast("int")).alias("_hit"),
-                    F.first("dl").alias("dl"),
-                )
-                .filter(F.col("_hit") == 1)
+                self._prefix_positions(u.terms[0])
+                .filter(F.array_contains("tpos", 0))
                 .select("doc_id", F.lit(1).cast("int").alias("tf"), "dl")
             )
         if u.is_phrase:
@@ -732,7 +779,8 @@ class InvertedIndex:
             cols = ["doc_id"] + (["dl"] if i == 0 else [])
             s = self._unit_starts(u).select(*cols, F.col("starts").alias(f"s{i}"))
             joined = s if joined is None else joined.join(s, "doc_id")
-        lens = [1 if u.prefix else len(u.terms) for u in group.phrases]
+        # a phrase-prefix member spans len(terms) positions (tail = 1 token)
+        lens = [len(u.terms) for u in group.phrases]
         n = group.n
 
         def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -892,10 +940,15 @@ class InvertedIndex:
                     )
                 )
             elif u.prefix:
-                parts.append(
-                    self._prefix_tf(u.terms[0]).select(
-                        F.lit(u.uid).alias("uid"), "doc_id", "tf", "dl"
+                rel = (
+                    self._phrase_prefix_starts(u.terms).select(
+                        "doc_id", F.size("starts").cast("int").alias("tf"), "dl"
                     )
+                    if u.is_phrase
+                    else self._prefix_tf(u.terms[0])
+                )
+                parts.append(
+                    rel.select(F.lit(u.uid).alias("uid"), "doc_id", "tf", "dl")
                 )
             elif u.is_phrase:
                 parts.append(
@@ -1097,7 +1150,7 @@ class InvertedIndex:
             sel = ["doc_id", "col"] + (["dl"] if i == 0 else [])
             s = s.select(*sel, F.col("starts").alias(f"s{i}"))
             joined = s if joined is None else joined.join(s, ["doc_id", "col"])
-        lens = [1 if u.prefix else len(u.terms) for u in grp.phrases]
+        lens = [len(u.terms) for u in grp.phrases]
         n = grp.n
 
         def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1142,6 +1195,12 @@ class InvertedIndex:
         nf = len(self.meta.fields)
         all_cols = list(range(nf))
         units = pq.units()
+        near_units = [u for g in pq.near_groups() for u in g.phrases]
+        if any(u.prefix and u.is_phrase for u in list(units) + near_units):
+            raise ValueError(
+                'phrase-prefix units (\'"a b"*\') are not supported on '
+                "multi-field indexes yet — query a single-field index"
+            )
         parts = []
         # batched common case: plain term atoms with no colset and no
         # occurrence suffix share ONE decode + ONE grouped weighted sum

@@ -485,6 +485,12 @@ class LocalServer:
                 "(build_index(..., fields=[...]))"
             )
         units = pq.units()
+        near_units = [u for g in pq.near_groups() for u in g.phrases]
+        if any(u.prefix and u.is_phrase for u in list(units) + near_units):
+            # phrase-prefix units ('"a b"*'): answered by delegating to
+            # the distributed exact path (bitwise-identical; a resident
+            # numpy mirror is a follow-up)
+            return self.index.search_expr(query_text, k, strict=strict).toPandas()
         if self._over_residency_cap(
             sorted({t for u in units if not u.prefix for t in u.terms}),
             sorted({u.terms[0] for u in units if u.prefix}),
@@ -538,7 +544,7 @@ class LocalServer:
             uids_g = [f"n{gid}:{u.uid}" for u in grp.phrases]
             near_uids[gid] = uids_g
             starts_maps = [self._local_unit_starts(u) for u in grp.phrases]
-            lens = [1 if u.prefix else len(u.terms) for u in grp.phrases]
+            lens = [len(u.terms) for u in grp.phrases]
             common = set(starts_maps[0])
             for m in starts_maps[1:]:
                 common &= set(m)
@@ -980,7 +986,7 @@ class LocalServer:
             }
             for m, _dl in starts_maps[1:]:
                 common &= set(m)
-            lens = [1 if u.prefix else len(u.terms) for u in grp.phrases]
+            lens = [len(u.terms) for u in grp.phrases]
             # per member: {doc: per-field supported counts}
             per_member = [dict() for _ in grp.phrases]
             for d, c in sorted(common):

@@ -110,13 +110,27 @@ def _unit_instances(u: Unit, toks: list[str]) -> list[int]:
     if u.anchored:
         k = len(u.terms)
         if u.prefix:
-            ok = len(toks) >= 1 and toks[0].startswith(u.terms[0])
+            # single stem: first token matches; phrase-prefix: head at 0
+            # and a stem-matching successor
+            ok = (
+                len(toks) >= k
+                and toks[: k - 1] == list(u.terms[:-1])
+                and toks[k - 1].startswith(u.terms[-1])
+            )
         else:
             ok = toks[: k] == list(u.terms) if k > 1 else (
                 bool(toks) and toks[0] == u.terms[0]
             )
         return [0] if ok else []
     if u.prefix:
+        if len(u.terms) > 1:  # phrase-prefix: '"a b"*'
+            head = list(u.terms[:-1])
+            stem = u.terms[-1]
+            k = len(u.terms)
+            return [
+                i for i in range(len(toks) - k + 1)
+                if toks[i : i + k - 1] == head and toks[i + k - 1].startswith(stem)
+            ]
         stem = u.terms[0]
         return [i for i, t in enumerate(toks) if t.startswith(stem)]
     if len(u.terms) == 1:

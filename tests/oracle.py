@@ -83,14 +83,28 @@ def bm25_expr_oracle(
     n = len(toks)
     avgdl = sum(dls.values()) / n if n else 0.0
 
+    def _pp_starts(doc_toks, unit):
+        # phrase-prefix '"a b"*': head phrase + stem-matching successor
+        L = len(unit.terms)
+        head = unit.terms[:-1]
+        return [
+            i for i in range(len(doc_toks) - L + 1)
+            if tuple(doc_toks[i : i + L - 1]) == head
+            and doc_toks[i + L - 1].startswith(unit.terms[-1])
+        ]
+
     def unit_tf(doc_toks, unit) -> int:
         if unit.anchored:
             # FTS5 '^': only instances at token position 0 count → tf∈{0,1}
             if unit.prefix:
+                if len(unit.terms) > 1:
+                    return int(0 in _pp_starts(doc_toks, unit))
                 return int(bool(doc_toks) and doc_toks[0].startswith(unit.terms[0]))
             L = len(unit.terms)
             return int(tuple(doc_toks[:L]) == unit.terms)
         if unit.prefix:
+            if len(unit.terms) > 1:
+                return len(_pp_starts(doc_toks, unit))
             return sum(1 for t in doc_toks if t.startswith(unit.terms[0]))
         if len(unit.terms) == 1:
             return sum(1 for t in doc_toks if t == unit.terms[0])
@@ -110,6 +124,8 @@ def bm25_expr_oracle(
 
     def unit_starts(doc_toks, unit):
         if unit.prefix:
+            if len(unit.terms) > 1:
+                return _pp_starts(doc_toks, unit)
             return [i for i, t in enumerate(doc_toks) if t.startswith(unit.terms[0])]
         L = len(unit.terms)
         return [
@@ -125,7 +141,7 @@ def bm25_expr_oracle(
     for gid, grp in enumerate(near_groups):
         uids_g = [f"n{gid}:{u.uid}" for u in grp.phrases]
         near_uids[gid] = uids_g
-        lens = [1 if u.prefix else len(u.terms) for u in grp.phrases]
+        lens = [len(u.terms) for u in grp.phrases]
         maps = [dict() for _ in grp.phrases]
         any_sat = False
         for d, t in toks.items():

@@ -1,0 +1,141 @@
+"""Phrase-with-prefix-tail units — FTS5's ``"a b"*`` / ``a_b*`` — exact
+against real SQLite.
+
+Pinned semantics (probed): a phrase whose LAST token carries ``*`` is
+ONE atom; its instances are head-phrase positions with a stem-matching
+successor token; tf = instance count, df = docs with ≥1 instance
+(emulated-score probe: identical to 6 decimals against a hand-built
+corpus where a single token reproduces the same tf/df/dl pattern);
+``^`` keeps only instance start 0; NEAR members span len(terms)
+positions; the detached form ``"a b" *`` is accepted too.
+"""
+
+from __future__ import annotations
+
+import sqlite3
+
+import pandas as pd
+import pytest
+
+from sparkgrep.operators.query import InvertedIndex
+
+DOCS = [
+    "foo bar one",                 # exact phrase
+    "foo barrel two",              # prefix tail
+    "foo bart foo barn mix",       # two instances
+    "bar foo reversed",            # not in order
+    "foo only here",
+    "barrel alone word",
+    "foo bar foo barrel both",     # exact + prefix instances
+    "zz foo barrel late start",    # instance not at 0 (anchor case)
+    "near foo barn target mix gap",# NEAR material
+] + [f"filler document number {i} pad pad pad" for i in range(30)]
+
+
+@pytest.fixture(scope="module")
+def fts5pp():
+    db = sqlite3.connect(":memory:")
+    db.execute("CREATE VIRTUAL TABLE p USING fts5(content, tokenize='porter')")
+    db.executemany(
+        "INSERT INTO p(rowid, content) VALUES (?,?)", list(enumerate(DOCS))
+    )
+    return db
+
+
+@pytest.fixture(scope="module")
+def pp_index(spark, tmp_path_factory):
+    from sparkgrep.operators.index_build import build_index
+    from sparkgrep.sources.corpus import with_ingest_columns
+
+    pdf = pd.DataFrame({
+        "repo": "r", "path": [f"p/{i}" for i in range(len(DOCS))],
+        "commit": "c0", "lang": None, "content": DOCS,
+        "doc_id": range(len(DOCS)),
+    })
+    corpus = with_ingest_columns(spark.createDataFrame(pdf))
+    out = str(tmp_path_factory.mktemp("pp") / "idx")
+    build_index(
+        corpus, out, analyzer="fts5", idf_variant="fts5",
+        n_buckets=4, store_positions=True,
+    )
+    return InvertedIndex(spark, out), corpus
+
+
+PP_QUERIES = [
+    '"foo bar"*',
+    '"foo bar" *',                  # detached star
+    'foo_bar*',                     # bareword form ('_' separates)
+    '"foo"*',                       # single-token quoted prefix ≡ foo*
+    '^"foo bar"*',                  # anchored: doc with instance at 1 drops
+    '"foo bar"* NOT two',
+    'alone OR "foo bar"*',
+    'NEAR("foo bar"* mix, 3)',
+    'NEAR("foo bar"* gap, 2)',
+    '"foo bar"* "foo bar"*',        # duplicate occurrence scoring
+]
+
+
+@pytest.mark.parametrize("query", PP_QUERIES)
+def test_rank_identical_to_sqlite(fts5pp, pp_index, query):
+    k = 20
+    ref = fts5pp.execute(
+        "SELECT rowid, bm25(p) FROM p WHERE p MATCH ? "
+        "ORDER BY bm25(p) ASC, rowid ASC LIMIT ?",
+        (query, k),
+    ).fetchall()
+    idx, _ = pp_index
+    got = idx.search_expr(query, k=k).toPandas()
+    assert got["doc_id"].tolist() == [r[0] for r in ref], query
+    for (_, fts_score), eng_score in zip(ref, got["score"]):
+        assert abs(-fts_score - eng_score) <= 1e-9, (query, fts_score, eng_score)
+
+
+def test_serve_delegates_bitwise(pp_index):
+    from sparkgrep.operators.serve import LocalServer
+
+    idx, _ = pp_index
+    srv = LocalServer(idx)
+    for q in ['"foo bar"*', 'alone OR "foo bar"*']:
+        dist = [(r["doc_id"], r["score"]) for r in idx.search_expr(q, 10).collect()]
+        served = list(
+            srv.search_expr(q, 10)[["doc_id", "score"]]
+            .itertuples(index=False, name=None)
+        )
+        assert served == dist, q
+
+
+@pytest.mark.parametrize("query", ['"foo bar"*', '^"foo bar"*'])
+def test_highlight_parity(fts5pp, pp_index, query):
+    from sparkgrep.operators.snippet import search_highlight
+
+    idx, corpus = pp_index
+    ref = {
+        r[0]: r[1]
+        for r in fts5pp.execute(
+            "SELECT rowid, highlight(p, 0, '[', ']') FROM p WHERE p MATCH ?",
+            (query,),
+        ).fetchall()
+    }
+    got = search_highlight(
+        idx, corpus, query, k=20, mark_start="[", mark_end="]"
+    ).collect()
+    assert got, query
+    for r in got:
+        assert r["highlight"] == ref[r["doc_id"]], (query, r["doc_id"])
+
+
+def test_mc_raises_clearly(spark, tmp_path_factory):
+    from sparkgrep.operators.index_build import build_index
+    from sparkgrep.sources.corpus import with_ingest_columns
+
+    pdf = pd.DataFrame({
+        "repo": "r", "path": ["a/b", "c/d"], "commit": "c0", "lang": None,
+        "content": ["foo bar here", "foo barrel there"], "doc_id": [0, 1],
+    })
+    corpus = with_ingest_columns(spark.createDataFrame(pdf))
+    out = str(tmp_path_factory.mktemp("ppmc") / "idx")
+    build_index(corpus, out, analyzer="fts5", n_buckets=4,
+                store_positions=True, fields=["path", "content"])
+    idx = InvertedIndex(spark, out)
+    with pytest.raises(ValueError, match="phrase-prefix"):
+        idx.search_expr('"foo bar"*', 5)
