@@ -1056,6 +1056,58 @@ class InvertedIndex:
             .filter(F.size("starts") > 0)
         )
 
+    def _prefix_positions_mc(self, stem: str) -> DataFrame:
+        """(doc_id, col, dl, tpos): per-(doc, FIELD) union of positions
+        of every stored term matching the prefix stem."""
+        raw = self._prefix_matched(stem).mapInPandas(
+            _decode_raw_mc_gen(
+                self.meta, with_positions=True, tomb=self._tomb_spec
+            ),
+            "term string, doc_id long, col int, tf int, dl int, positions array<int>",
+        )
+        return raw.groupBy("doc_id", "col").agg(
+            F.first("dl").alias("dl"),
+            F.array_sort(F.flatten(F.collect_list("positions"))).alias("tpos"),
+        )
+
+    def _phrase_prefix_starts_mc(self, terms: tuple[str, ...]) -> DataFrame:
+        """Multi-field sibling of :meth:`_phrase_prefix_starts`:
+        (doc_id, col, dl, starts) per (doc, FIELD) — phrases never span
+        fields, so the head intersection and the stem-successor check
+        run within one column."""
+        if not self.meta.has_positions:
+            raise ValueError(
+                "phrase queries need an index built with store_positions=True"
+            )
+        head = terms[:-1]
+        uhead = sorted(set(head))
+        raw = self._raw_units_mc(uhead, with_positions=True)
+        g = (
+            raw.groupBy("doc_id", "col")
+            .agg(
+                F.first("dl").alias("dl"),
+                F.map_from_entries(
+                    F.collect_list(F.struct("term", "positions"))
+                ).alias("pmap"),
+                F.count("*").alias("_nt"),
+            )
+            .filter(F.col("_nt") == len(uhead))
+        )
+        tail = self._prefix_positions_mc(terms[-1]).select("doc_id", "col", "tpos")
+        j = g.join(tail, ["doc_id", "col"])
+        starts = F.element_at(F.col("pmap"), F.lit(terms[0]))
+        for i, t in enumerate(head[1:], start=1):
+            starts = F.array_intersect(
+                starts, F.transform(F.element_at(F.col("pmap"), F.lit(t)), _shift_by(i))
+            )
+        starts = F.array_intersect(
+            starts, F.transform(F.col("tpos"), _shift_by(len(head)))
+        )
+        return (
+            j.select("doc_id", "col", "dl", F.array_sort(starts).alias("starts"))
+            .filter(F.size("starts") > 0)
+        )
+
     def _unit_percol_mc(self, u) -> DataFrame:
         """(doc_id, col, tf int, dl) for one unit per (doc, FIELD) —
         before colset filtering/weighting. Anchored units (FTS5 '^')
@@ -1068,19 +1120,13 @@ class InvertedIndex:
                     "anchored (^) queries need an index built with store_positions=True"
                 )
             if u.prefix:
-                raw = self._prefix_matched(u.terms[0]).mapInPandas(
-                    _decode_raw_mc_gen(
-                        self.meta, with_positions=True, tomb=self._tomb_spec
-                    ),
-                    "term string, doc_id long, col int, tf int, dl int, positions array<int>",
-                )
+                if u.is_phrase:
+                    return self._phrase_prefix_starts_mc(u.terms).filter(
+                        F.array_contains("starts", 0)
+                    ).select("doc_id", "col", F.lit(1).cast("int").alias("tf"), "dl")
                 return (
-                    raw.groupBy("doc_id", "col")
-                    .agg(
-                        F.max(F.array_contains("positions", 0).cast("int")).alias("_hit"),
-                        F.first("dl").alias("dl"),
-                    )
-                    .filter(F.col("_hit") == 1)
+                    self._prefix_positions_mc(u.terms[0])
+                    .filter(F.array_contains("tpos", 0))
                     .select("doc_id", "col", F.lit(1).cast("int").alias("tf"), "dl")
                 )
             if u.is_phrase:
@@ -1092,6 +1138,10 @@ class InvertedIndex:
                 "doc_id", "col", F.lit(1).cast("int").alias("tf"), "dl"
             )
         if u.prefix:
+            if u.is_phrase:
+                return self._phrase_prefix_starts_mc(u.terms).select(
+                    "doc_id", "col", F.size("starts").cast("int").alias("tf"), "dl"
+                )
             raw = self._prefix_matched(u.terms[0]).mapInPandas(
                 _decode_raw_mc_gen(self.meta, tomb=self._tomb_spec),
                 "term string, doc_id long, col int, tf int, dl int",
@@ -1113,15 +1163,10 @@ class InvertedIndex:
                 raise ValueError(
                     "NEAR queries need an index built with store_positions=True"
                 )
-            raw = self._prefix_matched(u.terms[0]).mapInPandas(
-                _decode_raw_mc_gen(
-                    self.meta, with_positions=True, tomb=self._tomb_spec
-                ),
-                "term string, doc_id long, col int, tf int, dl int, positions array<int>",
-            )
-            return raw.groupBy("doc_id", "col").agg(
-                F.first("dl").alias("dl"),
-                F.array_sort(F.flatten(F.collect_list("positions"))).alias("starts"),
+            if u.is_phrase:
+                return self._phrase_prefix_starts_mc(u.terms)
+            return self._prefix_positions_mc(u.terms[0]).select(
+                "doc_id", "col", "dl", F.col("tpos").alias("starts")
             )
         if u.is_phrase:
             return self._phrase_percol_mc(u.terms)
@@ -1195,12 +1240,6 @@ class InvertedIndex:
         nf = len(self.meta.fields)
         all_cols = list(range(nf))
         units = pq.units()
-        near_units = [u for g in pq.near_groups() for u in g.phrases]
-        if any(u.prefix and u.is_phrase for u in list(units) + near_units):
-            raise ValueError(
-                'phrase-prefix units (\'"a b"*\') are not supported on '
-                "multi-field indexes yet — query a single-field index"
-            )
         parts = []
         # batched common case: plain term atoms with no colset and no
         # occurrence suffix share ONE decode + ONE grouped weighted sum

@@ -477,6 +477,14 @@ class LocalServer:
             if strict:
                 raise ValueError("empty query (FTS5 parity: empty MATCH is an error)")
             return _EMPTY.copy()
+        near_units = [u for g in pq.near_groups() for u in g.phrases]
+        if any(u.prefix and u.is_phrase for u in list(pq.units()) + near_units):
+            # phrase-prefix units ('"a b"*'): answered by delegating to
+            # the distributed exact path (bitwise-identical; a resident
+            # numpy mirror is a follow-up)
+            return self.index.search_expr(
+                query_text, k, strict=strict, weights=weights
+            ).toPandas()
         if meta.fields:
             return self._search_expr_mc(pq, k, weights)
         if weights is not None:
@@ -485,12 +493,6 @@ class LocalServer:
                 "(build_index(..., fields=[...]))"
             )
         units = pq.units()
-        near_units = [u for g in pq.near_groups() for u in g.phrases]
-        if any(u.prefix and u.is_phrase for u in list(units) + near_units):
-            # phrase-prefix units ('"a b"*'): answered by delegating to
-            # the distributed exact path (bitwise-identical; a resident
-            # numpy mirror is a follow-up)
-            return self.index.search_expr(query_text, k, strict=strict).toPandas()
         if self._over_residency_cap(
             sorted({t for u in units if not u.prefix for t in u.terms}),
             sorted({u.terms[0] for u in units if u.prefix}),

@@ -124,18 +124,57 @@ def test_highlight_parity(fts5pp, pp_index, query):
         assert r["highlight"] == ref[r["doc_id"]], (query, r["doc_id"])
 
 
-def test_mc_raises_clearly(spark, tmp_path_factory):
+def test_mc_parity(spark, tmp_path_factory):
+    """Phrase-prefix on a MULTI-FIELD index: per-(doc, field) instances,
+    colset filters live — exact vs SQLite's 2-column fts5 table."""
     from sparkgrep.operators.index_build import build_index
     from sparkgrep.sources.corpus import with_ingest_columns
 
+    titles = ["foo bar title", "other words here", "foo barrel title",
+              "plain thing", "foo bar again"]
+    bodies = ["body without it", "body foo barn inside", "foo bar in body",
+              "foo alone body", "barrel body foo bart end"]
+    db = sqlite3.connect(":memory:")
+    db.execute(
+        "CREATE VIRTUAL TABLE m USING fts5(title, body, tokenize='porter')"
+    )
+    db.executemany(
+        "INSERT INTO m(rowid, title, body) VALUES (?,?,?)",
+        list(zip(range(len(titles)), titles, bodies)),
+    )
     pdf = pd.DataFrame({
-        "repo": "r", "path": ["a/b", "c/d"], "commit": "c0", "lang": None,
-        "content": ["foo bar here", "foo barrel there"], "doc_id": [0, 1],
+        "repo": "r", "path": [f"p/{i}" for i in range(len(titles))],
+        "commit": "c0", "lang": None,
+        "title": titles, "content": bodies, "doc_id": range(len(titles)),
     })
     corpus = with_ingest_columns(spark.createDataFrame(pdf))
     out = str(tmp_path_factory.mktemp("ppmc") / "idx")
-    build_index(corpus, out, analyzer="fts5", n_buckets=4,
-                store_positions=True, fields=["path", "content"])
+    build_index(corpus, out, analyzer="fts5", idf_variant="fts5",
+                n_buckets=4, store_positions=True,
+                fields=["title", "content"])
     idx = InvertedIndex(spark, out)
-    with pytest.raises(ValueError, match="phrase-prefix"):
-        idx.search_expr('"foo bar"*', 5)
+    from sparkgrep.operators.serve import LocalServer
+    srv = LocalServer(idx)
+
+    for q_ref, q_eng in [
+        ('"foo bar"*', '"foo bar"*'),
+        ('title:"foo bar"*', 'title:"foo bar"*'),
+        ('body:"foo bar"* OR plain', 'content:"foo bar"* OR plain'),
+        ('NEAR("foo bar"* end, 4)', 'NEAR("foo bar"* end, 4)'),
+    ]:
+        ref = db.execute(
+            "SELECT rowid, bm25(m) FROM m WHERE m MATCH ? "
+            "ORDER BY bm25(m) ASC, rowid ASC LIMIT 10",
+            (q_ref,),
+        ).fetchall()
+        got = idx.search_expr(q_eng, k=10).toPandas()
+        assert got["doc_id"].tolist() == [r[0] for r in ref], q_eng
+        for (_, fs), es in zip(ref, got["score"]):
+            assert abs(-fs - es) <= 1e-9, (q_eng, fs, es)
+        served = list(
+            srv.search_expr(q_eng, 10)[["doc_id", "score"]]
+            .itertuples(index=False, name=None)
+        )
+        assert served == [
+            (r["doc_id"], r["score"]) for _, r in got.iterrows()
+        ], q_eng
