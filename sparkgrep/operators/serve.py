@@ -240,6 +240,8 @@ class LocalServer:
     def _local_unit_starts(self, unit) -> dict[int, np.ndarray]:
         """{doc: instance start positions, ascending} for a NEAR member."""
         if unit.prefix:
+            if unit.is_phrase:
+                return {d: st for d, (st, _dl) in self._pp_eval(unit).items()}
             return self._fetch_prefix_pos(unit.terms[0])
         maps = []
         for t in unit.terms:
@@ -274,6 +276,10 @@ class LocalServer:
             pq = parse_query(q, self.meta.analyzer)
             for u in pq.units():
                 if u.prefix:
+                    if u.is_phrase:  # '"a b"*': head positions + stem pos
+                        pterms.update(u.terms[:-1])
+                        self._fetch_prefix_pos(u.terms[-1])
+                        continue
                     self._fetch_prefix(u.terms[0])
                     if u.anchored:
                         self._fetch_prefix_pos(u.terms[0])
@@ -284,7 +290,8 @@ class LocalServer:
             for grp in pq.near_groups():  # NEAR members need positions
                 for u in grp.phrases:
                     if u.prefix:
-                        self._fetch_prefix_pos(u.terms[0])
+                        pterms.update(u.terms[:-1])
+                        self._fetch_prefix_pos(u.terms[-1])
                     else:
                         pterms.update(u.terms)
         self._fetch(sorted(terms))
@@ -380,6 +387,14 @@ class LocalServer:
         if unit.anchored:
             return self._anchored_postings(unit)
         if unit.prefix:
+            if unit.is_phrase:
+                pp = self._pp_eval(unit)
+                ids = sorted(pp)
+                return (
+                    np.asarray(ids, np.int64),
+                    np.asarray([pp[d][0].size for d in ids], np.int64),
+                    np.asarray([pp[d][1] for d in ids], np.int64),
+                )
             return self._fetch_prefix(unit.terms[0])
         if not unit.is_phrase:
             shards = self._cache.get(unit.terms[0], [])
@@ -419,11 +434,49 @@ class LocalServer:
             np.asarray(out_dl, np.int64),
         )
 
+    def _pp_eval(self, unit) -> dict[int, tuple[np.ndarray, int]]:
+        """Phrase-prefix unit ('"a b"*') from the resident caches:
+        {doc: (instance starts asc, dl)} — head phrase positions with a
+        stem-matching successor (numpy mirror of
+        ``InvertedIndex._phrase_prefix_starts``)."""
+        maps = []
+        for t in unit.terms[:-1]:
+            m: dict[int, tuple[np.ndarray, int]] = {}
+            for _, ids, _tfs, dls, positions in self._pcache.get(t, []):
+                for j, d in enumerate(ids):
+                    m[int(d)] = (positions[j], int(dls[j]))
+            maps.append(m)
+        tail = self._fetch_prefix_pos(unit.terms[-1])
+        common = set(maps[0]) & set(tail)
+        for m in maps[1:]:
+            common &= set(m)
+        out: dict[int, tuple[np.ndarray, int]] = {}
+        nh = len(unit.terms) - 1
+        for d in sorted(common):
+            starts = maps[0][d][0]
+            for i in range(1, nh):
+                starts = np.intersect1d(starts, maps[i][d][0] - i)
+                if starts.size == 0:
+                    break
+            if starts.size:
+                starts = np.intersect1d(starts, tail[d] - nh)
+            if starts.size:
+                out[d] = (starts, maps[0][d][1])
+        return out
+
     def _anchored_postings(self, unit) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Numpy mirror of ``InvertedIndex._anchored_tf``: docs whose
         anchored instance set contains token position 0; tf=1 (a doc
         starts at most once)."""
         if unit.prefix:
+            if unit.is_phrase:
+                pp = self._pp_eval(unit)
+                docs = sorted(d for d, (st, _dl) in pp.items() if st[0] == 0)
+                return (
+                    np.asarray(docs, np.int64),
+                    np.ones(len(docs), np.int64),
+                    np.asarray([pp[d][1] for d in docs], np.int64),
+                )
             pos_map = self._fetch_prefix_pos(unit.terms[0])
             ids_all, _tfs, dls_all = self._fetch_prefix(unit.terms[0])
             dl_of = dict(zip(ids_all.tolist(), dls_all.tolist()))
@@ -478,10 +531,12 @@ class LocalServer:
                 raise ValueError("empty query (FTS5 parity: empty MATCH is an error)")
             return _EMPTY.copy()
         near_units = [u for g in pq.near_groups() for u in g.phrases]
-        if any(u.prefix and u.is_phrase for u in list(pq.units()) + near_units):
-            # phrase-prefix units ('"a b"*'): answered by delegating to
-            # the distributed exact path (bitwise-identical; a resident
-            # numpy mirror is a follow-up)
+        if meta.fields and any(
+            u.prefix and u.is_phrase for u in list(pq.units()) + near_units
+        ):
+            # phrase-prefix on a MULTI-FIELD index: answered by
+            # delegating to the distributed exact path (bitwise; the
+            # single-field tier serves them resident via _pp_eval)
             return self.index.search_expr(
                 query_text, k, strict=strict, weights=weights
             ).toPandas()
@@ -494,8 +549,12 @@ class LocalServer:
             )
         units = pq.units()
         if self._over_residency_cap(
-            sorted({t for u in units if not u.prefix for t in u.terms}),
-            sorted({u.terms[0] for u in units if u.prefix}),
+            sorted({
+                t
+                for u in units
+                for t in (u.terms[:-1] if u.prefix else u.terms)
+            }),
+            sorted({u.terms[-1] for u in units if u.prefix}),
         ):
             return self.index.search_expr(query_text, k, strict=strict).toPandas()
         self._fetch(
@@ -506,11 +565,19 @@ class LocalServer:
             })
         )
         near_groups = pq.near_groups()
-        # phrase terms, anchored term/phrase units, and non-prefix NEAR
-        # members need positions
+        # positions are needed for: phrase terms, anchored term/phrase
+        # units, non-prefix NEAR members, and the HEAD terms of
+        # phrase-prefix units ('"a b"*' — the stem's positions come from
+        # the memoized _fetch_prefix_pos inside _pp_eval)
         pterms = sorted(
             {t for u in units if u.is_phrase and not u.prefix for t in u.terms}
             | {t for u in units if u.anchored and not u.prefix for t in u.terms}
+            | {
+                t
+                for u in list(units) + [u for g in near_groups for u in g.phrases]
+                if u.prefix and u.is_phrase
+                for t in u.terms[:-1]
+            }
             | {
                 t
                 for grp in near_groups
@@ -522,7 +589,7 @@ class LocalServer:
         if pterms:
             self._fetch_pos(pterms)
         for u in units:
-            if u.anchored and u.prefix:
+            if u.anchored and u.prefix and not u.is_phrase:
                 self._fetch_prefix(u.terms[0])
                 self._fetch_prefix_pos(u.terms[0])
 

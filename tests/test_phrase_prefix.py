@@ -90,12 +90,16 @@ def test_rank_identical_to_sqlite(fts5pp, pp_index, query):
         assert abs(-fts_score - eng_score) <= 1e-9, (query, fts_score, eng_score)
 
 
-def test_serve_delegates_bitwise(pp_index):
+def test_serve_resident_bitwise(pp_index):
+    """Single-field serve answers phrase-prefix RESIDENT (numpy _pp_eval
+    mirror) — bitwise-identical to the distributed path, including NEAR
+    members and anchors; warm() prefetches the right tiers."""
     from sparkgrep.operators.serve import LocalServer
 
     idx, _ = pp_index
-    srv = LocalServer(idx)
-    for q in ['"foo bar"*', 'alone OR "foo bar"*']:
+    srv = LocalServer(idx).warm(['"foo bar"*'])
+    for q in ['"foo bar"*', 'alone OR "foo bar"*', '^"foo bar"*',
+              'NEAR("foo bar"* mix, 3)', '"foo bar"* NOT two']:
         dist = [(r["doc_id"], r["score"]) for r in idx.search_expr(q, 10).collect()]
         served = list(
             srv.search_expr(q, 10)[["doc_id", "score"]]
