@@ -530,16 +530,6 @@ class LocalServer:
             if strict:
                 raise ValueError("empty query (FTS5 parity: empty MATCH is an error)")
             return _EMPTY.copy()
-        near_units = [u for g in pq.near_groups() for u in g.phrases]
-        if meta.fields and any(
-            u.prefix and u.is_phrase for u in list(pq.units()) + near_units
-        ):
-            # phrase-prefix on a MULTI-FIELD index: answered by
-            # delegating to the distributed exact path (bitwise; the
-            # single-field tier serves them resident via _pp_eval)
-            return self.index.search_expr(
-                query_text, k, strict=strict, weights=weights
-            ).toPandas()
         if meta.fields:
             return self._search_expr_mc(pq, k, weights)
         if weights is not None:
@@ -934,13 +924,44 @@ class LocalServer:
                 out[key] = np.sort(starts)
         return out, dlm
 
+    def _mc_pp_starts(self, terms: tuple) -> tuple[dict, dict]:
+        """Phrase-prefix instance starts per (doc, FIELD) — numpy mirror
+        of ``query._phrase_prefix_starts_mc`` (head intersection within
+        one column, then a stem-matching successor from the prefix
+        positional tier)."""
+        maps, dlm = [], {}
+        for t in terms[:-1]:
+            m, dl_t = self._mc_pos_maps(t)
+            maps.append(m)
+            dlm.update(dl_t)
+        tailm, dl_tail = self._fetch_prefix_pos_mc(terms[-1])
+        dlm.update(dl_tail)
+        common = set(maps[0]) & set(tailm)
+        for m in maps[1:]:
+            common &= set(m)
+        nh = len(terms) - 1
+        out: dict[tuple, np.ndarray] = {}
+        for key in common:
+            starts = maps[0][key]
+            for i in range(1, nh):
+                starts = np.intersect1d(starts, maps[i][key] - i)
+                if starts.size == 0:
+                    break
+            if starts.size:
+                starts = np.intersect1d(starts, tailm[key] - nh)
+            if starts.size:
+                out[key] = np.sort(starts)
+        return out, dlm
+
     def _mc_unit_percol(self, u) -> dict[int, tuple]:
         """{doc: (dl, per-field tf array)} for one unit — the serving
         mirror of ``query._unit_percol_mc`` (anchored units count one
         instance per field anchored at its position 0)."""
         nf = len(self.meta.fields)
         if u.anchored:
-            if u.prefix:
+            if u.prefix and u.is_phrase:
+                posm, dlm = self._mc_pp_starts(u.terms)
+            elif u.prefix:
                 posm, dlm = self._fetch_prefix_pos_mc(u.terms[0])
             elif u.is_phrase:
                 posm, dlm = self._mc_phrase_starts(u.terms)
@@ -953,10 +974,14 @@ class LocalServer:
                     tfc[c] = 1
                     out[d] = (dl, tfc)
             return out
-        if u.prefix:
+        if u.prefix and not u.is_phrase:
             return self._fetch_prefix_mc(u.terms[0])
         if u.is_phrase:
-            posm, dlm = self._mc_phrase_starts(u.terms)
+            posm, dlm = (
+                self._mc_pp_starts(u.terms)
+                if u.prefix
+                else self._mc_phrase_starts(u.terms)
+            )
             out = {}
             for (d, c), starts in posm.items():
                 dl, tfc = out.get(d, (dlm[d], np.zeros(nf, np.int64)))
@@ -989,6 +1014,8 @@ class LocalServer:
     def _mc_member_starts(self, u) -> tuple[dict, dict]:
         """NEAR member instance starts per (doc, FIELD)."""
         if u.prefix:
+            if u.is_phrase:
+                return self._mc_pp_starts(u.terms)
             return self._fetch_prefix_pos_mc(u.terms[0])
         if u.is_phrase:
             return self._mc_phrase_starts(u.terms)
@@ -1009,17 +1036,25 @@ class LocalServer:
         units = pq.units()
         near_groups = pq.near_groups()
         if self._over_residency_cap(
-            sorted({t for u in units if not u.prefix for t in u.terms}),
-            sorted({u.terms[0] for u in units if u.prefix}),
+            sorted({
+                t
+                for u in units
+                for t in (u.terms[:-1] if u.prefix else u.terms)
+            }),
+            sorted({u.terms[-1] for u in units if u.prefix}),
         ):
             return self.index._search_parsed(pq, k, weights).toPandas()
-        # fetch tiers: positions for phrase/anchored units and NEAR
-        # members; plain tf streams for everything else
+        # fetch tiers: positions for phrase/anchored units, NEAR members,
+        # and phrase-prefix HEAD terms (the stem's positions come from the
+        # memoized _fetch_prefix_pos_mc); plain tf streams for the rest
+        all_members = list(units) + [u for g in near_groups for u in g.phrases]
         pos_terms = sorted(
             {t for u in units if (u.is_phrase or u.anchored) and not u.prefix
              for t in u.terms}
             | {t for g in near_groups for u in g.phrases if not u.prefix
                for t in u.terms}
+            | {t for u in all_members if u.prefix and u.is_phrase
+               for t in u.terms[:-1]}
         )
         plain_terms = sorted(
             {u.terms[0] for u in units
