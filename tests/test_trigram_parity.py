@@ -189,6 +189,23 @@ def test_like_fallback_short_runs(tri_index, emails):
     assert got == want
 
 
+def test_like_candidate_scan_prunes(tri_index):
+    """The LIKE candidate decode must ride the normal bucket-pruned +
+    term-pushdown postings scan — at scale the operator's cost is the
+    candidate runs' postings, never a postings sweep (the corpus is
+    touched only by the candidate semi-join + residual filter)."""
+    from sparkgrep.operators.like import like_candidates
+
+    idx, _ = tri_index
+    cand = like_candidates(idx, "%thank you%")
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "bucket" in pf, plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "term" in pushed, plan
+
+
 def test_literal_runs():
     assert literal_runs("%abc%de_fgh%") == ["abc", "de", "fgh"]
     assert literal_runs("abc") == ["abc"]
