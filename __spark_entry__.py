@@ -27,6 +27,7 @@ from sparkgrep import BM25_B, BM25_K1
 FLAGSHIP_QUERY = "hash join table window"
 TRIGRAM_QUERY = '"hash join" OR "slow scan"'  # trigram phrases = substrings
 LIKE_PATTERN = "%hash join%table%"
+PP_QUERY = '"hash jo"* OR window'  # phrase-with-prefix-tail atom
 MULTI_QUERIES = [
     ("q_hot", "the", 5),                      # hot token, df ≈ N
     ("q_mid", "spark query filter sort", 10),
@@ -167,6 +168,7 @@ def _units_sql(
     near2: tuple[str, str, int] | None = None,
     caret_units: list[str] | None = None,
     exclude_group: list[str] | None = None,
+    pp_units: list[tuple[str, ...]] | None = None,
 ) -> str:
     """DuckDB oracle for the unit-scoring query language (querylang.py):
     each phrase/term is a BM25 atom with its own tf/df; a doc's score is
@@ -207,6 +209,24 @@ def _units_sql(
         ph_selects.append(
             f"SELECT 'x:{stem}' AS uid, doc_id, CAST(sum(tf) AS BIGINT) AS tf "
             f"FROM tf WHERE term LIKE '{stem}%' GROUP BY doc_id"
+        )
+    for terms in pp_units or []:
+        # phrase-prefix atom ('"a b"*'): head phrase positions with a
+        # stem-matching successor; tf = instance count (FTS5, pinned in
+        # tests/test_phrase_prefix.py). uid mirrors querylang.Unit.uid.
+        head, stem = terms[:-1], terms[-1]
+        joins = "\n  ".join(
+            f"JOIN pos p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.pos = p0.pos + {i} "
+            + (f"AND p{i}.term = '{t}'" if t is not None else "")
+            for i, t in enumerate(list(head[1:]) + [None], start=1)
+        )
+        nh = len(head)
+        uid = "x:" + " ".join(terms)
+        ph_selects.append(
+            f"SELECT '{uid}' AS uid, p0.doc_id, count(*) AS tf FROM pos p0\n"
+            f"  {joins}\n"
+            f"  WHERE p0.term = '{head[0]}' AND p{nh}.term LIKE '{stem}%' "
+            f"GROUP BY p0.doc_id"
         )
     for t in sorted(set(caret_units or [])):
         # '^t': matches only where t is the doc's FIRST token (DuckDB
@@ -1556,6 +1576,21 @@ def q_trigram_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(F.col("doc_id").cast("long").alias("doc_id"))
 
 
+def q_bm25_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FTS5 phrase-with-prefix-tail unit: ``"hash jo"*`` is ONE atom
+    whose instances are head-phrase positions with a stem-matching
+    successor token (pinned vs SQLite in tests/test_phrase_prefix.py),
+    OR-mixed with a plain term."""
+    from sparkgrep.operators.index_build import build_index
+    from sparkgrep.operators.query import InvertedIndex
+
+    out = tempfile.mkdtemp(prefix="sparkgrep_pp_") + "/idx"
+    build_index(_corpus(spark, sf_dir), out, analyzer="simple",
+                n_buckets=8, store_positions=True)
+    res = InvertedIndex(spark, out).search_expr(PP_QUERY, k=10)
+    return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_stats": q_corpus_stats,
     "doc_lengths": q_doc_lengths,
@@ -1619,6 +1654,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_row_lsm": q_vocab_row_lsm,
     "highlight": q_highlight,
     "snippet": q_snippet,
+    "bm25_phrase_prefix": q_bm25_phrase_prefix,
     "trigram_match": q_trigram_match,
     "trigram_like": q_trigram_like,
 }
@@ -2306,6 +2342,9 @@ SELECT media_id, kind, n_bytes,
          AS DOUBLE) / 4294967296.0 AS FLOAT4) AS DOUBLE), 6) AS f0
 FROM m
 """
+    out["bm25_phrase_prefix"] = _units_sql(
+        [], ["window"], 10, pp_units=[("hash", "jo")]
+    )
     out["trigram_match"] = _substr_bm25_sql(["hash join", "slow scan"], 10)
     out["trigram_like"] = (
         f"SELECT doc_id FROM documents WHERE text LIKE '{LIKE_PATTERN}' "
