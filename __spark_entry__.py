@@ -28,6 +28,7 @@ FLAGSHIP_QUERY = "hash join table window"
 TRIGRAM_QUERY = '"hash join" OR "slow scan"'  # trigram phrases = substrings
 LIKE_PATTERN = "%hash join%table%"
 PP_QUERY = '"hash jo"* OR window'  # phrase-with-prefix-tail atom
+GLOB_PATTERN = "*hash[ x]join*table*"  # class matches the space
 MULTI_QUERIES = [
     ("q_hot", "the", 5),                      # hot token, df ≈ N
     ("q_mid", "spark query filter sort", 10),
@@ -1591,6 +1592,22 @@ def q_bm25_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
 
 
+def q_trigram_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOB acceleration from the trigram index (SQLite's trigram GLOB
+    optimization): literal runs -> trigram-phrase candidates -> residual
+    anchored (?s) regex. Oracle: the equivalent regex in plain SQL."""
+    from sparkgrep.operators.index_build import build_index
+    from sparkgrep.operators.like import glob_search
+    from sparkgrep.operators.query import InvertedIndex
+
+    corpus = _corpus(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="sparkgrep_trig_") + "/idx"
+    build_index(corpus, out, analyzer="trigram", n_buckets=8,
+                store_positions=True)
+    res = glob_search(InvertedIndex(spark, out), corpus, GLOB_PATTERN)
+    return res.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_stats": q_corpus_stats,
     "doc_lengths": q_doc_lengths,
@@ -1657,6 +1674,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_phrase_prefix": q_bm25_phrase_prefix,
     "trigram_match": q_trigram_match,
     "trigram_like": q_trigram_like,
+    "trigram_glob": q_trigram_glob,
 }
 
 
@@ -2348,6 +2366,12 @@ FROM m
     out["trigram_match"] = _substr_bm25_sql(["hash join", "slow scan"], 10)
     out["trigram_like"] = (
         f"SELECT doc_id FROM documents WHERE text LIKE '{LIKE_PATTERN}' "
+        "ORDER BY doc_id"
+    )
+    # GLOB_PATTERN '*hash[ x]join*table*' as an anchored dotall regex
+    out["trigram_glob"] = (
+        "SELECT doc_id FROM documents "
+        "WHERE regexp_matches(text, '(?s)^.*hash[ x]join.*table.*$') "
         "ORDER BY doc_id"
     )
     return out
