@@ -395,7 +395,11 @@ def _parse_near(body: str, n: str | None, analyzer: str, phrases: list[str]):
     constrained atoms must stay distinct); the group itself is
     occurrence-numbered by the caller."""
     units: list[Unit] = []
-    for raw in body.split():
+    seq: list = []  # units and '+' markers, merged below (FTS5 concat)
+    for raw in body.replace("+", " + ").split():
+        if raw == "+":
+            seq.append("+")
+            continue
         if re.fullmatch("\x04[0-9,]*\x04", raw):
             # colspec inside NEAR: FTS5 rejects ("syntax error"); ignored
             # here (documented superset) — filter the whole group instead
@@ -411,23 +415,25 @@ def _parse_near(body: str, n: str | None, analyzer: str, phrases: list[str]):
             terms = tuple(tokenize_py(phrases[int(m.group(1))], analyzer))
             if terms:
                 star = bool(m.group(2)) and analyzer != "trigram"
-                units.append(Unit(terms, prefix=star))
+                seq.append(Unit(terms, prefix=star))
             continue
         if raw.endswith("*"):
             toks = tokenize_py(raw.rstrip("*"), analyzer)
             if toks:
                 if analyzer == "trigram":
                     # 3-cp prefix over 3-cp terms = exact phrase (see _lex)
-                    units.append(Unit(tuple(toks)))
+                    seq.append(Unit(tuple(toks)))
                     continue
                 # inside NEAR a multi-token stem is ONE phrase-prefix
                 # member (FTS5: the phrase "a + b*")
-                units.append(Unit(tuple(toks), prefix=True))
+                seq.append(Unit(tuple(toks), prefix=True))
             continue
         toks = tokenize_py(raw, analyzer)
         if toks:
             # a multi-token raw word inside NEAR is ONE phrase (FTS5)
-            units.append(Unit(tuple(toks)))
+            seq.append(Unit(tuple(toks)))
+    merged = _plus_merge([[u] if isinstance(u, Unit) else u for u in seq])
+    units = [u for lst in merged for u in (lst if isinstance(lst, list) else [lst])]
     if len(units) < 2:
         return units  # degenerate: no proximity constraint
     local = _OccCounter()
@@ -436,12 +442,51 @@ def _parse_near(body: str, n: str | None, analyzer: str, phrases: list[str]):
     )
 
 
+def _plus_merge(seq: list) -> list:
+    """FTS5 ``+`` phrase concatenation (probed: binds tightest — above
+    NOT/AND/OR — composes with quoted phrases, a trailing prefix star,
+    and ``^`` on the LEFT end; any spacing): merge the unit left of each
+    ``+`` with the unit right of it into ONE phrase atom. Elements of
+    ``seq`` are unit lists, NearGroups, operator strings, or ``"+"``
+    markers. A ``+`` whose neighbours are not units (FTS5: syntax error)
+    is dropped — documented superset. A LEFT operand carrying a prefix
+    star (``a* + b`` — FTS5's phrase-internal prefix) is not
+    representable in the tail-prefix unit model and raises."""
+    res: list = []
+    pending = False
+    for el in seq:
+        if el == "+":
+            pending = bool(res) and isinstance(res[-1], list) and bool(res[-1])
+            continue
+        if pending and isinstance(el, list) and el:
+            left = res[-1]
+            lu, ru = left[-1], el[0]
+            if lu.prefix:
+                raise ValueError(
+                    "phrase-internal prefix ('a* + b') is not supported "
+                    "(only a trailing star: 'a + b*')"
+                )
+            merged = Unit(
+                lu.terms + ru.terms,
+                prefix=ru.prefix,
+                anchored=lu.anchored,
+                cols=lu.cols,
+            )
+            res[-1] = left[:-1] + [merged] + el[1:]
+            pending = False
+            continue
+        pending = False
+        res.append(el)
+    return res
+
+
 def _lex(text: str, analyzer: str, phrases: list[str]) -> list:
     """Token stream: '(' / ')' / 'OR' / 'AND' / 'NOT' markers, NearGroup
     predicates, or lists of Units (what one raw word/phrase
-    contributes). Repeat occurrences of the same atom are numbered
-    (Unit.occ) so each textual occurrence scores separately, matching
-    FTS5."""
+    contributes). ``+`` concatenates adjacent phrase atoms (FTS5),
+    merged BEFORE occurrence numbering. Repeat occurrences of the same
+    atom are numbered (Unit.occ) so each textual occurrence scores
+    separately, matching FTS5."""
     nears: list = []
     occ = _OccCounter()
 
@@ -451,26 +496,26 @@ def _lex(text: str, analyzer: str, phrases: list[str]) -> list:
 
     text = _NEAR_RE.sub(_stash_near, text or "")
 
-    out: list = []
-    padded = text.replace("(", " ( ").replace(")", " ) ")
+    raw_out: list = []
+    padded = (
+        text.replace("(", " ( ").replace(")", " ) ").replace("+", " + ")
+    )
     for raw in padded.split():
         mc = re.fullmatch("\x04([0-9,]*)\x04", raw)
         if mc:
             spec = mc.group(1)
-            out.append(
+            raw_out.append(
                 ("COL", tuple(int(x) for x in spec.split(",")) if spec else ())
             )
             continue
         m2 = re.fullmatch("\x02(\\d+)\x02", raw)
         if m2:
             g = nears[int(m2.group(1))]
-            if isinstance(g, NearGroup):
-                out.append(occ.group(g))
-            elif g:  # degenerate NEAR: plain unit list
-                out.append([occ.unit(u) for u in g])
+            if isinstance(g, NearGroup) or g:
+                raw_out.append(g)
             continue
-        if raw in ("(", ")", "OR", "AND", "NOT"):
-            out.append(raw)
+        if raw in ("(", ")", "OR", "AND", "NOT", "+"):
+            raw_out.append(raw)
             continue
         # FTS5 '^' initial-token anchor: applies to the unit it prefixes
         # (term, quoted phrase, or prefix stem)
@@ -488,19 +533,14 @@ def _lex(text: str, analyzer: str, phrases: list[str]) -> list:
             # 3-cp terms is exact)
             star = bool(m.group(2)) and analyzer != "trigram"
             if terms:
-                out.append(
-                    [occ.unit(Unit(terms, prefix=star, anchored=anchored))]
-                )
+                raw_out.append([Unit(terms, prefix=star, anchored=anchored)])
             continue
         if raw.endswith("*"):
             # FTS5 prefix token: the stem goes THROUGH the tokenizer
             # (stemming included — verified against SQLite), then
             # prefix-matches stored terms. A '*' inside quotes is
             # stripped by the tokenizer (literal — also FTS5's
-            # behavior). Multi-token stems (code analyzer splitting)
-            # keep all but the last token as plain terms; under '^' the
-            # leading tokens become one anchored phrase (engine reading —
-            # FTS5-valid stems are single-token, where '^stem*' is exact).
+            # behavior).
             toks = tokenize_py(raw.rstrip("*"), analyzer)
             if toks:
                 if analyzer == "trigram":
@@ -509,22 +549,22 @@ def _lex(text: str, analyzer: str, phrases: list[str]) -> list:
                     # 3-cp prefix over them is an exact match — `X*` is
                     # score-identical to the plain phrase `X` (probed:
                     # hel* == hel, hell* == hello-window phrase)
-                    out.append([occ.unit(Unit(tuple(toks), anchored=anchored))])
+                    raw_out.append([Unit(tuple(toks), anchored=anchored)])
                 elif len(toks) == 1:
-                    out.append(
-                        [occ.unit(Unit((toks[0],), prefix=True, anchored=anchored))]
+                    raw_out.append(
+                        [Unit((toks[0],), prefix=True, anchored=anchored)]
                     )
                 elif anchored or analyzer in PHRASE_BAREWORD_ANALYZERS:
                     # FTS5 reads `foo_bar*` as the phrase "foo + bar*":
                     # one phrase-prefix unit (exact — tf = instance
                     # count, df = docs with an instance; probed)
-                    out.append(
-                        [occ.unit(Unit(tuple(toks), prefix=True, anchored=anchored))]
+                    raw_out.append(
+                        [Unit(tuple(toks), prefix=True, anchored=anchored)]
                     )
                 else:
-                    out.append(
-                        [occ.unit(Unit((t,))) for t in toks[:-1]]
-                        + [occ.unit(Unit((toks[-1],), prefix=True))]
+                    raw_out.append(
+                        [Unit((t,)) for t in toks[:-1]]
+                        + [Unit((toks[-1],), prefix=True)]
                     )
             continue
         toks = tokenize_py(raw, analyzer)
@@ -535,13 +575,22 @@ def _lex(text: str, analyzer: str, phrases: list[str]) -> list:
             # semantics (always under `^`; for fts5/trigram analyzers
             # everywhere, probed: `foo_bar` == "foo bar" phrase, and a
             # trigram bareword is its sliding-window phrase)
-            out.append([occ.unit(Unit(tuple(toks), anchored=anchored))])
+            raw_out.append([Unit(tuple(toks), anchored=anchored)])
         else:
-            out.append(
-                [occ.unit(Unit((toks[0],), anchored=anchored))]
+            raw_out.append(
+                [Unit((toks[0],), anchored=anchored)]
                 if anchored
-                else [occ.unit(Unit((t,))) for t in toks]
+                else [Unit((t,)) for t in toks]
             )
+
+    out: list = []
+    for el in _plus_merge(raw_out):
+        if isinstance(el, list) and el and isinstance(el[0], Unit):
+            out.append([occ.unit(u) for u in el])
+        elif isinstance(el, NearGroup):
+            out.append(occ.group(el))
+        else:
+            out.append(el)
     return out
 
 

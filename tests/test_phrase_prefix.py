@@ -90,6 +90,45 @@ def test_rank_identical_to_sqlite(fts5pp, pp_index, query):
         assert abs(-fts_score - eng_score) <= 1e-9, (query, fts_score, eng_score)
 
 
+PLUS_QUERIES = [
+    "foo + bar",
+    "foo+bar",                      # glued (FTS5: '+' is not a bareword char)
+    '"foo" + "bar"',                # quoted operands concatenate
+    "foo + barrel*",                # trailing prefix star rides the tail
+    "^foo + bar",                   # anchor applies to the whole phrase
+    "foo + bar + one",              # left-assoc chain
+    "only OR foo + bar",            # binds above OR
+    "foo NOT foo + bar",            # binds above NOT
+    "NEAR(foo + bar mix, 6)",       # inside NEAR
+]
+
+
+@pytest.mark.parametrize("query", PLUS_QUERIES)
+def test_plus_concat_rank_identical(fts5pp, pp_index, query):
+    """FTS5 '+' phrase concatenation (probed: tightest-binding; any
+    spacing) — rank/score-identical on every composition."""
+    k = 20
+    ref = fts5pp.execute(
+        "SELECT rowid, bm25(p) FROM p WHERE p MATCH ? "
+        "ORDER BY bm25(p) ASC, rowid ASC LIMIT ?",
+        (query, k),
+    ).fetchall()
+    idx, _ = pp_index
+    got = idx.search_expr(query, k=k).toPandas()
+    assert got["doc_id"].tolist() == [r[0] for r in ref], query
+    for (_, fts_score), eng_score in zip(ref, got["score"]):
+        assert abs(-fts_score - eng_score) <= 1e-9, (query, fts_score, eng_score)
+
+
+def test_plus_midphrase_prefix_raises(pp_index):
+    """'a* + b' (FTS5 phrase-internal prefix) is outside the tail-prefix
+    unit model: refused loudly, never silently mis-scored."""
+    from sparkgrep.functions.querylang import parse_query
+
+    with pytest.raises(ValueError, match="phrase-internal prefix"):
+        parse_query("foo* + bar", "fts5")
+
+
 def test_serve_resident_bitwise(pp_index):
     """Single-field serve answers phrase-prefix RESIDENT (numpy _pp_eval
     mirror) — bitwise-identical to the distributed path, including NEAR
