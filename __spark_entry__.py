@@ -28,6 +28,7 @@ FLAGSHIP_QUERY = "hash join table window"
 TRIGRAM_QUERY = '"hash join" OR "slow scan"'  # trigram phrases = substrings
 LIKE_PATTERN = "%hash join%table%"
 PP_QUERY = '"hash jo"* OR window'  # phrase-with-prefix-tail atom
+STAR_QUERY = "s* + scan OR window"  # phrase-INTERNAL prefix atom
 GLOB_PATTERN = "*hash[ x]join*table*"  # class matches the space
 MULTI_QUERIES = [
     ("q_hot", "the", 5),                      # hot token, df ≈ N
@@ -170,6 +171,7 @@ def _units_sql(
     caret_units: list[str] | None = None,
     exclude_group: list[str] | None = None,
     pp_units: list[tuple[str, ...]] | None = None,
+    star_units: list[tuple[tuple[str, ...], tuple[int, ...]]] | None = None,
 ) -> str:
     """DuckDB oracle for the unit-scoring query language (querylang.py):
     each phrase/term is a BM25 atom with its own tf/df; a doc's score is
@@ -228,6 +230,34 @@ def _units_sql(
             f"  {joins}\n"
             f"  WHERE p0.term = '{head[0]}' AND p{nh}.term LIKE '{stem}%' "
             f"GROUP BY p0.doc_id"
+        )
+    for terms, slots in star_units or []:
+        # phrase atom with arbitrary PREFIX slots (FTS5 'a* + b', pinned
+        # in tests/test_star_internal.py): slot i prefix-matches when
+        # starred, exact-matches otherwise; tf = instance-start count.
+        # uid mirrors querylang.Unit.uid (internal stars marked '*',
+        # 'x:' head only when the TAIL slot is starred).
+        star = set(slots)
+
+        def _cond(alias: str, i: int) -> str:
+            if i in star:
+                return f"{alias}.term LIKE '{terms[i]}%'"
+            return f"{alias}.term = '{terms[i]}'"
+
+        joins = "\n  ".join(
+            f"JOIN pos p{i} ON p{i}.doc_id = p0.doc_id AND "
+            f"p{i}.pos = p0.pos + {i} AND {_cond(f'p{i}', i)}"
+            for i in range(1, len(terms))
+        )
+        marked = " ".join(
+            t + ("*" if i in star and i < len(terms) - 1 else "")
+            for i, t in enumerate(terms)
+        )
+        uid = ("x:" if (len(terms) - 1) in star else "p:") + marked
+        ph_selects.append(
+            f"SELECT '{uid}' AS uid, p0.doc_id, count(*) AS tf FROM pos p0\n"
+            f"  {joins}\n"
+            f"  WHERE {_cond('p0', 0)} GROUP BY p0.doc_id"
         )
     for t in sorted(set(caret_units or [])):
         # '^t': matches only where t is the doc's FIRST token (DuckDB
@@ -1592,6 +1622,22 @@ def q_bm25_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
 
 
+def q_bm25_star_internal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FTS5 phrase-INTERNAL prefix (``s* + scan``): one phrase atom
+    whose slot 0 matches ANY index term starting with 's' (scan, slow,
+    small, sort, spark, stream) followed by an exact 'scan' — pinned vs
+    SQLite in tests/test_star_internal.py — OR-mixed with a plain
+    term."""
+    from sparkgrep.operators.index_build import build_index
+    from sparkgrep.operators.query import InvertedIndex
+
+    out = tempfile.mkdtemp(prefix="sparkgrep_si_") + "/idx"
+    build_index(_corpus(spark, sf_dir), out, analyzer="simple",
+                n_buckets=8, store_positions=True)
+    res = InvertedIndex(spark, out).search_expr(STAR_QUERY, k=10)
+    return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
+
+
 def q_trigram_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GLOB acceleration from the trigram index (SQLite's trigram GLOB
     optimization): literal runs -> trigram-phrase candidates -> residual
@@ -1672,6 +1718,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "highlight": q_highlight,
     "snippet": q_snippet,
     "bm25_phrase_prefix": q_bm25_phrase_prefix,
+    "bm25_star_internal": q_bm25_star_internal,
     "trigram_match": q_trigram_match,
     "trigram_like": q_trigram_like,
     "trigram_glob": q_trigram_glob,
@@ -2362,6 +2409,9 @@ FROM m
 """
     out["bm25_phrase_prefix"] = _units_sql(
         [], ["window"], 10, pp_units=[("hash", "jo")]
+    )
+    out["bm25_star_internal"] = _units_sql(
+        [], ["window"], 10, star_units=[(("s", "scan"), (0,))]
     )
     out["trigram_match"] = _substr_bm25_sql(["hash join", "slow scan"], 10)
     out["trigram_like"] = (

@@ -79,8 +79,15 @@ class Unit:
     like one with it at position 0 only."""
 
     terms: tuple[str, ...]  # analyzer-tokenized, order preserved
-    prefix: bool = False    # prefix units are always single-stem
+    # tail star ('tok*' / '"a b"*'): the LAST slot is a prefix stem
+    prefix: bool = False
     anchored: bool = False  # FTS5 '^': instances at token position 0 only
+    # INTERNAL prefix slots (FTS5 'a* + b', probed): indices of non-tail
+    # slots whose term is a prefix stem — slot i matches any stored term
+    # starting with terms[i]. Always sorted, never includes the last
+    # slot (a trailing star stays in ``prefix`` so every star-free and
+    # tail-star query keeps its exact prior representation and uid).
+    stars: tuple[int, ...] = ()
     # column filter (FTS5 ``col:``/``{c1 c2}:``/``-col:``): sorted field
     # indices the unit is restricted to, or None = every indexed field.
     # On a multi-field index the colset restricts MATCHING, tf counting
@@ -109,18 +116,52 @@ class Unit:
         # 't' < 'x' in ASCII and in DuckDB's binary collation, so the
         # uid-ordered fold agrees on both sides); '~' (0x7E) keeps
         # occurrence suffixes deterministic on both sides too
+        # internal star slots marked with a trailing '*' on the term —
+        # analyzers strip '*', so the mark can never collide with a
+        # stored term; units without internal stars render byte-for-byte
+        # as before
+        toks = " ".join(
+            t + ("*" if i in self.stars else "")
+            for i, t in enumerate(self.terms)
+        )
         if self.anchored:
             base = "x:" if self.prefix else ("p:" if self.is_phrase else ":")
-            out = "c" + base + " ".join(self.terms)
+            out = "c" + base + toks
         elif self.prefix:
-            out = "x:" + " ".join(self.terms)
+            # tail star is conveyed by the 'x:' head (unchanged for
+            # every pre-existing prefix unit); internal marks compose:
+            # 'a* + b*' → "x:a* b" vs 'a* + b' → "p:a* b" — distinct
+            out = "x:" + toks
         else:
-            out = ("p:" if self.is_phrase else "t:") + " ".join(self.terms)
+            out = ("p:" if self.is_phrase else "t:") + toks
         if self.cols is not None:
             # 'f' (0x66) sorts before 'c'/'p'/'t'/'x' uid heads — only
             # determinism matters, and both engines sort the same bytes
             out = "f" + ",".join(map(str, self.cols)) + "|" + out
         return out + (f"~{self.occ}" if self.occ else "")
+
+
+def star_slots(u: Unit) -> tuple[int, ...]:
+    """ALL starred slot indices of a unit — the internal ``stars`` plus
+    the tail when ``prefix`` — sorted ascending; empty for star-free
+    units. Slot i of a starred index matches any stored term starting
+    with ``terms[i]`` (one token per instance, so instance starts stay a
+    set and tf = |starts| exactly as for plain phrases)."""
+    s = set(u.stars)
+    if u.prefix:
+        s.add(len(u.terms) - 1)
+    return tuple(sorted(s))
+
+
+def plain_terms(u: Unit) -> list[str]:
+    """Terms of the NON-starred slots (exact-match tokens)."""
+    s = set(star_slots(u))
+    return [t for i, t in enumerate(u.terms) if i not in s]
+
+
+def stem_terms(u: Unit) -> list[str]:
+    """Stems of the starred slots, in slot order (may repeat)."""
+    return [u.terms[i] for i in star_slots(u)]
 
 
 @dataclass(frozen=True)
@@ -450,8 +491,11 @@ def _plus_merge(seq: list) -> list:
     ``seq`` are unit lists, NearGroups, operator strings, or ``"+"``
     markers. A ``+`` whose neighbours are not units (FTS5: syntax error)
     is dropped — documented superset. A LEFT operand carrying a prefix
-    star (``a* + b`` — FTS5's phrase-internal prefix) is not
-    representable in the tail-prefix unit model and raises."""
+    star (``a* + b`` / ``"a b"* + c`` — FTS5's phrase-INTERNAL prefix,
+    probed valid: 'foo* + bar' matches "football bar") keeps the star on
+    its slot, which becomes internal in the merged phrase
+    (``Unit.stars``); the merged atom's tail star is the RIGHT operand's
+    (pinned: '"foo bar"* + one' matches "foo barrel one")."""
     res: list = []
     pending = False
     for el in seq:
@@ -461,16 +505,15 @@ def _plus_merge(seq: list) -> list:
         if pending and isinstance(el, list) and el:
             left = res[-1]
             lu, ru = left[-1], el[0]
-            if lu.prefix:
-                raise ValueError(
-                    "phrase-internal prefix ('a* + b') is not supported "
-                    "(only a trailing star: 'a + b*')"
-                )
+            lt = len(lu.terms)
             merged = Unit(
                 lu.terms + ru.terms,
                 prefix=ru.prefix,
                 anchored=lu.anchored,
                 cols=lu.cols,
+                stars=lu.stars
+                + ((lt - 1,) if lu.prefix else ())
+                + tuple(i + lt for i in ru.stars),
             )
             res[-1] = left[:-1] + [merged] + el[1:]
             pending = False

@@ -20,7 +20,15 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from sparkgrep.functions.querylang import Conjunct, ParsedQuery, Unit, parse_query
+from sparkgrep.functions.querylang import (
+    Conjunct,
+    ParsedQuery,
+    Unit,
+    parse_query,
+    plain_terms,
+    star_slots,
+    stem_terms,
+)
 from sparkgrep.functions.tokenizer import tokenize_py
 from sparkgrep.functions.varint import blocked_gap_decode, delta_decode_segments, varint_decode
 from sparkgrep.operators.index_build import IndexMeta, load_meta
@@ -615,39 +623,66 @@ class InvertedIndex:
             F.sum("tf").cast("int").alias("tf"), F.first("dl").alias("dl")
         )
 
-    def _phrase_starts(self, terms: tuple[str, ...]) -> DataFrame:
-        """(doc_id, dl, starts array<int>) for an ordered phrase: decode
-        positions of the constituent terms, pivot per doc into a
-        term→positions map, and intersect slot-shifted position sets
-        natively (array_intersect in codegen). Only docs containing ALL
-        constituent terms reach the intersection; only docs with ≥1
-        phrase occurrence survive."""
+    def _phrase_starts_any(
+        self, terms: tuple[str, ...], slots: tuple[int, ...]
+    ) -> DataFrame:
+        """(doc_id, dl, starts array<int>) of a phrase with PREFIX slots
+        ``slots`` — the one positional kernel behind plain phrases
+        (slots=()), FTS5 tail prefixes ('"a b"*', slots=(L-1,)) and FTS5
+        phrase-INTERNAL prefixes ('a* + b', probed and pinned in
+        tests/test_phrase_prefix.py). A plain slot contributes its exact
+        term's positions, a starred slot the per-doc UNION of positions
+        of every stored term matching the stem; instance starts are the
+        slot-shifted intersection (array_intersect in codegen). One
+        token occupies each position, so starts stay a set and tf =
+        |starts| for every slot mix. Docs missing any plain term or any
+        stem match drop at the pivot/join."""
         if not self.meta.has_positions:
             raise ValueError(
                 "phrase queries need an index built with store_positions=True"
             )
-        uterms = sorted(set(terms))
-        raw = self._raw_units(uterms, with_positions=True)
-        g = (
-            raw.groupBy("doc_id")
-            .agg(
-                F.first("dl").alias("dl"),
-                F.map_from_entries(
-                    F.collect_list(F.struct("term", "positions"))
-                ).alias("pmap"),
-                F.count("*").alias("_nt"),
+        star = set(slots)
+        plain = sorted({t for i, t in enumerate(terms) if i not in star})
+        stems = sorted({terms[i] for i in star})
+        j = None
+        if plain:
+            raw = self._raw_units(plain, with_positions=True)
+            j = (
+                raw.groupBy("doc_id")
+                .agg(
+                    F.first("dl").alias("dl"),
+                    F.map_from_entries(
+                        F.collect_list(F.struct("term", "positions"))
+                    ).alias("pmap"),
+                    F.count("*").alias("_nt"),
+                )
+                .filter(F.col("_nt") == len(plain))
             )
-            .filter(F.col("_nt") == len(uterms))
-        )
-        starts = F.element_at(F.col("pmap"), F.lit(terms[0]))
-        for i, t in enumerate(terms[1:], start=1):
-            starts = F.array_intersect(
-                starts, F.transform(F.element_at(F.col("pmap"), F.lit(t)), _shift_by(i))
+        stem_ix = {s: i for i, s in enumerate(stems)}
+        for s in stems:
+            cols = ["doc_id"] + (["dl"] if j is None else [])
+            r = self._prefix_positions(s).select(
+                *cols, F.col("tpos").alias(f"_tp{stem_ix[s]}")
             )
+            j = r if j is None else j.join(r, "doc_id")
+
+        def src(i: int):
+            if i in star:
+                return F.col(f"_tp{stem_ix[terms[i]]}")
+            return F.element_at(F.col("pmap"), F.lit(terms[i]))
+
+        starts = src(0)
+        for i in range(1, len(terms)):
+            starts = F.array_intersect(starts, F.transform(src(i), _shift_by(i)))
         return (
-            g.select("doc_id", "dl", F.array_sort(starts).alias("starts"))
+            j.select("doc_id", "dl", F.array_sort(starts).alias("starts"))
             .filter(F.size("starts") > 0)
         )
+
+    def _phrase_starts(self, terms: tuple[str, ...]) -> DataFrame:
+        """(doc_id, dl, starts array<int>) for an ordered phrase —
+        the star-free case of :meth:`_phrase_starts_any`."""
+        return self._phrase_starts_any(terms, ())
 
     def _phrase_tf(self, terms: tuple[str, ...]) -> DataFrame:
         """(doc_id, tf, dl): phrase tf = |{p : term_i at p+i ∀i}|."""
@@ -669,57 +704,26 @@ class InvertedIndex:
 
     def _phrase_prefix_starts(self, terms: tuple[str, ...]) -> DataFrame:
         """(doc_id, dl, starts) of a phrase whose LAST token is a prefix
-        stem — FTS5 '"a b"*' / 'a_b*': instance starts are head-phrase
-        positions where SOME stem-matching term follows immediately.
-        Pinned against SQLite (tests/test_phrase_prefix.py): the atom's
-        tf is the instance count, df the docs with ≥1 instance, '^'
-        keeps only start 0. Two matched tail terms can never share a
-        position, so each start counts once."""
-        if not self.meta.has_positions:
-            raise ValueError(
-                "phrase queries need an index built with store_positions=True"
-            )
-        head = terms[:-1]
-        uhead = sorted(set(head))
-        raw = self._raw_units(uhead, with_positions=True)
-        g = (
-            raw.groupBy("doc_id")
-            .agg(
-                F.first("dl").alias("dl"),
-                F.map_from_entries(
-                    F.collect_list(F.struct("term", "positions"))
-                ).alias("pmap"),
-                F.count("*").alias("_nt"),
-            )
-            .filter(F.col("_nt") == len(uhead))
-        )
-        tail = self._prefix_positions(terms[-1]).select("doc_id", "tpos")
-        j = g.join(tail, "doc_id")
-        starts = F.element_at(F.col("pmap"), F.lit(terms[0]))
-        for i, t in enumerate(head[1:], start=1):
-            starts = F.array_intersect(
-                starts, F.transform(F.element_at(F.col("pmap"), F.lit(t)), _shift_by(i))
-            )
-        starts = F.array_intersect(
-            starts, F.transform(F.col("tpos"), _shift_by(len(head)))
-        )
-        return (
-            j.select("doc_id", "dl", F.array_sort(starts).alias("starts"))
-            .filter(F.size("starts") > 0)
-        )
+        stem — FTS5 '"a b"*' / 'a_b*' — via the general star-slot
+        kernel. Pinned against SQLite (tests/test_phrase_prefix.py): the
+        atom's tf is the instance count, df the docs with ≥1 instance,
+        '^' keeps only start 0."""
+        return self._phrase_starts_any(terms, (len(terms) - 1,))
 
     def _unit_starts(self, u) -> DataFrame:
         """(doc_id, dl, starts array<int>, asc) of a unit's instance
         START positions — term: its positions; phrase: intersected
-        starts; prefix: union of matching terms' positions; phrase-
-        prefix: head starts with a stem-matching successor."""
-        if u.prefix:
+        starts; prefix: union of matching terms' positions; starred
+        phrase slots (tail OR internal): stem-matched positions in the
+        slot-shifted intersection."""
+        slots = star_slots(u)
+        if slots:
             if not self.meta.has_positions:
                 raise ValueError(
                     "NEAR queries need an index built with store_positions=True"
                 )
             if u.is_phrase:
-                return self._phrase_prefix_starts(u.terms)
+                return self._phrase_starts_any(u.terms, slots)
             return self._prefix_positions(u.terms[0]).select(
                 "doc_id", "dl", F.col("tpos").alias("starts")
             )
@@ -739,9 +743,10 @@ class InvertedIndex:
             raise ValueError(
                 "anchored (^) queries need an index built with store_positions=True"
             )
-        if u.prefix:
+        slots = star_slots(u)
+        if slots:
             if u.is_phrase:
-                return self._phrase_prefix_starts(u.terms).filter(
+                return self._phrase_starts_any(u.terms, slots).filter(
                     F.array_contains("starts", 0)
                 ).select("doc_id", F.lit(1).cast("int").alias("tf"), "dl")
             return (
@@ -939,9 +944,9 @@ class InvertedIndex:
                         F.lit(u.uid).alias("uid"), "doc_id", "tf", "dl"
                     )
                 )
-            elif u.prefix:
+            elif u.prefix or u.stars:
                 rel = (
-                    self._phrase_prefix_starts(u.terms).select(
+                    self._phrase_starts_any(u.terms, star_slots(u)).select(
                         "doc_id", F.size("starts").cast("int").alias("tf"), "dl"
                     )
                     if u.is_phrase
@@ -1024,37 +1029,62 @@ class InvertedIndex:
             pres = p if pres is None else (pres | p)
         return g.filter(pres).select(*keys, expr.alias("tf"), "dl")
 
-    def _phrase_percol_mc(self, terms: tuple[str, ...]) -> DataFrame:
-        """(doc_id, col, dl, starts) of a phrase's instance starts per
-        (doc, FIELD) — positions are field-relative, so the slot-shifted
-        intersection runs within each field and a phrase can never span
-        fields (FTS5 parity)."""
+    def _phrase_starts_any_mc(
+        self, terms: tuple[str, ...], slots: tuple[int, ...]
+    ) -> DataFrame:
+        """Multi-field sibling of :meth:`_phrase_starts_any`:
+        (doc_id, col, dl, starts) per (doc, FIELD) for a phrase with
+        prefix slots ``slots`` — positions are field-relative, so the
+        slot-shifted intersection (and every stem-matched successor)
+        runs within one field and a phrase can never span fields (FTS5
+        parity)."""
         if not self.meta.has_positions:
             raise ValueError(
                 "phrase queries need an index built with store_positions=True"
             )
-        uterms = sorted(set(terms))
-        raw = self._raw_units_mc(uterms, with_positions=True)
-        g = (
-            raw.groupBy("doc_id", "col")
-            .agg(
-                F.first("dl").alias("dl"),
-                F.map_from_entries(
-                    F.collect_list(F.struct("term", "positions"))
-                ).alias("pmap"),
-                F.count("*").alias("_nt"),
+        star = set(slots)
+        plain = sorted({t for i, t in enumerate(terms) if i not in star})
+        stems = sorted({terms[i] for i in star})
+        j = None
+        if plain:
+            raw = self._raw_units_mc(plain, with_positions=True)
+            j = (
+                raw.groupBy("doc_id", "col")
+                .agg(
+                    F.first("dl").alias("dl"),
+                    F.map_from_entries(
+                        F.collect_list(F.struct("term", "positions"))
+                    ).alias("pmap"),
+                    F.count("*").alias("_nt"),
+                )
+                .filter(F.col("_nt") == len(plain))
             )
-            .filter(F.col("_nt") == len(uterms))
-        )
-        starts = F.element_at(F.col("pmap"), F.lit(terms[0]))
-        for i, t in enumerate(terms[1:], start=1):
-            starts = F.array_intersect(
-                starts, F.transform(F.element_at(F.col("pmap"), F.lit(t)), _shift_by(i))
+        stem_ix = {s: i for i, s in enumerate(stems)}
+        for s in stems:
+            cols = ["doc_id", "col"] + (["dl"] if j is None else [])
+            r = self._prefix_positions_mc(s).select(
+                *cols, F.col("tpos").alias(f"_tp{stem_ix[s]}")
             )
+            j = r if j is None else j.join(r, ["doc_id", "col"])
+
+        def src(i: int):
+            if i in star:
+                return F.col(f"_tp{stem_ix[terms[i]]}")
+            return F.element_at(F.col("pmap"), F.lit(terms[i]))
+
+        starts = src(0)
+        for i in range(1, len(terms)):
+            starts = F.array_intersect(starts, F.transform(src(i), _shift_by(i)))
         return (
-            g.select("doc_id", "col", "dl", F.array_sort(starts).alias("starts"))
+            j.select("doc_id", "col", "dl", F.array_sort(starts).alias("starts"))
             .filter(F.size("starts") > 0)
         )
+
+    def _phrase_percol_mc(self, terms: tuple[str, ...]) -> DataFrame:
+        """(doc_id, col, dl, starts) of a plain phrase's instance starts
+        per (doc, FIELD) — the star-free case of
+        :meth:`_phrase_starts_any_mc`."""
+        return self._phrase_starts_any_mc(terms, ())
 
     def _prefix_positions_mc(self, stem: str) -> DataFrame:
         """(doc_id, col, dl, tpos): per-(doc, FIELD) union of positions
@@ -1071,42 +1101,9 @@ class InvertedIndex:
         )
 
     def _phrase_prefix_starts_mc(self, terms: tuple[str, ...]) -> DataFrame:
-        """Multi-field sibling of :meth:`_phrase_prefix_starts`:
-        (doc_id, col, dl, starts) per (doc, FIELD) — phrases never span
-        fields, so the head intersection and the stem-successor check
-        run within one column."""
-        if not self.meta.has_positions:
-            raise ValueError(
-                "phrase queries need an index built with store_positions=True"
-            )
-        head = terms[:-1]
-        uhead = sorted(set(head))
-        raw = self._raw_units_mc(uhead, with_positions=True)
-        g = (
-            raw.groupBy("doc_id", "col")
-            .agg(
-                F.first("dl").alias("dl"),
-                F.map_from_entries(
-                    F.collect_list(F.struct("term", "positions"))
-                ).alias("pmap"),
-                F.count("*").alias("_nt"),
-            )
-            .filter(F.col("_nt") == len(uhead))
-        )
-        tail = self._prefix_positions_mc(terms[-1]).select("doc_id", "col", "tpos")
-        j = g.join(tail, ["doc_id", "col"])
-        starts = F.element_at(F.col("pmap"), F.lit(terms[0]))
-        for i, t in enumerate(head[1:], start=1):
-            starts = F.array_intersect(
-                starts, F.transform(F.element_at(F.col("pmap"), F.lit(t)), _shift_by(i))
-            )
-        starts = F.array_intersect(
-            starts, F.transform(F.col("tpos"), _shift_by(len(head)))
-        )
-        return (
-            j.select("doc_id", "col", "dl", F.array_sort(starts).alias("starts"))
-            .filter(F.size("starts") > 0)
-        )
+        """Multi-field tail-prefix starts ('"a b"*') — the tail-slot
+        case of :meth:`_phrase_starts_any_mc`."""
+        return self._phrase_starts_any_mc(terms, (len(terms) - 1,))
 
     def _unit_percol_mc(self, u) -> DataFrame:
         """(doc_id, col, tf int, dl) for one unit per (doc, FIELD) —
@@ -1114,14 +1111,15 @@ class InvertedIndex:
         count one instance per field whose position 0 matches (a row's
         anchored tf is the weighted count of anchored FIELDS, pinned
         against SQLite)."""
+        slots = star_slots(u)
         if u.anchored:
             if not self.meta.has_positions:
                 raise ValueError(
                     "anchored (^) queries need an index built with store_positions=True"
                 )
-            if u.prefix:
+            if slots:
                 if u.is_phrase:
-                    return self._phrase_prefix_starts_mc(u.terms).filter(
+                    return self._phrase_starts_any_mc(u.terms, slots).filter(
                         F.array_contains("starts", 0)
                     ).select("doc_id", "col", F.lit(1).cast("int").alias("tf"), "dl")
                 return (
@@ -1137,9 +1135,9 @@ class InvertedIndex:
             return raw.filter(F.array_contains("positions", 0)).select(
                 "doc_id", "col", F.lit(1).cast("int").alias("tf"), "dl"
             )
-        if u.prefix:
+        if slots:
             if u.is_phrase:
-                return self._phrase_prefix_starts_mc(u.terms).select(
+                return self._phrase_starts_any_mc(u.terms, slots).select(
                     "doc_id", "col", F.size("starts").cast("int").alias("tf"), "dl"
                 )
             raw = self._prefix_matched(u.terms[0]).mapInPandas(
@@ -1158,13 +1156,14 @@ class InvertedIndex:
     def _member_starts_mc(self, u) -> DataFrame:
         """(doc_id, col, dl, starts) of a NEAR member's instance starts
         per (doc, FIELD)."""
-        if u.prefix:
+        slots = star_slots(u)
+        if slots:
             if not self.meta.has_positions:
                 raise ValueError(
                     "NEAR queries need an index built with store_positions=True"
                 )
             if u.is_phrase:
-                return self._phrase_prefix_starts_mc(u.terms)
+                return self._phrase_starts_any_mc(u.terms, slots)
             return self._prefix_positions_mc(u.terms[0]).select(
                 "doc_id", "col", "dl", F.col("tpos").alias("starts")
             )

@@ -23,7 +23,12 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from sparkgrep.functions.querylang import parse_query
+from sparkgrep.functions.querylang import (
+    parse_query,
+    plain_terms,
+    star_slots,
+    stem_terms,
+)
 from sparkgrep.functions.tokenizer import tokenize_py
 from sparkgrep.functions.varint import (
     blocked_gap_decode,
@@ -239,7 +244,7 @@ class LocalServer:
 
     def _local_unit_starts(self, unit) -> dict[int, np.ndarray]:
         """{doc: instance start positions, ascending} for a NEAR member."""
-        if unit.prefix:
+        if star_slots(unit):
             if unit.is_phrase:
                 return {d: st for d, (st, _dl) in self._pp_eval(unit).items()}
             return self._fetch_prefix_pos(unit.terms[0])
@@ -275,10 +280,11 @@ class LocalServer:
         for q in queries:
             pq = parse_query(q, self.meta.analyzer)
             for u in pq.units():
-                if u.prefix:
-                    if u.is_phrase:  # '"a b"*': head positions + stem pos
-                        pterms.update(u.terms[:-1])
-                        self._fetch_prefix_pos(u.terms[-1])
+                if star_slots(u):
+                    if u.is_phrase:  # starred phrase: plain positions + stem pos
+                        pterms.update(plain_terms(u))
+                        for s in stem_terms(u):
+                            self._fetch_prefix_pos(s)
                         continue
                     self._fetch_prefix(u.terms[0])
                     if u.anchored:
@@ -289,9 +295,10 @@ class LocalServer:
                     (pterms if u.is_phrase else terms).update(u.terms)
             for grp in pq.near_groups():  # NEAR members need positions
                 for u in grp.phrases:
-                    if u.prefix:
-                        pterms.update(u.terms[:-1])
-                        self._fetch_prefix_pos(u.terms[-1])
+                    if star_slots(u):
+                        pterms.update(plain_terms(u))
+                        for s in stem_terms(u):
+                            self._fetch_prefix_pos(s)
                     else:
                         pterms.update(u.terms)
         self._fetch(sorted(terms))
@@ -386,7 +393,7 @@ class LocalServer:
         (FTS5 '^') by filtering instance starts to position 0 (tf=1)."""
         if unit.anchored:
             return self._anchored_postings(unit)
-        if unit.prefix:
+        if star_slots(unit):
             if unit.is_phrase:
                 pp = self._pp_eval(unit)
                 ids = sorted(pp)
@@ -435,40 +442,51 @@ class LocalServer:
         )
 
     def _pp_eval(self, unit) -> dict[int, tuple[np.ndarray, int]]:
-        """Phrase-prefix unit ('"a b"*') from the resident caches:
-        {doc: (instance starts asc, dl)} — head phrase positions with a
-        stem-matching successor (numpy mirror of
-        ``InvertedIndex._phrase_prefix_starts``)."""
-        maps = []
-        for t in unit.terms[:-1]:
-            m: dict[int, tuple[np.ndarray, int]] = {}
-            for _, ids, _tfs, dls, positions in self._pcache.get(t, []):
-                for j, d in enumerate(ids):
-                    m[int(d)] = (positions[j], int(dls[j]))
+        """Starred-phrase unit — tail star ('"a b"*') and/or internal
+        stars ('a* + b') — from the resident caches:
+        {doc: (instance starts asc, dl)}. Slot-shifted intersection;
+        plain slots draw from the positional term cache, starred slots
+        from the stem's prefix positional tier (numpy mirror of
+        ``InvertedIndex._phrase_starts_any``)."""
+        slots = set(star_slots(unit))
+        maps: list[dict[int, np.ndarray]] = []
+        dl_of: dict[int, int] = {}
+        common: set[int] | None = None
+        for i, t in enumerate(unit.terms):
+            if i in slots:
+                m = self._fetch_prefix_pos(t)
+            else:
+                m = {}
+                for _, ids, _tfs, dls, positions in self._pcache.get(t, []):
+                    for j, d in enumerate(ids):
+                        m[int(d)] = positions[j]
+                        dl_of[int(d)] = int(dls[j])
             maps.append(m)
-        tail = self._fetch_prefix_pos(unit.terms[-1])
-        common = set(maps[0]) & set(tail)
-        for m in maps[1:]:
-            common &= set(m)
+            common = set(m) if common is None else (common & set(m))
+        if not common:
+            return {}
+        if any(d not in dl_of for d in common):
+            # every slot starred: dls come from the (memoized) prefix
+            # tf tier of the first stem — its doc set covers common
+            stem0 = unit.terms[sorted(slots)[0]]
+            ids_all, _tfs, dls_all = self._fetch_prefix(stem0)
+            dl_of.update(zip(ids_all.tolist(), dls_all.tolist()))
         out: dict[int, tuple[np.ndarray, int]] = {}
-        nh = len(unit.terms) - 1
         for d in sorted(common):
-            starts = maps[0][d][0]
-            for i in range(1, nh):
-                starts = np.intersect1d(starts, maps[i][d][0] - i)
+            starts = maps[0][d]
+            for i in range(1, len(unit.terms)):
+                starts = np.intersect1d(starts, maps[i][d] - i)
                 if starts.size == 0:
                     break
             if starts.size:
-                starts = np.intersect1d(starts, tail[d] - nh)
-            if starts.size:
-                out[d] = (starts, maps[0][d][1])
+                out[d] = (starts, dl_of[d])
         return out
 
     def _anchored_postings(self, unit) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Numpy mirror of ``InvertedIndex._anchored_tf``: docs whose
         anchored instance set contains token position 0; tf=1 (a doc
         starts at most once)."""
-        if unit.prefix:
+        if star_slots(unit):
             if unit.is_phrase:
                 pp = self._pp_eval(unit)
                 docs = sorted(d for d, (st, _dl) in pp.items() if st[0] == 0)
@@ -539,12 +557,8 @@ class LocalServer:
             )
         units = pq.units()
         if self._over_residency_cap(
-            sorted({
-                t
-                for u in units
-                for t in (u.terms[:-1] if u.prefix else u.terms)
-            }),
-            sorted({u.terms[-1] for u in units if u.prefix}),
+            sorted({t for u in units for t in plain_terms(u)}),
+            sorted({s for u in units for s in stem_terms(u)}),
         ):
             return self.index.search_expr(query_text, k, strict=strict).toPandas()
         self._fetch(
@@ -556,23 +570,23 @@ class LocalServer:
         )
         near_groups = pq.near_groups()
         # positions are needed for: phrase terms, anchored term/phrase
-        # units, non-prefix NEAR members, and the HEAD terms of
-        # phrase-prefix units ('"a b"*' — the stem's positions come from
-        # the memoized _fetch_prefix_pos inside _pp_eval)
+        # units, non-starred NEAR members, and the PLAIN-slot terms of
+        # starred phrases ('"a b"*' / 'a* + b' — every stem's positions
+        # come from the memoized _fetch_prefix_pos inside _pp_eval)
         pterms = sorted(
-            {t for u in units if u.is_phrase and not u.prefix for t in u.terms}
-            | {t for u in units if u.anchored and not u.prefix for t in u.terms}
+            {t for u in units if u.is_phrase and not star_slots(u) for t in u.terms}
+            | {t for u in units if u.anchored and not star_slots(u) for t in u.terms}
             | {
                 t
                 for u in list(units) + [u for g in near_groups for u in g.phrases]
-                if u.prefix and u.is_phrase
-                for t in u.terms[:-1]
+                if star_slots(u) and u.is_phrase
+                for t in plain_terms(u)
             }
             | {
                 t
                 for grp in near_groups
                 for u in grp.phrases
-                if not u.prefix
+                if not star_slots(u)
                 for t in u.terms
             }
         )
@@ -924,31 +938,31 @@ class LocalServer:
                 out[key] = np.sort(starts)
         return out, dlm
 
-    def _mc_pp_starts(self, terms: tuple) -> tuple[dict, dict]:
-        """Phrase-prefix instance starts per (doc, FIELD) — numpy mirror
-        of ``query._phrase_prefix_starts_mc`` (head intersection within
-        one column, then a stem-matching successor from the prefix
-        positional tier)."""
+    def _mc_pp_starts(self, terms: tuple, slots: tuple[int, ...]) -> tuple[dict, dict]:
+        """Starred-phrase instance starts per (doc, FIELD) — numpy
+        mirror of ``query._phrase_starts_any_mc``: slot-shifted
+        intersection within one column; plain slots from the positional
+        term cache, starred slots (tail or internal) from the stem's
+        prefix positional tier."""
+        star = set(slots)
         maps, dlm = [], {}
-        for t in terms[:-1]:
-            m, dl_t = self._mc_pos_maps(t)
+        for i, t in enumerate(terms):
+            if i in star:
+                m, dl_t = self._fetch_prefix_pos_mc(t)
+            else:
+                m, dl_t = self._mc_pos_maps(t)
             maps.append(m)
             dlm.update(dl_t)
-        tailm, dl_tail = self._fetch_prefix_pos_mc(terms[-1])
-        dlm.update(dl_tail)
-        common = set(maps[0]) & set(tailm)
+        common = set(maps[0])
         for m in maps[1:]:
             common &= set(m)
-        nh = len(terms) - 1
         out: dict[tuple, np.ndarray] = {}
         for key in common:
             starts = maps[0][key]
-            for i in range(1, nh):
+            for i in range(1, len(terms)):
                 starts = np.intersect1d(starts, maps[i][key] - i)
                 if starts.size == 0:
                     break
-            if starts.size:
-                starts = np.intersect1d(starts, tailm[key] - nh)
             if starts.size:
                 out[key] = np.sort(starts)
         return out, dlm
@@ -958,10 +972,11 @@ class LocalServer:
         mirror of ``query._unit_percol_mc`` (anchored units count one
         instance per field anchored at its position 0)."""
         nf = len(self.meta.fields)
+        slots = star_slots(u)
         if u.anchored:
-            if u.prefix and u.is_phrase:
-                posm, dlm = self._mc_pp_starts(u.terms)
-            elif u.prefix:
+            if slots and u.is_phrase:
+                posm, dlm = self._mc_pp_starts(u.terms, slots)
+            elif slots:
                 posm, dlm = self._fetch_prefix_pos_mc(u.terms[0])
             elif u.is_phrase:
                 posm, dlm = self._mc_phrase_starts(u.terms)
@@ -974,12 +989,12 @@ class LocalServer:
                     tfc[c] = 1
                     out[d] = (dl, tfc)
             return out
-        if u.prefix and not u.is_phrase:
+        if slots and not u.is_phrase:
             return self._fetch_prefix_mc(u.terms[0])
         if u.is_phrase:
             posm, dlm = (
-                self._mc_pp_starts(u.terms)
-                if u.prefix
+                self._mc_pp_starts(u.terms, slots)
+                if slots
                 else self._mc_phrase_starts(u.terms)
             )
             out = {}
@@ -1013,9 +1028,10 @@ class LocalServer:
 
     def _mc_member_starts(self, u) -> tuple[dict, dict]:
         """NEAR member instance starts per (doc, FIELD)."""
-        if u.prefix:
+        slots = star_slots(u)
+        if slots:
             if u.is_phrase:
-                return self._mc_pp_starts(u.terms)
+                return self._mc_pp_starts(u.terms, slots)
             return self._fetch_prefix_pos_mc(u.terms[0])
         if u.is_phrase:
             return self._mc_phrase_starts(u.terms)
@@ -1036,31 +1052,28 @@ class LocalServer:
         units = pq.units()
         near_groups = pq.near_groups()
         if self._over_residency_cap(
-            sorted({
-                t
-                for u in units
-                for t in (u.terms[:-1] if u.prefix else u.terms)
-            }),
-            sorted({u.terms[-1] for u in units if u.prefix}),
+            sorted({t for u in units for t in plain_terms(u)}),
+            sorted({s for u in units for s in stem_terms(u)}),
         ):
             return self.index._search_parsed(pq, k, weights).toPandas()
         # fetch tiers: positions for phrase/anchored units, NEAR members,
-        # and phrase-prefix HEAD terms (the stem's positions come from the
-        # memoized _fetch_prefix_pos_mc); plain tf streams for the rest
+        # and starred phrases' PLAIN-slot terms (every stem's positions
+        # come from the memoized _fetch_prefix_pos_mc); plain tf streams
+        # for the rest
         all_members = list(units) + [u for g in near_groups for u in g.phrases]
         pos_terms = sorted(
-            {t for u in units if (u.is_phrase or u.anchored) and not u.prefix
+            {t for u in units if (u.is_phrase or u.anchored) and not star_slots(u)
              for t in u.terms}
-            | {t for g in near_groups for u in g.phrases if not u.prefix
+            | {t for g in near_groups for u in g.phrases if not star_slots(u)
                for t in u.terms}
-            | {t for u in all_members if u.prefix and u.is_phrase
-               for t in u.terms[:-1]}
+            | {t for u in all_members if star_slots(u) and u.is_phrase
+               for t in plain_terms(u)}
         )
-        plain_terms = sorted(
+        bare_terms = sorted(
             {u.terms[0] for u in units
              if not u.is_phrase and not u.prefix and not u.anchored}
         )
-        self._fetch_mc(plain_terms)
+        self._fetch_mc(bare_terms)
         if pos_terms:
             self._fetch_mc(pos_terms, positions=True)
 

@@ -106,41 +106,24 @@ def tokenize_offsets(text: str, analyzer: str) -> list[tuple[str, int, int]]:
 
 
 def _unit_instances(u: Unit, toks: list[str]) -> list[int]:
-    """Start positions of the unit's instances in one column's tokens."""
-    if u.anchored:
-        k = len(u.terms)
-        if u.prefix:
-            # single stem: first token matches; phrase-prefix: head at 0
-            # and a stem-matching successor
-            ok = (
-                len(toks) >= k
-                and toks[: k - 1] == list(u.terms[:-1])
-                and toks[k - 1].startswith(u.terms[-1])
-            )
-        else:
-            ok = toks[: k] == list(u.terms) if k > 1 else (
-                bool(toks) and toks[0] == u.terms[0]
-            )
-        return [0] if ok else []
-    if u.prefix:
-        if len(u.terms) > 1:  # phrase-prefix: '"a b"*'
-            head = list(u.terms[:-1])
-            stem = u.terms[-1]
-            k = len(u.terms)
-            return [
-                i for i in range(len(toks) - k + 1)
-                if toks[i : i + k - 1] == head and toks[i + k - 1].startswith(stem)
-            ]
-        stem = u.terms[0]
-        return [i for i, t in enumerate(toks) if t.startswith(stem)]
-    if len(u.terms) == 1:
-        t0 = u.terms[0]
-        return [i for i, t in enumerate(toks) if t == t0]
+    """Start positions of the unit's instances in one column's tokens.
+    Starred slots (single-stem prefix, '"a b"*' tail star, 'a* + b'
+    internal stars) prefix-match their token; plain slots match
+    exactly; ``^`` keeps only start 0."""
+    from sparkgrep.functions.querylang import star_slots
+
     k = len(u.terms)
-    terms = list(u.terms)
-    return [
-        i for i in range(len(toks) - k + 1) if toks[i : i + k] == terms
-    ]
+    star = set(star_slots(u))
+
+    def _at(i: int) -> bool:
+        return all(
+            toks[i + j].startswith(t) if j in star else toks[i + j] == t
+            for j, t in enumerate(u.terms)
+        )
+
+    if u.anchored:
+        return [0] if len(toks) >= k and _at(0) else []
+    return [i for i in range(len(toks) - k + 1) if _at(i)]
 
 
 def _allowed_cols(u_cols, ncols: int) -> list[int]:

@@ -83,37 +83,28 @@ def bm25_expr_oracle(
     n = len(toks)
     avgdl = sum(dls.values()) / n if n else 0.0
 
-    def _pp_starts(doc_toks, unit):
-        # phrase-prefix '"a b"*': head phrase + stem-matching successor
+    from sparkgrep.functions.querylang import star_slots
+
+    def _starts(doc_toks, unit):
+        # one instance evaluator for every slot mix: starred slots
+        # (single-stem prefix, '"a b"*' tail, 'a* + b' internal)
+        # prefix-match their token, plain slots match exactly
         L = len(unit.terms)
-        head = unit.terms[:-1]
+        star = set(star_slots(unit))
         return [
-            i for i in range(len(doc_toks) - L + 1)
-            if tuple(doc_toks[i : i + L - 1]) == head
-            and doc_toks[i + L - 1].startswith(unit.terms[-1])
+            i
+            for i in range(len(doc_toks) - L + 1)
+            if all(
+                doc_toks[i + j].startswith(t) if j in star else doc_toks[i + j] == t
+                for j, t in enumerate(unit.terms)
+            )
         ]
 
     def unit_tf(doc_toks, unit) -> int:
         if unit.anchored:
             # FTS5 '^': only instances at token position 0 count → tf∈{0,1}
-            if unit.prefix:
-                if len(unit.terms) > 1:
-                    return int(0 in _pp_starts(doc_toks, unit))
-                return int(bool(doc_toks) and doc_toks[0].startswith(unit.terms[0]))
-            L = len(unit.terms)
-            return int(tuple(doc_toks[:L]) == unit.terms)
-        if unit.prefix:
-            if len(unit.terms) > 1:
-                return len(_pp_starts(doc_toks, unit))
-            return sum(1 for t in doc_toks if t.startswith(unit.terms[0]))
-        if len(unit.terms) == 1:
-            return sum(1 for t in doc_toks if t == unit.terms[0])
-        cnt = 0
-        L = len(unit.terms)
-        for i in range(len(doc_toks) - L + 1):
-            if tuple(doc_toks[i : i + L]) == unit.terms:
-                cnt += 1
-        return cnt
+            return int(0 in _starts(doc_toks, unit))
+        return len(_starts(doc_toks, unit))
 
     units = pq.units()
     utf = {u.uid: {d: unit_tf(t, u) for d, t in toks.items()} for u in units}
@@ -123,16 +114,7 @@ def bm25_expr_oracle(
     from sparkgrep.functions.querylang import near_ok, near_supported
 
     def unit_starts(doc_toks, unit):
-        if unit.prefix:
-            if len(unit.terms) > 1:
-                return _pp_starts(doc_toks, unit)
-            return [i for i, t in enumerate(doc_toks) if t.startswith(unit.terms[0])]
-        L = len(unit.terms)
-        return [
-            i
-            for i in range(len(doc_toks) - L + 1)
-            if tuple(doc_toks[i : i + L]) == unit.terms
-        ]
+        return _starts(doc_toks, unit)
 
     # NEAR groups → constrained member atoms (rows only for satisfying
     # docs, tf = supported instances, df = member's full presence)

@@ -120,13 +120,15 @@ def test_plus_concat_rank_identical(fts5pp, pp_index, query):
         assert abs(-fts_score - eng_score) <= 1e-9, (query, fts_score, eng_score)
 
 
-def test_plus_midphrase_prefix_raises(pp_index):
-    """'a* + b' (FTS5 phrase-internal prefix) is outside the tail-prefix
-    unit model: refused loudly, never silently mis-scored."""
-    from sparkgrep.functions.querylang import parse_query
+def test_plus_midphrase_prefix_parses(pp_index):
+    """'a* + b' (FTS5 phrase-internal prefix) parses to one phrase atom
+    with the star recorded on its slot (full parity suite:
+    tests/test_star_internal.py)."""
+    from sparkgrep.functions.querylang import parse_query, star_slots
 
-    with pytest.raises(ValueError, match="phrase-internal prefix"):
-        parse_query("foo* + bar", "fts5")
+    (u,) = parse_query("foo* + bar", "fts5").units()
+    assert u.terms == ("foo", "bar") and star_slots(u) == (0,)
+    assert not u.prefix and u.stars == (0,)
 
 
 def test_serve_resident_bitwise(pp_index):
