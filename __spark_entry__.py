@@ -1409,6 +1409,50 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
+# `scan filter` on a detail=none multi-field index: the index stores
+# ONLY the total-tf streams (single-field layout — FTS5's detail=none
+# storage level, colset queries raise), so each atom's tf/df are the
+# full-colset totals and scores equal the detail=full defaults.
+_MC_NONE_SQL = f"""
+WITH {_MC_CTES},
+a_scan AS (
+  SELECT c.doc_id,
+         ((1.0 * coalesce(CAST(mm.tf AS DOUBLE), 0.0))
+          + (1.0 * coalesce(CAST(bb.tf AS DOUBLE), 0.0))) AS tfw
+  FROM (SELECT DISTINCT doc_id FROM (
+          SELECT doc_id FROM mtf WHERE term = 'scan'
+          UNION ALL SELECT doc_id FROM btf WHERE term = 'scan')) c
+  LEFT JOIN (SELECT doc_id, tf FROM mtf WHERE term = 'scan') mm USING (doc_id)
+  LEFT JOIN (SELECT doc_id, tf FROM btf WHERE term = 'scan') bb USING (doc_id)
+),
+a_filter AS (
+  SELECT c.doc_id,
+         ((1.0 * coalesce(CAST(mm.tf AS DOUBLE), 0.0))
+          + (1.0 * coalesce(CAST(bb.tf AS DOUBLE), 0.0))) AS tfw
+  FROM (SELECT DISTINCT doc_id FROM (
+          SELECT doc_id FROM mtf WHERE term = 'filter'
+          UNION ALL SELECT doc_id FROM btf WHERE term = 'filter')) c
+  LEFT JOIN (SELECT doc_id, tf FROM mtf WHERE term = 'filter') mm USING (doc_id)
+  LEFT JOIN (SELECT doc_id, tf FROM btf WHERE term = 'filter') bb USING (doc_id)
+),
+matched AS (
+  SELECT m.doc_id, m.dl, f.tfw AS tf_filter, s.tfw AS tf_scan
+  FROM dl m
+  JOIN a_filter f USING (doc_id)
+  JOIN a_scan s USING (doc_id)
+),
+scored AS (
+  SELECT m.doc_id,
+         ({_mc_contrib('m.tf_filter', '(SELECT count(*) FROM a_filter)')}
+          + {_mc_contrib('m.tf_scan', '(SELECT count(*) FROM a_scan)')}) AS score
+  FROM matched m, stats
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+       doc_id, round(score, 4) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 def q_bm25_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FTS5 column filter on a multi-field index: ``meta:en scan filter``
     — the filtered atom matches/counts tf and df ONLY within the `meta`
@@ -1427,6 +1471,25 @@ def q_bm25_cols_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     3.0·tf_meta + 1.0·tf_body; matching stays weight-independent."""
     idx = _mc_index(spark, sf_dir)
     res = idx.search_expr("en OR scan", k=10, weights=[3.0, 1.0])
+    return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
+
+
+def q_bm25_detail_none(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FTS5 ``detail=none`` storage level (pinned by probe + SQLite
+    parity in tests/test_detail.py): a multi-field index that stores
+    ONLY the total-tf streams in the single-field layout — phrase/NEAR/
+    '^' and column-filter queries raise exactly like SQLite, plain
+    queries score identically to detail=full. The oracle recomputes the
+    full-colset totals from the raw parquet."""
+    from sparkgrep.operators.index_build import build_index
+    from sparkgrep.operators.query import InvertedIndex
+
+    out = tempfile.mkdtemp(prefix="sparkgrep_dn_") + "/idx"
+    build_index(
+        _mc_corpus(spark, sf_dir), out, analyzer="simple",
+        fields=_MC_FIELDS, n_buckets=8, detail="none",
+    )
+    res = InvertedIndex(spark, out).search_expr("scan filter", k=10)
     return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
 
 
@@ -1709,6 +1772,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_pruned": q_bm25_pruned,
     "bm25_pruned_delta": q_bm25_pruned_delta,
     "bm25_cols": q_bm25_cols,
+    "bm25_detail_none": q_bm25_detail_none,
     "bm25_cols_weighted": q_bm25_cols_weighted,
     "delta_delete": q_delta_delete,
     "delta_update": q_delta_update,
@@ -2239,6 +2303,7 @@ FROM documents
         # tf = (w0·tf_meta) + (w1·tf_body), colset-restricted dfs, dl =
         # the unweighted row total, uid-ordered contribution sum
         "bm25_cols": _MC_COLS_SQL,
+        "bm25_detail_none": _MC_NONE_SQL,
         "bm25_cols_weighted": _MC_WEIGHTED_SQL,
         "delta_update": _bm25_sql(
             flagship_terms, 10,

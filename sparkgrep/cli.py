@@ -85,6 +85,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                    help="comma-separated corpus columns for an FTS5-style "
                         "multi-column index (enables col: filters + per-"
                         "column bm25 weights)")
+    b.add_argument("--detail", default=None, choices=["full", "column", "none"],
+                   help="FTS5 storage level: full=positions, column=per-"
+                        "field tfs only, none=total streams only (colset "
+                        "queries raise, FTS5 parity)")
 
     q = sub.add_parser("query", help="top-k BM25 search against a built index")
     q.add_argument("--index", required=True)
@@ -203,6 +207,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     args.out,
                     store_positions=args.positions,
                     fields=args.fields.split(",") if args.fields else None,
+                    detail=args.detail,
                     **kw,
                 )
             print(json.dumps(meta.__dict__, default=list))

@@ -329,6 +329,17 @@ class ParsedQuery:
         return any(u.is_phrase for u in self.units())
 
 
+def uses_colsets(pq: ParsedQuery) -> bool:
+    """Whether any atom (including NOT operands and NEAR groups —
+    units()/near_groups() recurse) carries an FTS5 column filter. The
+    detail=none query gate: such queries raise FTS5's "column queries
+    are not supported (detail=none)" on an index without per-field tf
+    streams."""
+    return any(u.cols is not None for u in pq.units()) or any(
+        g.cols is not None for g in pq.near_groups()
+    )
+
+
 # complexity ceiling for DNF expansion of parenthesized queries — real
 # queries are tiny; this guards against adversarial OR-nesting blowup
 _MAX_DISJUNCTS = 64

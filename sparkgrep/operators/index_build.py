@@ -116,6 +116,28 @@ class IndexMeta:
     # weights, '^' field anchors, and within-field phrases/NEAR follow
     # SQLite FTS5 exactly (tests/test_multicol_parity.py).
     fields: tuple = ()
+    # FTS5 ``detail=`` storage option (probed 2026-08): 'full' keeps
+    # positions, 'column' per-field tf streams without positions,
+    # 'none' only the total-tf streams — colset queries then raise
+    # FTS5's "column queries are not supported (detail=none)" and a
+    # detail=none index is stored and decoded EXACTLY like a
+    # single-field index (fields kept in meta only for colspec parsing).
+    # NOTE one deliberate divergence, both directions exact where
+    # supported: FTS5 detail=none/column tables store NO tf at all and
+    # recompute aux data by re-tokenizing stored row content (slow); we
+    # store no content, so we keep the (tiny) total-tf varint stream —
+    # plain/prefix/weighted-column bm25 stays exact without any rescan.
+    # '' = legacy index: derived in effective_detail().
+    detail: str = ""
+
+    def effective_detail(self) -> str:
+        """The index's FTS5 detail level, derived for pre-knob indexes
+        from what they physically store."""
+        if self.detail:
+            return self.detail
+        if self.has_positions:
+            return "full"
+        return "column" if self.fields else "none"
 
 
 # v2 postings are BLOCK-ADDRESSABLE: doc_ids gap encoding resets at every
@@ -154,8 +176,10 @@ TERM_UBS_SCHEMA = "term string, df long, ub double, bucket int"
 
 def postings_schema(meta: "IndexMeta") -> str:
     """The postings DDL string matching an index's meta — shared by the
-    writer and every reader (explicit schemas keep empty dirs readable)."""
-    if meta.fields:
+    writer and every reader (explicit schemas keep empty dirs readable).
+    A detail=none multi-field index stores the single-field layout (no
+    per-field streams exist to store)."""
+    if meta.fields and meta.effective_detail() != "none":
         return (
             POSTINGS_OUT_SCHEMA_MC_POS
             if meta.has_positions
@@ -258,6 +282,7 @@ def spimi_term_freqs_mc(
     analyzer: str = "simple",
     use_lang: bool = False,
     positions: bool = False,
+    collapse: bool = False,
 ) -> DataFrame:
     """Multi-field SPIMI runs: one (term, doc_id, col, tf, dl) row per
     (doc, term, FIELD), still with no shuffle. ``dl`` is the doc's TOTAL
@@ -266,8 +291,18 @@ def spimi_term_freqs_mc(
     FIELD-RELATIVE (reset at each field start), so '^' anchors to a
     field's first token and phrases/NEAR never span fields. One sentinel
     row per doc (term='', col=0) carries dl for the doc_lengths filter,
-    exactly like the single-field pass."""
+    exactly like the single-field pass.
+
+    ``collapse=True`` (the ``detail=none`` storage level) folds the
+    per-field rows to (term, doc_id, tf_total, dl) INSIDE the Arrow
+    batch — an intra-document statistic, so still zero shuffle — and
+    returns the exact single-field SPIMI shape: every downstream stage
+    (run-shuffle fold, merge, deltas, compaction) then runs the plain
+    single-field machinery unchanged."""
     from sparkgrep.schema import TERM_FREQ_MC_POS_SCHEMA, TERM_FREQ_MC_SCHEMA
+
+    if collapse and positions:
+        raise ValueError("collapse (detail=none) stores no positions")
 
     cols = ["doc_id"] + list(fields) + (
         ["lang"] if use_lang and "lang" in corpus.columns else []
@@ -327,8 +362,22 @@ def spimi_term_freqs_mc(
                     ["positions"] if positions else []
                 )
                 frames.append(run[keep])
-            yield pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+            out = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+            if collapse:
+                # fold (doc, term, FIELD) rows to per-doc totals; the
+                # sentinel rows (term='') are one-per-doc already and
+                # fold to themselves (sum of their zero tfs)
+                out = (
+                    out.groupby(["term", "doc_id"], sort=False)
+                    .agg(tf=("tf", "sum"), dl=("dl", "first"))
+                    .reset_index()
+                )
+                out["tf"] = out["tf"].astype("int32")
+                out["dl"] = out["dl"].astype("int32")
+            yield out
 
+    if collapse:
+        return narrow.mapInPandas(gen, TERM_FREQ_SCHEMA)
     schema = TERM_FREQ_MC_POS_SCHEMA if positions else TERM_FREQ_MC_SCHEMA
     return narrow.mapInPandas(gen, schema)
 
@@ -737,7 +786,11 @@ def _make_partition_encoder(meta: IndexMeta):
     batch's final (possibly incomplete) group is carried into the next
     batch; the last group flushes at end of partition.
     """
-    frame_fn = _encode_groups_frame_mc if meta.fields else _encode_groups_frame
+    frame_fn = (
+        _encode_groups_frame_mc
+        if meta.fields and meta.effective_detail() != "none"
+        else _encode_groups_frame
+    )
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry: pd.DataFrame | None = None
@@ -1192,6 +1245,7 @@ def _build_index_fused(
     out_dir: str,
     analyzer: str,
     use_lang: bool,
+    detail: str,
     n_buckets: int,
     postings_per_shard: int,
     block_size: int,
@@ -1245,6 +1299,7 @@ def _build_index_fused(
             k1=k1,
             b=b,
             idf_variant=idf_variant,
+            detail=detail,
         )
         real = runs0.filter(F.col("term") != "")
         hot_rows = (
@@ -1284,6 +1339,7 @@ def merge_and_write(
     t0: float | None = None,
     merge_partitions: int | None = None,
     fields: tuple | list = (),
+    detail: str = "",
 ) -> IndexMeta:
     """Global merge phase over term-frequency runs (from a live SPIMI
     pass or from checkpointed segments): stats, df, sharded salted merge,
@@ -1292,10 +1348,13 @@ def merge_and_write(
     ``fields`` (multi-field runs from :func:`spimi_term_freqs_mc`): the
     tf relation then has one row per (doc, term, FIELD) and df counts
     DISTINCT docs; the encoder collapses field rows into per-doc streams
-    (:func:`_encode_groups_frame_mc`)."""
+    (:func:`_encode_groups_frame_mc`). With ``detail='none'`` the runs
+    are already collapsed (``spimi_term_freqs_mc(collapse=True)``) —
+    ``fields`` is recorded in the meta for colspec parsing but the whole
+    merge (including the run-shuffle fold) is the single-field one."""
     t0 = t0 or time.time()
     has_positions = "positions" in tf.columns
-    mc = bool(fields)
+    mc = bool(fields) and detail != "none"
     # doc_lens: every doc has exactly one sentinel row (term='') in the
     # SPIMI runs, so the doc-length table is a narrow FILTER — zero
     # shuffle — rather than a groupBy(doc_id) over the widest relation.
@@ -1324,6 +1383,7 @@ def merge_and_write(
         idf_variant=idf_variant,
         has_positions=has_positions,
         fields=tuple(fields),
+        detail=detail,
     )
 
     # sentinel rows (term='') carry doc lengths above but never become
@@ -1470,6 +1530,7 @@ def build_index(
     use_lang: bool = False,
     store_positions: bool = False,
     fields: list[str] | None = None,
+    detail: str | None = None,
     **merge_kw,
 ) -> IndexMeta:
     """One-shot index build: SPIMI pass + global merge.
@@ -1483,8 +1544,28 @@ def build_index(
     subject/body_text/sender, message_manager.py:101-110): queries gain
     column filters (``path:tok``) and per-column BM25 weights, with
     phrases/NEAR/'^' confined to a field exactly like SQLite. None keeps
-    the classic single-'content' index, byte-for-byte."""
+    the classic single-'content' index, byte-for-byte.
+
+    ``detail`` is FTS5's storage knob, with the same query surface per
+    level (pinned by probe): 'full' = positions (phrases/NEAR/'^' live),
+    'column' = per-field tf streams without positions (colsets +
+    per-column weights live, phrase-family queries raise), 'none' = only
+    the total streams — column-filter queries raise FTS5's "column
+    queries are not supported (detail=none)" and the index is stored,
+    merged and decoded exactly like a single-field index (run-shuffle
+    fold included). None = keep the explicit ``store_positions`` flags
+    (legacy surface, byte-for-byte)."""
     t0 = time.time()
+    if detail is not None:
+        if detail not in ("full", "column", "none"):
+            raise ValueError(f"detail must be full|column|none, got {detail!r}")
+        if detail == "full":
+            store_positions = True
+        elif store_positions:
+            raise ValueError(
+                f"detail={detail} stores no positions — drop "
+                "store_positions=True or use detail='full'"
+            )
     if (
         not fields
         and not store_positions
@@ -1498,6 +1579,7 @@ def build_index(
             out_dir,
             analyzer,
             use_lang,
+            detail=detail or "",
             n_buckets=merge_kw.get("n_buckets", 64),
             postings_per_shard=merge_kw.get("postings_per_shard", 1 << 20),
             block_size=merge_kw.get("block_size", BLOCK_SIZE),
@@ -1510,7 +1592,8 @@ def build_index(
         )
     if fields:
         tf = spimi_term_freqs_mc(
-            corpus, list(fields), analyzer, use_lang, positions=store_positions
+            corpus, list(fields), analyzer, use_lang,
+            positions=store_positions, collapse=detail == "none",
         )
     else:
         tf = spimi_term_freqs(corpus, analyzer, use_lang, positions=store_positions)
@@ -1519,7 +1602,8 @@ def build_index(
     tf.persist()
     try:
         return merge_and_write(
-            tf, out_dir, analyzer, t0=t0, fields=tuple(fields or ()), **merge_kw
+            tf, out_dir, analyzer, t0=t0, fields=tuple(fields or ()),
+            detail=detail or "", **merge_kw,
         )
     finally:
         tf.unpersist()

@@ -542,8 +542,10 @@ class InvertedIndex:
         lossless basis compaction re-merges from. On a multi-field index
         rows are per (term, doc, FIELD) with a ``col`` column and
         field-relative positions — exactly the multi-field SPIMI shape,
-        so compaction feeds them straight back through the merge."""
-        if self.meta.fields:
+        so compaction feeds them straight back through the merge. A
+        detail=none index stores (and therefore decodes) the plain
+        single-field shape — per-doc totals."""
+        if self.meta.fields and self.meta.effective_detail() != "none":
             schema = "term string, doc_id long, col int, tf int, dl int" + (
                 ", positions array<int>" if with_positions else ""
             )
@@ -894,7 +896,15 @@ class InvertedIndex:
     def _search_parsed(
         self, pq: ParsedQuery, k: int, weights=None
     ) -> DataFrame:
-        if self.meta.fields:
+        if self.meta.fields and self.meta.effective_detail() == "none":
+            # detail=none: fields exist for colspec PARSING only — the
+            # index stores single-field-shaped total streams. Colset
+            # queries raise exactly like FTS5; per-column weights raise
+            # too (FTS5 recomputes per-column tf by re-tokenizing stored
+            # row content — this index stores no content).
+            self._check_detail_none(pq, weights)
+            unit_tf, groups, near_uids = self._unit_tf_sf(pq)
+        elif self.meta.fields:
             unit_tf, groups, near_uids = self._unit_tf_mc(pq, weights)
         else:
             if weights is not None:
@@ -908,6 +918,23 @@ class InvertedIndex:
             return self._rank_units(pq, unit_tf, groups, near_uids, k)
         finally:
             unit_tf.unpersist()
+
+    def _check_detail_none(self, pq: ParsedQuery, weights) -> None:
+        """Query gates for a detail=none index (FTS5 parity, probed):
+        column filters raise SQLite's exact complaint; weights raise
+        with the documented divergence (FTS5's slow content-rescan
+        fallback has nothing to rescan here — the index stores no
+        content, and detail=none stores no per-field tfs)."""
+        from sparkgrep.functions.querylang import uses_colsets
+
+        if uses_colsets(pq):
+            raise ValueError("column queries are not supported (detail=none)")
+        if weights is not None:
+            raise ValueError(
+                "per-column weights are not supported on a detail=none "
+                "index (no per-field tf streams; build with "
+                "detail='column' or 'full')"
+            )
 
     def _unit_tf_sf(self, pq: ParsedQuery):
         """Per-unit per-doc (tf, dl) relation for a SINGLE-FIELD index:

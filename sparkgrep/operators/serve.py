@@ -548,7 +548,12 @@ class LocalServer:
             if strict:
                 raise ValueError("empty query (FTS5 parity: empty MATCH is an error)")
             return _EMPTY.copy()
-        if meta.fields:
+        if meta.fields and meta.effective_detail() == "none":
+            # detail=none stores the single-field layout: colsets raise
+            # (FTS5 parity), weights raise (no per-field tfs), plain
+            # queries ride the resident single-field tier below
+            self.index._check_detail_none(pq, weights)
+        elif meta.fields:
             return self._search_expr_mc(pq, k, weights)
         if weights is not None:
             raise ValueError(

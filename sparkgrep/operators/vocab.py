@@ -110,6 +110,15 @@ def vocab(index: InvertedIndex, level: str = "row") -> DataFrame:
             F.sum("doc").alias("doc"), F.sum("cnt").alias("cnt")
         )
     if level == "col":
+        if index.meta.fields and index.meta.effective_detail() == "none":
+            # detail=none stores no per-field streams: FTS5's col view
+            # degrades to ONE row per term with col=NULL (probed on a
+            # real detail=none table). doc is the term's total doc
+            # count; cnt is the stored total instance count (a superset
+            # of FTS5, which stores no tf at all and reports NULL).
+            return vocab(index, "row").select(
+                "term", F.lit(None).cast("string").alias("col"), "doc", "cnt"
+            )
         fields = _field_names(index)
         schema = "term string, col_ix int, doc long, cnt long"
         parts = index.postings.mapInPandas(

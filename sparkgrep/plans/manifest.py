@@ -298,6 +298,7 @@ def append_batch_delta(
     use_lang: bool = False,
     store_positions: bool = False,
     fields: tuple | list = (),
+    detail: str = "",
     **merge_kw,
 ) -> IndexMeta:
     """O(batch) incremental maintenance: the batch becomes its own
@@ -330,6 +331,7 @@ def append_batch_delta(
         analyzer = root.analyzer
         store_positions = root.has_positions
         fields = tuple(root.fields or ())  # layer consistency
+        detail = root.detail  # 'none' is always stored explicitly
         merge_kw.setdefault("n_buckets", root.n_buckets)
         merge_kw.setdefault("postings_per_shard", root.postings_per_shard)
         merge_kw.setdefault("block_size", root.block_size)
@@ -344,7 +346,7 @@ def append_batch_delta(
     if fields:
         tf = spimi_term_freqs_mc(
             corpus_batch, list(fields), analyzer, use_lang,
-            positions=store_positions,
+            positions=store_positions, collapse=detail == "none",
         )
     else:
         tf = spimi_term_freqs(
@@ -355,13 +357,15 @@ def append_batch_delta(
 
     if not root_exists:  # bootstrap: the first batch IS the base layer
         return merge_and_write(
-            tf_disk, out_dir, analyzer, fields=tuple(fields), **merge_kw
+            tf_disk, out_dir, analyzer, fields=tuple(fields), detail=detail,
+            **merge_kw,
         )
 
     seq = len(root.layers or ())
     delta_rel = f"delta/{seq:05d}"
     dmeta = merge_and_write(
-        tf_disk, f"{out_dir}/{delta_rel}", analyzer, fields=tuple(fields), **merge_kw
+        tf_disk, f"{out_dir}/{delta_rel}", analyzer, fields=tuple(fields),
+        detail=detail, **merge_kw,
     )
 
     n_docs = root.n_docs + dmeta.n_docs
@@ -446,10 +450,11 @@ def delete_batch_delta(
 
     # O(batch): tokenize only the deleted docs (analyzer pinned by the
     # index; positions never needed — only dfs and lengths)
+    coll = root.effective_detail() == "none"
     if root.fields:
         tf = spimi_term_freqs_mc(
             corpus_batch, list(root.fields), root.analyzer, use_lang,
-            positions=False,
+            positions=False, collapse=coll,
         )
     else:
         tf = spimi_term_freqs(
@@ -476,10 +481,15 @@ def delete_batch_delta(
         tf_disk.filter(F.col("term") != "")
         .groupBy("term")
         # multi-field runs have one row per (doc, term, FIELD): df is
-        # distinct docs there (mirrors merge_and_write's df)
+        # distinct docs there (mirrors merge_and_write's df); a
+        # detail=none index ships collapsed (single-field-shaped) runs
         .agg(
             (
-                -(F.countDistinct("doc_id") if root.fields else F.count("*"))
+                -(
+                    F.countDistinct("doc_id")
+                    if root.fields and not coll
+                    else F.count("*")
+                )
             ).cast("long").alias("df")
         )
         .withColumn("ub", F.lit(0.0))
@@ -555,8 +565,9 @@ def compact_index(
         F.lit(0).cast("int").alias("tf"),
         F.col("dl"),
     ]
-    if meta.fields:
+    if meta.fields and meta.effective_detail() != "none":
         # multi-field raw rows carry the field index; sentinels use 0
+        # (detail=none decodes — and re-merges — single-field-shaped)
         sent_cols.insert(2, F.lit(0).cast("int").alias("col"))
     if meta.has_positions:
         sent_cols.append(F.array().cast("array<int>").alias("positions"))
@@ -576,6 +587,7 @@ def compact_index(
         idf_variant=meta.idf_variant,
         merge_partitions=merge_partitions,
         fields=tuple(meta.fields or ()),
+        detail=meta.detail,
     )
     # the merge fully materialized the staging dir (writes are actions):
     # swap it in, then drop the folded delta layers
