@@ -653,6 +653,43 @@ def main() -> None:
         elat2.append(time.time() - t0)
     timings["bm25_p50_serve_expr"] = round(statistics.median(elat2), 4)
 
+    # --- FTS5 detail= storage levels on a 2-field index over the same
+    # sf corpus: positions are the bulk of a positional index, so
+    # detail=column/none are the scale knobs (FTS5's own storage story).
+    # One rep each — the numbers of record are the byte ratios.
+    def _dir_bytes(d: str) -> int:
+        tot = 0
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                try:
+                    tot += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+        return tot
+
+    from pyspark.sql import functions as F
+
+    detail_phase: dict[str, dict] = {}
+    mc_corpus = (
+        _load_c(spark, SF_DIR)
+        .withColumn("meta", F.concat_ws(" ", "lang", "path"))
+        .cache()
+    )
+    mc_corpus.count()
+    for lvl in ("full", "column", "none"):
+        d_out = tempfile.mkdtemp(prefix=f"sparkgrep_d{lvl}_") + "/idx"
+        t0 = time.time()
+        _build_pos(
+            mc_corpus, d_out, analyzer="simple", n_buckets=32,
+            fields=["meta", "content"], detail=lvl,
+        )
+        detail_phase[lvl] = {
+            "build_sec": round(time.time() - t0, 3),
+            "postings_mb": round(_dir_bytes(f"{d_out}/postings") / 1e6, 2),
+        }
+    mc_corpus.unpersist()
+    timings["detail_levels"] = detail_phase
+
     # --- batched serving (3 pre-declared reps, min — one-shot numbers
     # masqueraded as regressions in round 2 on this co-tenant box)
     blat = []
