@@ -722,6 +722,26 @@ def q_bm25_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
 
 
+def q_bm25_prefix_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FTS5 ``prefix=`` INDEX (sqlite.org/fts5.html#prefix_indexes): the
+    build stores one aggregated posting list per distinct 4-char term
+    prefix, so ``wind*`` resolves to a single marker-term lookup —
+    bucket-pruned, no dictionary scan — instead of a multi-term decode.
+    Probed on real SQLite to be pure acceleration (identical bm25
+    output), pinned bitwise vs the non-prefix index in
+    tests/test_prefix_index.py; same DuckDB oracle as ``bm25_prefix``."""
+    from sparkgrep.operators.index_build import build_index
+    from sparkgrep.operators.query import InvertedIndex
+
+    out = tempfile.mkdtemp(prefix="sparkgrep_pxi_") + "/idx"
+    build_index(
+        _corpus(spark, sf_dir), out, analyzer="simple", n_buckets=8,
+        prefix=[4],
+    )
+    res = InvertedIndex(spark, out).search_expr(PREFIX_QUERY, k=10)
+    return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
+
+
 def q_bm25_parens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parenthesized grouping: ``(hash OR window) scan`` — the parser
     normalizes to DNF ((hash AND scan) OR (window AND scan)); scoring is
@@ -1733,6 +1753,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_serve_expr": q_bm25_serve_expr,
     "bm25_not": q_bm25_not,
     "bm25_prefix": q_bm25_prefix,
+    "bm25_prefix_indexed": q_bm25_prefix_indexed,
     "bm25_parens": q_bm25_parens,
     "bm25_near": q_bm25_near,
     "bm25_not_group": q_bm25_not_group,
@@ -1951,6 +1972,11 @@ ORDER BY cf DESC, term ASC LIMIT 20
             [], ["hash"], 10, exclude_terms=["window"],
         ),
         "bm25_prefix": _units_sql(
+            [], ["scan"], 10, prefix_units=["wind"],
+            match_having="count(DISTINCT uid) = 2",
+        ),
+        # prefix= index is pure acceleration (probed): identical oracle
+        "bm25_prefix_indexed": _units_sql(
             [], ["scan"], 10, prefix_units=["wind"],
             match_having="count(DISTINCT uid) = 2",
         ),

@@ -85,6 +85,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                    help="comma-separated corpus columns for an FTS5-style "
                         "multi-column index (enables col: filters + per-"
                         "column bm25 weights)")
+    b.add_argument("--prefix", default=None,
+                   help="FTS5 prefix-index lengths, e.g. '2 3' — extra "
+                        "aggregated posting lists so matching stem* "
+                        "queries are single-term lookups")
     b.add_argument("--detail", default=None, choices=["full", "column", "none"],
                    help="FTS5 storage level: full=positions, column=per-"
                         "field tfs only, none=total streams only (colset "
@@ -191,6 +195,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 n_buckets=args.buckets,
                 postings_per_shard=args.postings_per_shard,
                 idf_variant=args.idf,
+                prefix=args.prefix,
             )
             if args.segments > 0:
                 if args.fields:

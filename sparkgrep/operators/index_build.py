@@ -64,6 +64,137 @@ from sparkgrep.schema import TERM_FREQ_POS_SCHEMA, TERM_FREQ_SCHEMA
 BLOCK_SIZE = 128
 XXHASH_SEED = 42  # F.xxhash64's fixed seed
 
+# FTS5 ``prefix=`` indexes (https://sqlite.org/fts5.html#prefix_indexes):
+# for each configured length n, the index holds one extra posting list
+# per distinct n-char term prefix, aggregating every matching term's
+# postings — so ``ab*`` is ONE term lookup instead of a dictionary
+# resolve + multi-term decode. Prefix entries live in the SAME postings
+# table under a marker term ('\x02' + prefix): they bucket, shard,
+# merge, layer, tombstone and compact as ordinary terms, and every
+# query path reaches them through InvertedIndex.prefix_terms. The
+# marker can never collide with a real token: unicode61 classifies
+# control codepoints as separators and the simple/code analyzers split
+# on non-alphanumerics, so no supported analyzer emits '\x02' (trigram
+# could — prefix= is refused there, a documented divergence from FTS5,
+# which accepts the combination but gains nothing from it). Probed on
+# real SQLite (3.40): prefix indexes are pure acceleration — bm25
+# results are IDENTICAL with and without them on every grammar
+# construct (plain/phrase-star/NEAR/anchored prefix; see
+# tests/test_prefix_index.py).
+PREFIX_MARKER = "\x02"
+
+
+def normalize_prefix(prefix) -> tuple:
+    """FTS5 ``prefix=`` option → sorted tuple of distinct lengths.
+    Accepts an int, an iterable of ints, or FTS5's space/comma-separated
+    string ('2 3'); validation mirrors SQLite's messages (probed:
+    lengths 1..999, duplicates legal, non-ints are 'malformed')."""
+    if prefix is None:
+        return ()
+    if isinstance(prefix, int):
+        prefix = [prefix]
+    elif isinstance(prefix, str):
+        prefix = prefix.replace(",", " ").split()
+    out = set()
+    for p in prefix:
+        try:
+            n = int(p)
+        except (TypeError, ValueError):
+            raise ValueError("malformed prefix=... directive") from None
+        if not 1 <= n <= 999:
+            raise ValueError("prefix length out of range (max 999)")
+        out.add(n)
+    return tuple(sorted(out))
+
+
+def _merge_positions(s: pd.Series):
+    """Union of a group's per-term position arrays, sorted ascending —
+    positions of distinct terms within one doc are disjoint, so this is
+    exactly the relation a multi-term ``stem*`` decode computes."""
+    if len(s) == 1:
+        return np.asarray(s.iloc[0], dtype=np.int32)
+    return np.sort(
+        np.concatenate([np.asarray(x, dtype=np.int32) for x in s])
+    )
+
+
+def _derive_prefix_rows(
+    run: pd.DataFrame, prefix_lengths: tuple, positions: bool, mc: bool
+) -> pd.DataFrame | None:
+    """Marker rows for a ``prefix=`` index, derived from a SPIMI run
+    frame (one row per (doc[, field], term)): for each configured length
+    n, every term with >= n chars contributes its posting to the entry
+    ``'\\x02' + term[:n]`` — tf summed, positions merged sorted, all
+    within the same (doc[, field]) group. Intra-document work: rides the
+    SPIMI pass, so prefix entries ship through the build's single
+    shuffle like any term. Sentinel rows (term='', len 0) never match
+    ``len >= n >= 1`` and are excluded for free."""
+    tl = run["term"].str.len()
+    parts = []
+    for n in prefix_lengths:
+        sub = run[tl >= n]
+        if sub.empty:
+            continue
+        parts.append(
+            sub.assign(term=PREFIX_MARKER + sub["term"].str.slice(0, n))
+        )
+    if not parts:
+        return None
+    allp = pd.concat(parts, ignore_index=True)
+    keys = ["term", "doc_id", "col"] if mc else ["term", "doc_id"]
+    aggs = {"tf": ("tf", "sum"), "dl": ("dl", "first")}
+    if positions:
+        aggs["positions"] = ("positions", _merge_positions)
+    out = allp.groupby(keys, sort=False).agg(**aggs).reset_index()
+    out["tf"] = out["tf"].astype("int32")
+    out["dl"] = out["dl"].astype("int32")
+    return out[run.columns.tolist()]
+
+
+def _extend_pairs_with_prefixes(uniq, p_code, p_didx, p_tf, ndocs, prefix_lengths):
+    """Pair-level prefix derivation for the fused SPIMI encoder:
+    aggregate each (doc, term) pair's tf into (doc, '\\x02'+term[:n])
+    pairs per configured length and append them to the pair arrays —
+    the same relation :func:`_derive_prefix_rows` yields on the raw
+    path, so fused and raw builds stay byte-for-byte identical with
+    ``prefix=`` set (asserted in tests/test_prefix_index.py)."""
+    uniq_arr = np.asarray(uniq, dtype=object)
+    t_pair = uniq_arr[p_code]
+    tl = np.fromiter((len(s) for s in t_pair), dtype=np.int64, count=len(t_pair))
+    d_terms, d_didx, d_tf = [], [], []
+    for n in prefix_lengths:
+        m = tl >= n
+        if not m.any():
+            continue
+        d_terms.append(
+            np.asarray(
+                [PREFIX_MARKER + s[:n] for s in t_pair[m]], dtype=object
+            )
+        )
+        d_didx.append(p_didx[m])
+        d_tf.append(p_tf[m])
+    if not d_terms:
+        return p_code, uniq, p_didx, p_tf
+    dt = np.concatenate(d_terms)
+    dd = np.concatenate(d_didx)
+    dtf = np.concatenate(d_tf)
+    # aggregate duplicates (two tokens sharing a prefix within one doc)
+    dcodes, _duniq = pd.factorize(dt, sort=False)
+    key = dcodes.astype(np.int64) * ndocs + dd
+    order = np.argsort(key)
+    sk = key[order]
+    change = np.flatnonzero(sk[1:] != sk[:-1]) + 1
+    st = np.concatenate(([0], change))
+    en = np.concatenate((change, [len(sk)]))
+    ctf = np.cumsum(dtf[order])
+    agg_tf = ctf[en - 1] - np.where(st > 0, ctf[st - 1], 0)
+    first = order[st]
+    comb_terms = np.concatenate((t_pair, dt[first]))
+    comb_didx = np.concatenate((p_didx, dd[first]))
+    comb_tf = np.concatenate((p_tf, agg_tf))
+    codes2, uniq2 = pd.factorize(comb_terms, sort=False)
+    return codes2, uniq2, comb_didx, comb_tf
+
 
 @dataclass(frozen=True)
 class IndexMeta:
@@ -129,6 +260,12 @@ class IndexMeta:
     # plain/prefix/weighted-column bm25 stays exact without any rescan.
     # '' = legacy index: derived in effective_detail().
     detail: str = ""
+    # FTS5 ``prefix=`` option: the configured prefix lengths (sorted,
+    # distinct). For each length n the postings hold one aggregated
+    # marker entry ('\x02' + prefix) per distinct n-char term prefix;
+    # InvertedIndex.prefix_terms resolves a matching ``stem*`` straight
+    # to its marker — one term lookup, no dictionary scan. () = none.
+    prefix: tuple = ()
 
     def effective_detail(self) -> str:
         """The index's FTS5 detail level, derived for pre-knob indexes
@@ -193,6 +330,7 @@ def spimi_term_freqs(
     analyzer: str = "simple",
     use_lang: bool = False,
     positions: bool = False,
+    prefix: tuple = (),
 ) -> DataFrame:
     """SPIMI local runs: (term, doc_id, tf, dl) with NO shuffle — term
     frequency is an intra-document statistic, computed per Arrow batch
@@ -270,6 +408,10 @@ def spimi_term_freqs(
                         pos[a:b] for a, b in zip(pstarts, pends)
                     ]
                 frames.append(run)
+                if prefix:
+                    extra = _derive_prefix_rows(run, prefix, positions, mc=False)
+                    if extra is not None:
+                        frames.append(extra)
             yield pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
 
     schema = TERM_FREQ_POS_SCHEMA if positions else TERM_FREQ_SCHEMA
@@ -283,6 +425,7 @@ def spimi_term_freqs_mc(
     use_lang: bool = False,
     positions: bool = False,
     collapse: bool = False,
+    prefix: tuple = (),
 ) -> DataFrame:
     """Multi-field SPIMI runs: one (term, doc_id, col, tf, dl) row per
     (doc, term, FIELD), still with no shuffle. ``dl`` is the doc's TOTAL
@@ -374,6 +517,16 @@ def spimi_term_freqs_mc(
                 )
                 out["tf"] = out["tf"].astype("int32")
                 out["dl"] = out["dl"].astype("int32")
+            if prefix:
+                # derive AFTER the detail=none collapse so the marker
+                # rows take the stored shape (per-field rows otherwise,
+                # per-doc totals when collapsed); sentinels (len-0 term)
+                # never match a length >= 1
+                extra = _derive_prefix_rows(
+                    out, prefix, positions, mc=not collapse
+                )
+                if extra is not None:
+                    out = pd.concat([out, extra], ignore_index=True)
             yield out
 
     if collapse:
@@ -1045,7 +1198,9 @@ RUNS0_SCHEMA = (
 )
 
 
-def _spimi_fused_run_encoder(analyzer: str, use_lang: bool, n_buckets: int):
+def _spimi_fused_run_encoder(
+    analyzer: str, use_lang: bool, n_buckets: int, prefix: tuple = ()
+):
     """ONE mapInPandas pass: tokenize → vectorized (doc, term)-pair
     counting → shard-less varint RUN rows (RUNS0_SCHEMA). Fusing SPIMI
     and run encoding means the raw posting relation (one ~50-byte row
@@ -1106,6 +1261,10 @@ def _spimi_fused_run_encoder(analyzer: str, use_lang: bool, n_buckets: int):
                 p_code = codes[korder[pstarts]]
                 p_didx = doc_idx[korder[pstarts]]
                 p_tf = (pends - pstarts).astype(np.int64)
+                if prefix:
+                    p_code, uniq, p_didx, p_tf = _extend_pairs_with_prefixes(
+                        uniq, p_code, p_didx, p_tf, ndocs, prefix
+                    )
                 p_id = doc_ids_b[p_didx]
                 p_dl = lens[p_didx]
                 # runs = pairs grouped by term, doc_ids ASCENDING within
@@ -1246,6 +1405,7 @@ def _build_index_fused(
     analyzer: str,
     use_lang: bool,
     detail: str,
+    prefix: tuple,
     n_buckets: int,
     postings_per_shard: int,
     block_size: int,
@@ -1270,7 +1430,8 @@ def _build_index_fused(
     runs0 = (
         corpus.select(*cols)
         .mapInPandas(
-            _spimi_fused_run_encoder(analyzer, use_lang, n_buckets), RUNS0_SCHEMA
+            _spimi_fused_run_encoder(analyzer, use_lang, n_buckets, prefix),
+            RUNS0_SCHEMA,
         )
         .persist()
     )
@@ -1300,6 +1461,7 @@ def _build_index_fused(
             b=b,
             idf_variant=idf_variant,
             detail=detail,
+            prefix=tuple(prefix or ()),
         )
         real = runs0.filter(F.col("term") != "")
         hot_rows = (
@@ -1340,6 +1502,7 @@ def merge_and_write(
     merge_partitions: int | None = None,
     fields: tuple | list = (),
     detail: str = "",
+    prefix: tuple | list = (),
 ) -> IndexMeta:
     """Global merge phase over term-frequency runs (from a live SPIMI
     pass or from checkpointed segments): stats, df, sharded salted merge,
@@ -1384,6 +1547,7 @@ def merge_and_write(
         has_positions=has_positions,
         fields=tuple(fields),
         detail=detail,
+        prefix=tuple(prefix or ()),
     )
 
     # sentinel rows (term='') carry doc lengths above but never become
@@ -1531,6 +1695,7 @@ def build_index(
     store_positions: bool = False,
     fields: list[str] | None = None,
     detail: str | None = None,
+    prefix=None,
     **merge_kw,
 ) -> IndexMeta:
     """One-shot index build: SPIMI pass + global merge.
@@ -1554,8 +1719,24 @@ def build_index(
     queries are not supported (detail=none)" and the index is stored,
     merged and decoded exactly like a single-field index (run-shuffle
     fold included). None = keep the explicit ``store_positions`` flags
-    (legacy surface, byte-for-byte)."""
+    (legacy surface, byte-for-byte).
+
+    ``prefix`` is FTS5's prefix-index option (int, iterable of ints, or
+    FTS5's '2 3' string): for each length n the index stores one extra
+    aggregated posting list per distinct n-char term prefix, so a
+    matching ``stem*`` query is a single term lookup — probed on real
+    SQLite to be pure acceleration (identical bm25 results on every
+    grammar construct). Refused with analyzer='trigram' (FTS5 accepts
+    but gains nothing: every trigram term is exactly 3 codepoints, and
+    trigram tokens may contain any codepoint, including the internal
+    marker)."""
     t0 = time.time()
+    prefix_t = normalize_prefix(prefix)
+    if prefix_t and analyzer == "trigram":
+        raise ValueError(
+            "prefix= indexes are not supported with the trigram "
+            "tokenizer (every term is exactly 3 codepoints)"
+        )
     if detail is not None:
         if detail not in ("full", "column", "none"):
             raise ValueError(f"detail must be full|column|none, got {detail!r}")
@@ -1580,6 +1761,7 @@ def build_index(
             analyzer,
             use_lang,
             detail=detail or "",
+            prefix=prefix_t,
             n_buckets=merge_kw.get("n_buckets", 64),
             postings_per_shard=merge_kw.get("postings_per_shard", 1 << 20),
             block_size=merge_kw.get("block_size", BLOCK_SIZE),
@@ -1594,16 +1776,20 @@ def build_index(
         tf = spimi_term_freqs_mc(
             corpus, list(fields), analyzer, use_lang,
             positions=store_positions, collapse=detail == "none",
+            prefix=prefix_t,
         )
     else:
-        tf = spimi_term_freqs(corpus, analyzer, use_lang, positions=store_positions)
+        tf = spimi_term_freqs(
+            corpus, analyzer, use_lang, positions=store_positions,
+            prefix=prefix_t,
+        )
     # Re-deriving tf twice (doc_lens + merge) would re-run the tokenizer;
     # persist the SPIMI runs for the duration of the build.
     tf.persist()
     try:
         return merge_and_write(
             tf, out_dir, analyzer, t0=t0, fields=tuple(fields or ()),
-            detail=detail or "", **merge_kw,
+            detail=detail or "", prefix=prefix_t, **merge_kw,
         )
     finally:
         tf.unpersist()

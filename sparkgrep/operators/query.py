@@ -475,9 +475,23 @@ class InvertedIndex:
         answer — pre-dictionary index, or more than _PREFIX_RESOLVE_MAX
         matches — and callers fall back to the legacy full-metadata
         postings sweep."""
-        from sparkgrep.operators.index_build import TERM_UBS_SCHEMA
+        from sparkgrep.operators.index_build import (
+            PREFIX_MARKER,
+            TERM_UBS_SCHEMA,
+        )
         from sparkgrep.sources import fsio
 
+        # FTS5 prefix-index fast path: the build stored one aggregated
+        # marker entry per distinct len(stem)-char prefix (tf summed,
+        # positions merged — exactly the relation the multi-term decode
+        # computes, pinned bitwise in tests/test_prefix_index.py), so
+        # the stem resolves to ONE term: no dictionary scan, a single
+        # bucket's pruned decode, and every downstream consumer
+        # (tf/positions/serve fetches, residency estimate) rides the
+        # ordinary term path. A stem with no matching tokens resolves to
+        # a marker with no postings — the same empty result.
+        if stem and len(stem) in (self.meta.prefix or ()):
+            return [PREFIX_MARKER + stem]
         if self._ensure_full_ubs():
             import bisect
 

@@ -47,6 +47,20 @@ def _field_names(index: InvertedIndex) -> list[str]:
     return list(index.meta.fields) if index.meta.fields else [_SINGLE_FIELD_NAME]
 
 
+def _main_postings(index: InvertedIndex) -> DataFrame:
+    """The index's MAIN-term postings: on a ``prefix=`` index the
+    table also holds derived marker entries ('\\x02' + prefix), which
+    fts5vocab never reports (they are acceleration structures, not
+    vocabulary — FTS5 likewise keeps its prefix indexes out of the
+    vocab views). The filter is a pushed-down predicate; non-prefix
+    indexes keep their plan unchanged."""
+    from sparkgrep.operators.index_build import PREFIX_MARKER
+
+    if not (index.meta.prefix or ()):
+        return index.postings
+    return index.postings.filter(~F.col("term").startswith(PREFIX_MARKER))
+
+
 def _partials_gen(meta, per_col: bool, tomb):
     """Decode kernel emitting per-(term[, col]) PARTIAL counts: one output
     row per posting row (per field when ``per_col``), never per doc."""
@@ -102,7 +116,7 @@ def vocab(index: InvertedIndex, level: str = "row") -> DataFrame:
     field-relative on multi-field indexes exactly like FTS5)."""
     if level == "row":
         schema = "term string, doc long, cnt long"
-        parts = index.postings.mapInPandas(
+        parts = _main_postings(index).mapInPandas(
             _partials_gen(index.meta, per_col=False, tomb=index._tomb_spec),
             schema,
         )
@@ -121,7 +135,7 @@ def vocab(index: InvertedIndex, level: str = "row") -> DataFrame:
             )
         fields = _field_names(index)
         schema = "term string, col_ix int, doc long, cnt long"
-        parts = index.postings.mapInPandas(
+        parts = _main_postings(index).mapInPandas(
             _partials_gen(index.meta, per_col=True, tomb=index._tomb_spec),
             schema,
         )
@@ -144,6 +158,10 @@ def vocab(index: InvertedIndex, level: str = "row") -> DataFrame:
             )
         fields = _field_names(index)
         raw = index.decode_raw(with_positions=True)
+        if index.meta.prefix or ():
+            from sparkgrep.operators.index_build import PREFIX_MARKER
+
+            raw = raw.filter(~F.col("term").startswith(PREFIX_MARKER))
         if index.meta.fields:
             name_map = F.array(*[F.lit(f) for f in fields])
             col_expr = F.element_at(name_map, F.col("col") + 1)

@@ -29,9 +29,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sparkgrep.operators.index_build import (
+    PREFIX_MARKER,
     IndexMeta,
     load_meta,
     merge_and_write,
+    normalize_prefix,
     spimi_term_freqs,
     spimi_term_freqs_mc,
 )
@@ -41,6 +43,20 @@ from sparkgrep.sources import fsio
 
 def _manifest_dir(out_dir: str) -> str:
     return f"{out_dir}/manifest"
+
+
+def _segment_counts(df: DataFrame):
+    """Lineage counts over one segment's term-frequency runs.
+    n_tokens/n_postings count REAL tokens only: sentinel rows (term='')
+    carry tf=0, and prefix-marker rows (term starting '\\x02', present
+    when the index has FTS5 ``prefix=`` lengths) are DERIVED entries —
+    counting them would inflate the segment's token lineage."""
+    real = (F.col("term") != "") & (~F.col("term").startswith(PREFIX_MARKER))
+    return df.agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum(F.when(real, F.col("tf"))).alias("n_tokens"),
+        F.count(F.when(real, 1)).alias("n_postings"),
+    ).collect()[0]
 
 
 def _seg_key(segment_id) -> tuple:
@@ -101,6 +117,7 @@ def build_index_checkpointed(
     use_lang: bool = False,
     n_segments: int = 8,
     max_segments_this_run: int | None = None,
+    prefix=None,
     **merge_kw,
 ) -> IndexMeta | None:
     """Resumable build. Returns the IndexMeta, or None if interrupted
@@ -112,6 +129,7 @@ def build_index_checkpointed(
     partitioning.
     """
     t0 = time.time()
+    prefix_t = normalize_prefix(prefix)
     spark = corpus.sparkSession
     done = completed_segments(out_dir)
     built_this_run = 0
@@ -125,18 +143,14 @@ def build_index_checkpointed(
         sl = corpus.filter(
             F.pmod(F.xxhash64("doc_id"), F.lit(n_segments)) == seg
         )
-        tf = spimi_term_freqs(sl, analyzer, use_lang)
+        tf = spimi_term_freqs(sl, analyzer, use_lang, prefix=prefix_t)
         seg_dir = f"{out_dir}/segments/seg={seg}"
         tf.write.mode("overwrite").parquet(seg_dir)
 
         # lineage metrics from the segment's own runs + input slice
         # (term='' sentinel rows mark zero-token docs: counted in n_docs,
         # excluded from n_postings)
-        m = spark.read.parquet(seg_dir).agg(
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.sum("tf").alias("n_tokens"),
-            F.count(F.when(F.col("term") != "", 1)).alias("n_postings"),
-        ).collect()[0]
+        m = _segment_counts(spark.read.parquet(seg_dir))
         # order-independent content lineage hash over the slice
         h_col = (
             F.sha2(F.col("content_sha256"), 256)
@@ -163,7 +177,9 @@ def build_index_checkpointed(
 
     # global merge over all checkpointed segment runs
     tf_all = spark.read.parquet(f"{out_dir}/segments")
-    return merge_and_write(tf_all, out_dir, analyzer, t0=t0, **merge_kw)
+    return merge_and_write(
+        tf_all, out_dir, analyzer, t0=t0, prefix=prefix_t, **merge_kw
+    )
 
 
 def append_batch(
@@ -173,6 +189,7 @@ def append_batch(
     analyzer: str = "simple",
     use_lang: bool = False,
     n_segments: int = 1,
+    prefix=None,
     **merge_kw,
 ) -> IndexMeta:
     """Incremental index maintenance (SURVEY S6): the reference keeps its
@@ -191,6 +208,7 @@ def append_batch(
     would otherwise double-count.
     """
     spark = corpus_batch.sparkSession
+    prefix_t = normalize_prefix(prefix)
     done = {m["segment_id"] for m in read_manifest(out_dir)}
 
     for i in range(n_segments):
@@ -205,14 +223,10 @@ def append_batch(
                 F.pmod(F.xxhash64("doc_id"), F.lit(n_segments)) == i
             )
         )
-        tf = spimi_term_freqs(sl, analyzer, use_lang)
+        tf = spimi_term_freqs(sl, analyzer, use_lang, prefix=prefix_t)
         seg_dir = f"{out_dir}/segments/seg={seg_id}"
         tf.write.mode("overwrite").parquet(seg_dir)
-        m = spark.read.parquet(seg_dir).agg(
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.sum("tf").alias("n_tokens"),
-            F.count(F.when(F.col("term") != "", 1)).alias("n_postings"),
-        ).collect()[0]
+        m = _segment_counts(spark.read.parquet(seg_dir))
         h_col = (
             F.sha2(F.col("content_sha256"), 256)
             if "content_sha256" in corpus_batch.columns
@@ -236,7 +250,9 @@ def append_batch(
         )
 
     tf_all = spark.read.parquet(f"{out_dir}/segments")
-    return merge_and_write(tf_all, out_dir, analyzer, **merge_kw)
+    return merge_and_write(
+        tf_all, out_dir, analyzer, prefix=prefix_t, **merge_kw
+    )
 
 
 def _commit_segment(spark, sl: DataFrame, tf: DataFrame, out_dir: str, seg_id) -> str:
@@ -246,11 +262,7 @@ def _commit_segment(spark, sl: DataFrame, tf: DataFrame, out_dir: str, seg_id) -
     t_seg = time.time()
     seg_dir = f"{out_dir}/segments/seg={seg_id}"
     tf.write.mode("overwrite").parquet(seg_dir)
-    m = spark.read.parquet(seg_dir).agg(
-        F.countDistinct("doc_id").alias("n_docs"),
-        F.sum("tf").alias("n_tokens"),
-        F.count(F.when(F.col("term") != "", 1)).alias("n_postings"),
-    ).collect()[0]
+    m = _segment_counts(spark.read.parquet(seg_dir))
     if "content_sha256" in sl.columns:
         h_col = F.sha2(F.col("content_sha256"), 256)
     elif "content" in sl.columns:
@@ -299,6 +311,7 @@ def append_batch_delta(
     store_positions: bool = False,
     fields: tuple | list = (),
     detail: str = "",
+    prefix=None,
     **merge_kw,
 ) -> IndexMeta:
     """O(batch) incremental maintenance: the batch becomes its own
@@ -324,6 +337,7 @@ def append_batch_delta(
     across batches must be distinct (ingest-assigned)."""
     spark = corpus_batch.sparkSession
     root_exists = fsio.exists(f"{out_dir}/stats.json")
+    prefix_t = normalize_prefix(prefix)
     if root_exists:
         root = load_meta(out_dir)
         # layer consistency is non-negotiable: analyzer/codec/bucketing
@@ -332,6 +346,7 @@ def append_batch_delta(
         store_positions = root.has_positions
         fields = tuple(root.fields or ())  # layer consistency
         detail = root.detail  # 'none' is always stored explicitly
+        prefix_t = tuple(root.prefix or ())  # delta layers derive too
         merge_kw.setdefault("n_buckets", root.n_buckets)
         merge_kw.setdefault("postings_per_shard", root.postings_per_shard)
         merge_kw.setdefault("block_size", root.block_size)
@@ -347,10 +362,12 @@ def append_batch_delta(
         tf = spimi_term_freqs_mc(
             corpus_batch, list(fields), analyzer, use_lang,
             positions=store_positions, collapse=detail == "none",
+            prefix=prefix_t,
         )
     else:
         tf = spimi_term_freqs(
-            corpus_batch, analyzer, use_lang, positions=store_positions
+            corpus_batch, analyzer, use_lang, positions=store_positions,
+            prefix=prefix_t,
         )
     seg_dir = _commit_segment(spark, corpus_batch, tf, out_dir, seg_id)
     tf_disk = spark.read.parquet(seg_dir)
@@ -358,14 +375,14 @@ def append_batch_delta(
     if not root_exists:  # bootstrap: the first batch IS the base layer
         return merge_and_write(
             tf_disk, out_dir, analyzer, fields=tuple(fields), detail=detail,
-            **merge_kw,
+            prefix=prefix_t, **merge_kw,
         )
 
     seq = len(root.layers or ())
     delta_rel = f"delta/{seq:05d}"
     dmeta = merge_and_write(
         tf_disk, f"{out_dir}/{delta_rel}", analyzer, fields=tuple(fields),
-        detail=detail, **merge_kw,
+        detail=detail, prefix=prefix_t, **merge_kw,
     )
 
     n_docs = root.n_docs + dmeta.n_docs
@@ -449,7 +466,11 @@ def delete_batch_delta(
         return root  # replayed delete batch: no-op
 
     # O(batch): tokenize only the deleted docs (analyzer pinned by the
-    # index; positions never needed — only dfs and lengths)
+    # index; positions never needed — only dfs and lengths). Prefix
+    # markers are deliberately NOT derived here: the reader masks
+    # deleted doc_ids at decode, which covers marker postings too, and
+    # the marker fast path (prefix_terms) never consults sidecar dfs —
+    # deriving them would only inflate this batch's token correction.
     coll = root.effective_detail() == "none"
     if root.fields:
         tf = spimi_term_freqs_mc(
@@ -588,6 +609,10 @@ def compact_index(
         merge_partitions=merge_partitions,
         fields=tuple(meta.fields or ()),
         detail=meta.detail,
+        # marker rows decode and re-merge as ordinary terms (never
+        # re-derived — derivation happens only in the SPIMI kernels);
+        # the meta keeps the lengths so the fast path stays on
+        prefix=tuple(meta.prefix or ()),
     )
     # the merge fully materialized the staging dir (writes are actions):
     # swap it in, then drop the folded delta layers
