@@ -1494,6 +1494,27 @@ def q_bm25_cols_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
 
 
+def q_bm25_detail_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FTS5 ``detail=column`` storage level (pinned by probe + SQLite
+    parity in tests/test_detail.py): per-field tf streams are kept but
+    positions are dropped — column filters and per-column BM25 weights
+    score identically to detail=full while phrase-family queries raise
+    like SQLite. Same weighted-OR query and oracle as
+    ``bm25_cols_weighted``: the storage level must change nothing."""
+    from sparkgrep.operators.index_build import build_index
+    from sparkgrep.operators.query import InvertedIndex
+
+    out = tempfile.mkdtemp(prefix="sparkgrep_dc_") + "/idx"
+    build_index(
+        _mc_corpus(spark, sf_dir), out, analyzer="simple",
+        fields=_MC_FIELDS, n_buckets=8, detail="column",
+    )
+    res = InvertedIndex(spark, out).search_expr(
+        "en OR scan", k=10, weights=[3.0, 1.0]
+    )
+    return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
+
+
 def q_bm25_detail_none(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FTS5 ``detail=none`` storage level (pinned by probe + SQLite
     parity in tests/test_detail.py): a multi-field index that stores
@@ -1794,6 +1815,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_pruned_delta": q_bm25_pruned_delta,
     "bm25_cols": q_bm25_cols,
     "bm25_detail_none": q_bm25_detail_none,
+    "bm25_detail_column": q_bm25_detail_column,
     "bm25_cols_weighted": q_bm25_cols_weighted,
     "delta_delete": q_delta_delete,
     "delta_update": q_delta_update,
@@ -2330,6 +2352,8 @@ FROM documents
         # the unweighted row total, uid-ordered contribution sum
         "bm25_cols": _MC_COLS_SQL,
         "bm25_detail_none": _MC_NONE_SQL,
+        # detail=column keeps per-field tfs: weighted scoring identical
+        "bm25_detail_column": _MC_WEIGHTED_SQL,
         "bm25_cols_weighted": _MC_WEIGHTED_SQL,
         "delta_update": _bm25_sql(
             flagship_terms, 10,
