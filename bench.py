@@ -690,6 +690,41 @@ def main() -> None:
     mc_corpus.unpersist()
     timings["detail_levels"] = detail_phase
 
+    # --- FTS5 prefix= indexes: matching stem* queries become a single
+    # marker-term lookup (bucket-pruned, no dictionary resolve, one
+    # aggregated posting list) vs the round-4 sorted-dictionary path
+    # (driver bisect + multi-term decode). Results are bitwise-identical
+    # (tests/test_prefix_index.py); this phase records the latency and
+    # the storage price of the derived entries.
+    sf_c = _load_c(spark, SF_DIR).cache()
+    sf_c.count()
+    d_plain = tempfile.mkdtemp(prefix="sparkgrep_pxp_") + "/idx"
+    d_pfx = tempfile.mkdtemp(prefix="sparkgrep_pxi_") + "/idx"
+    _build_pos(sf_c, d_plain, analyzer="simple", n_buckets=32)
+    t0 = time.time()
+    _build_pos(sf_c, d_pfx, analyzer="simple", n_buckets=32, prefix=[2])
+    pfx_build = round(time.time() - t0, 3)
+    sf_c.unpersist()
+    STEMS = ["ha*", "jo*", "ta*", "wi*", "sc*", "qu*", "fi*", "so*"]
+    i_plain, i_pfx = InvertedIndex(spark, d_plain), InvertedIndex(spark, d_pfx)
+    i_plain.warm()
+    i_pfx.warm()
+    plat = {"dict": [], "marker": []}
+    for tag, ix in (("dict", i_plain), ("marker", i_pfx)):
+        for q in STEMS:
+            ix.search_expr(q, k=10).collect()  # untimed warm pass
+        for q in STEMS:
+            t0 = time.time()
+            ix.search_expr(q, k=10).collect()
+            plat[tag].append(time.time() - t0)
+    timings["prefix_index"] = {
+        "build_sec": pfx_build,
+        "postings_mb": round(_dir_bytes(f"{d_pfx}/postings") / 1e6, 2),
+        "postings_mb_plain": round(_dir_bytes(f"{d_plain}/postings") / 1e6, 2),
+        "p50_dict": round(statistics.median(plat["dict"]), 3),
+        "p50_marker": round(statistics.median(plat["marker"]), 3),
+    }
+
     # --- batched serving (3 pre-declared reps, min — one-shot numbers
     # masqueraded as regressions in round 2 on this co-tenant box)
     blat = []
