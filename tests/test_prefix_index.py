@@ -150,15 +150,19 @@ def test_multifield_colset_prefix_bitwise(spark, corpus):
         mc.unpersist()
 
 
-def test_detail_none_prefix_bitwise(spark, corpus):
+@pytest.mark.parametrize("detail", ["none", "column"])
+def test_detail_levels_prefix_bitwise(spark, corpus, detail):
     mc = corpus.withColumn("meta", F.concat_ws(" ", "lang", "path"))
-    d1 = tempfile.mkdtemp(prefix="sgp_dn1_") + "/idx"
-    d2 = tempfile.mkdtemp(prefix="sgp_dn2_") + "/idx"
+    d1 = tempfile.mkdtemp(prefix=f"sgp_{detail}1_") + "/idx"
+    d2 = tempfile.mkdtemp(prefix=f"sgp_{detail}2_") + "/idx"
     kw = dict(analyzer="simple", fields=["meta", "content"], n_buckets=8)
-    build_index(mc, d1, detail="none", **kw)
-    build_index(mc, d2, detail="none", prefix=[2], **kw)
+    build_index(mc, d1, detail=detail, **kw)
+    build_index(mc, d2, detail=detail, prefix=[2], **kw)
     i1, i2 = InvertedIndex(spark, d1), InvertedIndex(spark, d2)
-    for q in ["qu*", "qu* OR ta*"]:
+    queries = ["qu*", "qu* OR ta*"]
+    if detail == "column":  # colset prefix lives at this level
+        queries += ["meta:py*", "{meta content}:qu* ta*"]
+    for q in queries:
         a = [tuple(r) for r in i1.search_expr(q, k=10).collect()]
         b = [tuple(r) for r in i2.search_expr(q, k=10).collect()]
         assert a == b, q
