@@ -1675,6 +1675,29 @@ def q_delta_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
 
 
+def q_delta_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental delta-layer merge (FTS5's 'merge'/'automerge'
+    analogue, sqlite.org/fts5.html#the_merge_command): base over a third
+    of the corpus, two delta appends for the rest, then
+    ``merge_delta_layers`` folds the deltas into ONE layer WITHOUT
+    touching the base (O(sum of deltas), not O(corpus) like
+    compaction). Queries must be bit-identical to a from-scratch build
+    over the whole corpus — the oracle is exactly the flagship BM25."""
+    from sparkgrep.operators.index_build import build_index
+    from sparkgrep.operators.query import InvertedIndex
+    from sparkgrep.plans.manifest import append_batch_delta, merge_delta_layers
+
+    corpus = _corpus(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="sparkgrep_dm_") + "/idx"
+    build_index(corpus.filter("doc_id % 3 = 0"), out, analyzer="simple", n_buckets=8)
+    append_batch_delta(corpus.filter("doc_id % 3 = 1"), out, "m1")
+    append_batch_delta(corpus.filter("doc_id % 3 = 2"), out, "m2")
+    meta = merge_delta_layers(spark, out)
+    assert len(meta.layers) == 1  # two deltas folded into one layer
+    res = InvertedIndex(spark, out).search(FLAGSHIP_QUERY, k=10)
+    return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
+
+
 def q_trigram_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQLite fts5 trigram tokenizer family (public fts5 docs §4.3.3,
     parity-pinned in tests/test_trigram_parity.py): every bareword/quoted
@@ -1819,6 +1842,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_cols_weighted": q_bm25_cols_weighted,
     "delta_delete": q_delta_delete,
     "delta_update": q_delta_update,
+    "delta_merged": q_delta_merged,
     "vocab_col": q_vocab_col,
     "vocab_instance": q_vocab_instance,
     "vocab_row_lsm": q_vocab_row_lsm,
@@ -2355,6 +2379,9 @@ FROM documents
         # detail=column keeps per-field tfs: weighted scoring identical
         "bm25_detail_column": _MC_WEIGHTED_SQL,
         "bm25_cols_weighted": _MC_WEIGHTED_SQL,
+        # incremental delta merge is a PHYSICAL reorganization: results
+        # must equal the flagship BM25 over the whole corpus bit-for-bit
+        "delta_merged": _bm25_sql(flagship_terms, 10),
         "delta_update": _bm25_sql(
             flagship_terms, 10,
             ctes=_tok_ctes(

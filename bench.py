@@ -24,9 +24,12 @@ Phases (on $SPARK_GRAFT_SF_DIR, default /root/testdata/sf0.1):
                      shared jobs); bitwise-identical results
 - minhash_lsh      — LSH candidate-pair job (min of 3 reps)
 - simhash          — corpus simhash job (min of 3 reps)
-- delta_append_1k / compact — O(batch) delta append of 1k docs onto the
-                     big index (base untouched) and the compaction that
-                     folds it back; the pre-round-4 append paid
+- delta_append_1k / delta_merge_2x1k / compact — O(batch) delta append
+                     of 1k docs onto the big index (base untouched), the
+                     incremental merge folding two 1k deltas together
+                     (FTS5 automerge analogue: O(sum of deltas), base
+                     still untouched), and the compaction that rewrites
+                     everything; the pre-round-4 append paid
                      ~index_build seconds for ANY batch size
 - ann_recall_at_10 / ivf_recall_at_10_nprobe4of16 — ANN recall vs brute-force
                      cosine for both families (LSH multiprobe; IVF at a
@@ -973,10 +976,24 @@ def main() -> None:
     t0 = time.time()
     append_batch_delta(batch, out, "bench-delta")
     timings["delta_append_1k"] = round(time.time() - t0, 3)
+    # incremental merge (FTS5 automerge analogue): fold a second small
+    # delta with the first WITHOUT touching the big base — O(sum of
+    # deltas); compare with `compact`, which rewrites the whole index
+    from sparkgrep.plans.manifest import merge_delta_layers
+
+    batch2 = synth_corpus(spark, 1000, seed=78).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(20_000_000)
+    ).cache()
+    batch2.count()
+    append_batch_delta(batch2, out, "bench-delta2")
+    t0 = time.time()
+    merge_delta_layers(spark, out)
+    timings["delta_merge_2x1k"] = round(time.time() - t0, 3)
     t0 = time.time()
     compact_index(spark, out)
     timings["compact"] = round(time.time() - t0, 3)
     batch.unpersist()
+    batch2.unpersist()
     spark.stop()
 
     # --- scaling evidence

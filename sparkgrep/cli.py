@@ -159,6 +159,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     c.add_argument("--index", required=True)
     c.add_argument("--merge-partitions", type=int, default=None)
 
+    mg = sub.add_parser(
+        "merge",
+        help="incrementally fold runs of delta layers together (FTS5's "
+             "'merge'/'automerge' analogue: O(sum of deltas), base layer "
+             "untouched, queries byte-identical before/after)",
+    )
+    mg.add_argument("--index", required=True)
+    mg.add_argument("--merge-partitions", type=int, default=None)
+
     m = sub.add_parser("metrics", help="print per-segment lineage manifest")
     m.add_argument("--index", required=True)
 
@@ -283,6 +292,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             from sparkgrep.plans.manifest import compact_index
 
             meta = compact_index(
+                spark, args.index, merge_partitions=args.merge_partitions
+            )
+            print(json.dumps(meta.__dict__, default=list))
+        elif args.cmd == "merge":
+            from sparkgrep.plans.manifest import merge_delta_layers
+
+            meta = merge_delta_layers(
                 spark, args.index, merge_partitions=args.merge_partitions
             )
             print(json.dumps(meta.__dict__, default=list))

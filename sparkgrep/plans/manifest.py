@@ -378,7 +378,12 @@ def append_batch_delta(
             prefix=prefix_t, **merge_kw,
         )
 
+    # next free numeric slot: after merge_delta_layers shrinks the layer
+    # list, len(layers) can point at a dir that still exists on disk
+    # (orphan from a crashed cleanup) — never reuse a live path
     seq = len(root.layers or ())
+    while fsio.exists(f"{out_dir}/delta/{seq:05d}"):
+        seq += 1
     delta_rel = f"delta/{seq:05d}"
     dmeta = merge_and_write(
         tf_disk, f"{out_dir}/{delta_rel}", analyzer, fields=tuple(fields),
@@ -545,6 +550,156 @@ def delete_batch_delta(
         layer_stats=_base_layer_stats(root),
     )
     _write_root_meta(out_dir, new_root)
+    return new_root
+
+
+def _delta_merge_groups(meta: IndexMeta) -> list[list[int]]:
+    """Partition the delta-layer seqs (1..L; base is 0) into maximal
+    runs not split by a tombstone cut. A tombstone with ``cut = c``
+    masks layers ``seq < c``, so two adjacent deltas may merge iff no
+    cut falls between them — then every tombstone masks either ALL
+    members of a run or none, and the merged layer inherits exactly the
+    masking (and negated-df sidecar accounting) of its members."""
+    L = len(meta.layers or ())
+    cuts = {int(c) for c in (meta.tombstone_cuts or ())}
+    groups: list[list[int]] = []
+    cur: list[int] = []
+    for s in range(1, L + 1):
+        if cur and s in cuts:
+            groups.append(cur)
+            cur = [s]
+        else:
+            cur.append(s)
+    if cur:
+        groups.append(cur)
+    return groups
+
+
+def merge_delta_layers(
+    spark: SparkSession, out_dir: str, merge_partitions: int | None = None
+) -> IndexMeta:
+    """FTS5's incremental ``merge``/``automerge`` analogue
+    (sqlite.org/fts5.html#the_merge_command; the reference's FTS5 table
+    runs the same b-tree segment merges behind 'automerge'): fold runs
+    of DELTA layers together WITHOUT touching the base layer, at
+    O(sum of merged deltas) cost — contrast :func:`compact_index`,
+    which rewrites the whole index. This bounds read amplification
+    (layer count, hence per-query scan fan-out and sidecar summation)
+    on an append-heavy index while deferring the O(corpus) compaction
+    to a much coarser cadence — the write-amplification shape a 100 TB
+    deployment needs (an LSM tier merge, not a full rewrite).
+
+    Purely physical: no tombstone mask is applied (runs are chosen so
+    every tombstone masks all-or-none of a run — see
+    :func:`_delta_merge_groups`), doc_ids stay disjoint across layers,
+    global root stats are unchanged, and the reader's summed-sidecar
+    dfs are invariant (the merged sidecar's df per term is the sum of
+    the members'). Query results are bit-identical before and after
+    (tests/test_delta_merge.py). The commit point is the root
+    ``stats.json`` write; member dirs are deleted only after it, so a
+    crash leaves at worst orphan directories the reader never opens."""
+    meta = load_meta(out_dir)
+    groups = _delta_merge_groups(meta)
+    if not any(len(g) > 1 for g in groups):
+        return meta  # nothing mergeable: no-op
+
+    from sparkgrep.operators.query import _decode_raw_gen, _decode_raw_mc_gen
+    from sparkgrep.operators.index_build import postings_schema
+
+    schema = postings_schema(meta)
+    multi = bool(meta.fields) and meta.effective_detail() != "none"
+    old_layers = list(meta.layers or ())
+    old_stats = [tuple(x) for x in (meta.layer_stats or ())]
+    stats_ok = len(old_stats) == 1 + len(old_layers)
+
+    # next free m-number for merged-layer dirs (orphans from a crashed
+    # cleanup advance the counter; they are never reused)
+    mseq = 0
+    while fsio.exists(f"{out_dir}/delta/m{mseq:05d}"):
+        mseq += 1
+
+    new_layers: list[str] = []
+    new_stats: list[tuple] = old_stats[:1] if stats_ok else []
+    for g in groups:
+        if len(g) == 1:
+            new_layers.append(old_layers[g[0] - 1])
+            if stats_ok:
+                new_stats.append(old_stats[g[0]])
+            continue
+        dirs = [f"{out_dir}/{old_layers[s - 1]}" for s in g]
+        posts = None
+        dls = None
+        for d in dirs:
+            p = spark.read.schema(schema).parquet(f"{d}/postings")
+            posts = p if posts is None else posts.unionByName(p)
+            part = spark.read.schema("doc_id long, dl int").parquet(
+                f"{d}/doc_lens"
+            )
+            dls = part if dls is None else dls.unionByName(part)
+        if multi:
+            raw = posts.mapInPandas(
+                _decode_raw_mc_gen(meta, meta.has_positions),
+                "term string, doc_id long, col int, tf int, dl int"
+                + (", positions array<int>" if meta.has_positions else ""),
+            )
+        else:
+            raw = posts.mapInPandas(
+                _decode_raw_gen(meta, meta.has_positions),
+                "term string, doc_id long, tf int, dl int"
+                + (", positions array<int>" if meta.has_positions else ""),
+            )
+        sent_cols = [
+            F.lit("").alias("term"),
+            F.col("doc_id"),
+            F.lit(0).cast("int").alias("tf"),
+            F.col("dl"),
+        ]
+        if multi:
+            sent_cols.insert(2, F.lit(0).cast("int").alias("col"))
+        if meta.has_positions:
+            sent_cols.append(F.array().cast("array<int>").alias("positions"))
+        tf_all = raw.unionByName(dls.select(*sent_cols))
+
+        rel = f"delta/m{mseq:05d}"
+        mseq += 1
+        dmeta = merge_and_write(
+            tf_all,
+            f"{out_dir}/{rel}",
+            meta.analyzer,
+            n_buckets=meta.n_buckets,
+            postings_per_shard=meta.postings_per_shard,
+            block_size=meta.block_size,
+            k1=meta.k1,
+            b=meta.b,
+            idf_variant=meta.idf_variant,
+            merge_partitions=merge_partitions,
+            fields=tuple(meta.fields or ()),
+            detail=meta.detail,
+            # markers re-merge as ordinary terms, never re-derived
+            prefix=tuple(meta.prefix or ()),
+        )
+        new_layers.append(rel)
+        if stats_ok:
+            new_stats.append((dmeta.n_docs, dmeta.avgdl))
+
+    # remap tombstone cuts onto the new layer numbering: old cut c masks
+    # old seqs < c; the new cut is 1 (base) + the number of groups lying
+    # entirely below c (runs never straddle a cut)
+    new_cuts = tuple(
+        1 + sum(1 for g in groups if g[-1] < int(c))
+        for c in (meta.tombstone_cuts or ())
+    )
+    new_root = replace(
+        meta,
+        layers=tuple(new_layers),
+        layer_stats=tuple(new_stats),
+        tombstone_cuts=new_cuts,
+    )
+    _write_root_meta(out_dir, new_root)
+    for g in groups:  # post-commit cleanup of folded member dirs
+        if len(g) > 1:
+            for s in g:
+                fsio.delete(f"{out_dir}/{old_layers[s - 1]}")
     return new_root
 
 

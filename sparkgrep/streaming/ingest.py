@@ -35,6 +35,7 @@ def index_stream(
     available_now: bool = True,
     delta: bool = True,
     compact_every: int | None = None,
+    merge_every: int | None = None,
     op_col: str | None = None,
     **merge_kw,
 ) -> StreamingQuery:
@@ -48,7 +49,13 @@ def index_stream(
     freshness cost is proportional to the BATCH, never the corpus —
     with ``compact_every`` bounding the layer count (after that many
     unmerged delta + tombstone layers, one compaction folds them back so
-    MaxScore pruning re-engages). ``delta=False`` keeps the round-2
+    MaxScore pruning re-engages). ``merge_every`` is FTS5's 'automerge'
+    analogue at the layer level: after that many delta layers, fold
+    mergeable delta RUNS together (``manifest.merge_delta_layers`` —
+    O(sum of deltas), base untouched) so read fan-out stays bounded at a
+    fraction of compaction's O(corpus) price; combine both knobs with
+    ``merge_every`` small and ``compact_every`` large for the LSM-tier
+    cadence a big deployment runs. ``delta=False`` keeps the round-2
     behavior (full re-merge per batch: simplest, but O(corpus) freshness
     cost; inserts only).
 
@@ -74,6 +81,7 @@ def index_stream(
         append_batch_delta,
         compact_index,
         delete_batch_delta,
+        merge_delta_layers,
     )
 
     if op_col and not delta:
@@ -112,6 +120,12 @@ def index_stream(
                 >= compact_every
             ):
                 compact_index(batch_df.sparkSession, out_dir)
+            elif (
+                merge_every
+                and meta is not None
+                and len(meta.layers or ()) >= merge_every
+            ):
+                merge_delta_layers(batch_df.sparkSession, out_dir)
         else:
             append_batch(
                 batch_df,
