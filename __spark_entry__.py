@@ -1698,6 +1698,35 @@ def q_delta_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
 
 
+def q_integrity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FTS5's ``integrity-check`` special command against external
+    content (sqlite.org/fts5.html#the_integrity_check_command; the
+    reference's FTS5 table ships the same command): build a positional
+    prefix-indexed index over the corpus, recompute the expected
+    relation through the independent declarative path, and report the
+    audit summary — zero discrepancies, with the doc/term universe
+    sizes oracle-checked against DuckDB's own tokenization."""
+    from sparkgrep.functions.tokenizer import tokens_col
+    from sparkgrep.operators.index_build import build_index
+    from sparkgrep.operators.integrity import integrity_check
+
+    corpus = _corpus(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="sparkgrep_ic_") + "/idx"
+    build_index(
+        corpus, out, analyzer="simple", n_buckets=8,
+        store_positions=True, prefix=[2],
+    )
+    n_bad = integrity_check(corpus, out, check_positions=True).count()
+    ex = corpus.select(
+        "doc_id",
+        F.explode_outer(tokens_col(F.col("content"), "simple")).alias("term"),
+    )
+    return ex.agg(
+        F.countDistinct("doc_id").cast("long").alias("docs_checked"),
+        F.countDistinct("term").cast("long").alias("terms_checked"),
+    ).withColumn("mismatches", F.lit(n_bad).cast("long"))
+
+
 def q_trigram_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQLite fts5 trigram tokenizer family (public fts5 docs §4.3.3,
     parity-pinned in tests/test_trigram_parity.py): every bareword/quoted
@@ -1843,6 +1872,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "delta_delete": q_delta_delete,
     "delta_update": q_delta_update,
     "delta_merged": q_delta_merged,
+    "integrity_check": q_integrity_check,
     "vocab_col": q_vocab_col,
     "vocab_instance": q_vocab_instance,
     "vocab_row_lsm": q_vocab_row_lsm,
@@ -2382,6 +2412,14 @@ FROM documents
         # incremental delta merge is a PHYSICAL reorganization: results
         # must equal the flagship BM25 over the whole corpus bit-for-bit
         "delta_merged": _bm25_sql(flagship_terms, 10),
+        # integrity-check audit summary: the doc/term universe must match
+        # DuckDB's own tokenization; mismatches must be exactly zero
+        "integrity_check": f"""
+WITH {_TOK_CTES}
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS docs_checked,
+       (SELECT CAST(count(DISTINCT term) AS BIGINT) FROM tf) AS terms_checked,
+       CAST(0 AS BIGINT) AS mismatches
+""",
         "delta_update": _bm25_sql(
             flagship_terms, 10,
             ctes=_tok_ctes(

@@ -171,6 +171,18 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     m = sub.add_parser("metrics", help="print per-segment lineage manifest")
     m.add_argument("--index", required=True)
 
+    ic = sub.add_parser(
+        "integrity-check",
+        help="FTS5's integrity-check against external content: recompute "
+             "the expected index relation from the corpus and report every "
+             "discrepancy (empty output = consistent)",
+    )
+    ic.add_argument("--index", required=True)
+    ic.add_argument("--input", required=True, help="sf dir (the corpus)")
+    ic.add_argument("--positions", action="store_true",
+                    help="also verify stored position lists")
+    ic.add_argument("--use-lang", action="store_true")
+
     ab = sub.add_parser("ann-build", help="build the persisted ANN index")
     ab.add_argument("--input", required=True, help="sf dir containing embeddings.parquet")
     ab.add_argument("--out", required=True)
@@ -307,6 +319,23 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
             for row in read_manifest(args.index):
                 print(json.dumps(row))
+        elif args.cmd == "integrity-check":
+            from sparkgrep.operators.integrity import integrity_check
+            from sparkgrep.sources.corpus import load_corpus
+
+            bad = integrity_check(
+                load_corpus(spark, args.input), args.index,
+                use_lang=args.use_lang, check_positions=args.positions,
+            ).limit(101).collect()
+            for r in bad[:100]:
+                print(json.dumps(r.asDict()))
+            print(json.dumps({
+                "ok": not bad,
+                "discrepancies_shown": min(len(bad), 100),
+                "truncated": len(bad) > 100,
+            }))
+            if bad:
+                raise SystemExit(2)
         elif args.cmd == "ann-build":
             from sparkgrep.operators.ann_index import build_ann_index
 
