@@ -1698,6 +1698,24 @@ def q_delta_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
 
 
+def q_bm25_u61_separators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FTS5 unicode61 tokenizer OPTIONS (sqlite.org/fts5.html
+    #unicode61_tokenizer), parity-pinned in tests/test_u61_options.py:
+    the analyzer spec "unicode61 separators 'q'" — FTS5's default
+    (unstemmed) tokenizer with 'q' declared a separator — threads
+    through indexing and scoring. On the pure-[a-z0-9 ] corpus the
+    oracle mirrors it exactly: split on space OR 'q' (so 'query'
+    tokenizes to 'uery'), folds identity."""
+    from sparkgrep.operators.index_build import build_index
+    from sparkgrep.operators.query import InvertedIndex
+
+    corpus = _corpus(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="sparkgrep_u61_") + "/idx"
+    build_index(corpus, out, analyzer="unicode61 separators 'q'", n_buckets=8)
+    res = InvertedIndex(spark, out).search(FLAGSHIP_QUERY, k=10)
+    return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
+
+
 def q_integrity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FTS5's ``integrity-check`` special command against external
     content (sqlite.org/fts5.html#the_integrity_check_command; the
@@ -1873,6 +1891,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "delta_update": q_delta_update,
     "delta_merged": q_delta_merged,
     "integrity_check": q_integrity_check,
+    "bm25_u61_separators": q_bm25_u61_separators,
     "vocab_col": q_vocab_col,
     "vocab_instance": q_vocab_instance,
     "vocab_row_lsm": q_vocab_row_lsm,
@@ -2412,6 +2431,13 @@ FROM documents
         # incremental delta merge is a PHYSICAL reorganization: results
         # must equal the flagship BM25 over the whole corpus bit-for-bit
         "delta_merged": _bm25_sql(flagship_terms, 10),
+        # unicode61 tokenizer-option spec: the oracle tokenizes with 'q'
+        # as an additional separator (the corpus is pure [a-z0-9 ], so
+        # folds are identity and the spec is exactly a split change)
+        "bm25_u61_separators": _bm25_sql(
+            flagship_terms, 10,
+            ctes=_TOK_CTES.replace("'[^a-z0-9]+'", "'([^a-z0-9]|q)+'"),
+        ),
         # integrity-check audit summary: the doc/term universe must match
         # DuckDB's own tokenization; mismatches must be exactly zero
         "integrity_check": f"""

@@ -73,7 +73,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     b.add_argument("--input", required=True, help="sf dir containing documents.parquet")
     b.add_argument("--out", required=True)
     b.add_argument("--analyzer", default="simple",
-                   choices=["simple", "fts5", "code", "trigram"])
+                   help="simple | fts5 | code | trigram | unicode61; the "
+                        "unicode61 family takes FTS5 tokenizer options, "
+                        "e.g. \"fts5 remove_diacritics 2 tokenchars '-_'\"")
     b.add_argument("--buckets", type=int, default=64)
     b.add_argument("--postings-per-shard", type=int, default=1 << 20)
     b.add_argument("--idf", default="okapi", choices=["okapi", "fts5", "lucene"])

@@ -437,7 +437,15 @@ class _OccCounter:
 # analyzers (`simple`, `code`) keep the historical AND reading: for code
 # search, `buildSide` should match build/side anywhere in the doc, and
 # every DuckDB contract oracle encodes that semantics.
-PHRASE_BAREWORD_ANALYZERS = frozenset({"fts5", "trigram"})
+PHRASE_BAREWORD_ANALYZERS = frozenset({"fts5", "trigram", "unicode61"})
+
+
+def _phrase_barewords(analyzer: str) -> bool:
+    """True when the analyzer reads multi-token barewords as phrases —
+    the whole unicode61 family (any option spec) plus trigram."""
+    from sparkgrep.functions.tokenizer import base_analyzer
+
+    return base_analyzer(analyzer) in PHRASE_BAREWORD_ANALYZERS
 
 
 def _parse_near(body: str, n: str | None, analyzer: str, phrases: list[str]):
@@ -608,7 +616,7 @@ def _lex(text: str, analyzer: str, phrases: list[str]) -> list:
                     raw_out.append(
                         [Unit((toks[0],), prefix=True, anchored=anchored)]
                     )
-                elif anchored or analyzer in PHRASE_BAREWORD_ANALYZERS:
+                elif anchored or _phrase_barewords(analyzer):
                     # FTS5 reads `foo_bar*` as the phrase "foo + bar*":
                     # one phrase-prefix unit (exact — tf = instance
                     # count, df = docs with an instance; probed)
@@ -624,7 +632,7 @@ def _lex(text: str, analyzer: str, phrases: list[str]) -> list:
         toks = tokenize_py(raw, analyzer)
         if not toks:
             continue
-        if len(toks) > 1 and (anchored or analyzer in PHRASE_BAREWORD_ANALYZERS):
+        if len(toks) > 1 and (anchored or _phrase_barewords(analyzer)):
             # a multi-token word reads as ONE ordered phrase — FTS5's
             # semantics (always under `^`; for fts5/trigram analyzers
             # everywhere, probed: `foo_bar` == "foo bar" phrase, and a

@@ -13,6 +13,25 @@ all applied identically at index *and* query time (the FTS5 contract —
 - ``fts5``     — unicode61 + Porter: rank-identity mode against the
   reference's actual SQLite FTS5 behavior (parity-tested in
   tests/test_fts5_parity.py).
+- ``unicode61`` — FTS5's DEFAULT tokenizer (unicode61 WITHOUT the
+  porter wrapper).
+
+The two unicode61-family analyzers accept FTS5's own tokenizer options
+appended to the name, with SQLite's exact semantics (probed; parity in
+tests/test_u61_options.py):
+
+    "fts5 remove_diacritics 2 tokenchars '-_' separators 'X'"
+    "unicode61 remove_diacritics 0"
+
+``remove_diacritics`` 0/1/2 select probed fold tables (0 = case folds
+only, 1 = default diacritic strip, 2 = additionally folds the
+multi-diacritic precomposed codepoints level 1 leaves alone);
+``tokenchars``/``separators`` edit the token-character CLASS on raw
+codepoints BEFORE case folding (probed: ``separators 'b'`` splits
+``abc`` but not ``aBc``), applied in declaration order with the last
+declaration winning per character. Values are bare words or
+single-quoted with ``''`` escaping, exactly FTS5's tokenize-argument
+syntax. ``categories`` is refused (documented divergence).
 - ``code``     — code-aware (north star): splits identifiers on
   camelCase / snake_case boundaries, lowercases, drops language-specific
   stopwords (keywords like ``def``/``import`` that would dominate the
@@ -36,7 +55,11 @@ from pyspark.sql.types import ArrayType, StringType
 
 from sparkgrep.functions.porter import porter_stem
 from sparkgrep.functions._trigramfold import TRIGRAM_FOLD
-from sparkgrep.functions._unicode61 import ALNUM_RANGES, FOLD
+from sparkgrep.functions._unicode61 import (
+    ALNUM_RANGES,
+    FOLD,
+    NONSTARTER_RANGES,
+)
 
 SIMPLE_SPLIT_RE = "[^a-z0-9]+"  # shared with the DuckDB oracle SQL
 
@@ -47,17 +70,45 @@ _UNICODE_WORD_RE = re.compile(r"[^\W_]+", re.UNICODE)
 # fts5 analyzer: SQLite unicode61's EXACT token-character set and
 # case-fold + remove_diacritics=1 map, generated from the installed
 # SQLite by tools/gen_unicode61.py (unassigned codepoints are token
-# chars in unicode61 — only known separators split)
-def _u61_class() -> str:
+# chars in unicode61 — only known separators split). A token is
+# STARTER CONTINUATION* — the probed NONSTARTER set (SQLite's fixed
+# isdiacritic combining marks inside the class) is skipped at token
+# start but kept mid-token; invisible under remove_diacritics 1/2
+# (those marks fold to '') but load-bearing under level 0.
+def _char_class(ranges) -> str:
     parts = []
-    for a, b in ALNUM_RANGES:
-        parts.append(
-            f"\\U{a:08x}" if a == b else f"\\U{a:08x}-\\U{b:08x}"
-        )
-    return "[" + "".join(parts) + "]+"
+    for a, b in ranges:
+        parts.append(f"\\U{a:08x}" if a == b else f"\\U{a:08x}-\\U{b:08x}")
+    return "[" + "".join(parts) + "]"
 
 
-_U61_TOKEN_RE = re.compile(_u61_class())
+def _subtract_ranges(base, removed_cps):
+    """Range list minus a sorted iterable of codepoints."""
+    out = []
+    for a, b in base:
+        start = a
+        for cp in removed_cps:
+            if a <= cp <= b and cp >= start:
+                if start <= cp - 1:
+                    out.append((start, cp - 1))
+                start = cp + 1
+        if start <= b:
+            out.append((start, b))
+    return tuple(out)
+
+
+_NS_CPS = tuple(
+    cp for a, b in NONSTARTER_RANGES for cp in range(a, b + 1)
+)
+_NS_SET = frozenset(_NS_CPS)
+
+
+def _token_regex(class_ranges) -> "re.Pattern[str]":
+    starters = _subtract_ranges(class_ranges, _NS_CPS)
+    return re.compile(_char_class(starters) + _char_class(class_ranges) + "*")
+
+
+_U61_TOKEN_RE = _token_regex(ALNUM_RANGES)
 # camelCase boundaries: lower/digit→Upper, and ACRONYMWord splits
 _CAMEL_RE = re.compile(r"(?<=[a-z0-9])(?=[A-Z])|(?<=[A-Z])(?=[A-Z][a-z])")
 
@@ -92,7 +143,189 @@ CODE_STOPLISTS: dict[str, frozenset[str]] = {
     ),
 }
 
-ANALYZERS = ("simple", "fts5", "code", "trigram")
+ANALYZERS = ("simple", "fts5", "code", "trigram", "unicode61")
+
+# analyzers that accept FTS5 unicode61 tokenizer options appended to
+# the name ("fts5 remove_diacritics 2 tokenchars '-_'"); 'fts5' wraps
+# the folded stream in porter (the reference's tokenize='porter'),
+# 'unicode61' is FTS5's default tokenizer, unstemmed
+U61_BASES = frozenset({"fts5", "unicode61"})
+
+
+def base_analyzer(spec: str) -> str:
+    """First word of an analyzer spec — the family name; options follow."""
+    return spec.split(None, 1)[0] if spec and spec.strip() else spec
+
+
+def is_u61_family(spec: str) -> bool:
+    return base_analyzer(spec) in U61_BASES
+
+
+def _lex_u61_opts(rest: str) -> list[str]:
+    """Split an options tail into words, honoring FTS5's tokenize-argument
+    syntax: whitespace-separated bare words or single-quoted strings with
+    '' escaping."""
+    out: list[str] = []
+    i, n = 0, len(rest)
+    while i < n:
+        c = rest[i]
+        if c.isspace():
+            i += 1
+            continue
+        if c == "'":
+            i += 1
+            buf = []
+            while True:
+                if i >= n:
+                    raise ValueError(
+                        "error in tokenizer constructor: unterminated "
+                        f"quoted value in analyzer spec {rest!r}"
+                    )
+                if rest[i] == "'":
+                    if i + 1 < n and rest[i + 1] == "'":  # '' escape
+                        buf.append("'")
+                        i += 2
+                        continue
+                    i += 1
+                    break
+                buf.append(rest[i])
+                i += 1
+            out.append("".join(buf))
+        else:
+            j = i
+            while j < n and not rest[j].isspace():
+                j += 1
+            out.append(rest[i:j])
+            i = j
+    return out
+
+
+@lru_cache(maxsize=None)
+def _parse_u61_spec(spec: str) -> tuple[bool, int, tuple[tuple[int, bool], ...]]:
+    """Parse a unicode61-family analyzer spec → (stem, remove_diacritics
+    level, per-codepoint class overrides in declaration order). Raises
+    ValueError with FTS5's 'error in tokenizer constructor' phrasing on
+    the inputs SQLite refuses (probed)."""
+    parts = spec.split(None, 1)
+    base = parts[0]
+    if base not in U61_BASES:
+        raise ValueError(f"not a unicode61-family analyzer: {spec!r}")
+    words = _lex_u61_opts(parts[1]) if len(parts) > 1 else []
+    if len(words) % 2:
+        raise ValueError(
+            "error in tokenizer constructor: unicode61 options come in "
+            f"name/value pairs, got {words!r}"
+        )
+    rd = 1
+    overrides: list[tuple[int, bool]] = []
+    for name, val in zip(words[::2], words[1::2]):
+        if name == "remove_diacritics":
+            if val not in ("0", "1", "2"):
+                raise ValueError(
+                    "error in tokenizer constructor: remove_diacritics "
+                    f"must be 0, 1 or 2, got {val!r}"
+                )
+            rd = int(val)
+        elif name == "tokenchars":
+            overrides.extend((ord(ch), True) for ch in val)
+        elif name == "separators":
+            overrides.extend((ord(ch), False) for ch in val)
+        elif name == "categories":
+            raise ValueError(
+                "unicode61 'categories' is not supported by this engine "
+                "(SQLite accepts it; documented divergence — the default "
+                "L*/N*/Co class is always used)"
+            )
+        else:
+            raise ValueError(
+                "error in tokenizer constructor: unknown unicode61 "
+                f"option {name!r}"
+            )
+    return base == "fts5", rd, tuple(overrides)
+
+
+@lru_cache(maxsize=8)
+def _fold_for(rd: int) -> dict[int, str]:
+    if rd == 1:
+        return FOLD
+    from sparkgrep.functions._unicode61 import FOLD0, FOLD2_DIFF
+
+    if rd == 0:
+        return FOLD0
+    f = dict(FOLD)
+    for cp, s in FOLD2_DIFF.items():
+        if s == chr(cp):
+            f.pop(cp, None)
+        else:
+            f[cp] = s
+    return f
+
+
+def _ranges_with_overrides(
+    overrides: tuple[tuple[int, bool], ...]
+) -> tuple[tuple[int, int], ...]:
+    """Token-character ranges after tokenchars/separators edits (last
+    declaration wins per codepoint; the NONSTARTER diacritic set is
+    immune to both edits — all probed FTS5 behavior)."""
+    final: dict[int, bool] = {}
+    for cp, is_tok in overrides:
+        if cp not in _NS_SET:
+            final[cp] = is_tok
+    removed = sorted(cp for cp, v in final.items() if not v)
+    added = sorted(cp for cp, v in final.items() if v)
+    out = list(_subtract_ranges(ALNUM_RANGES, removed))
+    for cp in added:
+        if not any(a <= cp <= b for a, b in out):
+            out.append((cp, cp))
+    return tuple(sorted(out))
+
+
+@lru_cache(maxsize=64)
+def _u61_components(spec: str):
+    """(compiled token regex, fold translate table, stem flag) for a
+    unicode61-family analyzer spec. 'fts5' bare resolves to the exact
+    module-level fast-path tables (bitwise-identical streams)."""
+    stem, rd, overrides = _parse_u61_spec(spec)
+    if not overrides:
+        token_re = _U61_TOKEN_RE
+    else:
+        token_re = _token_regex(_ranges_with_overrides(overrides))
+    return token_re, _fold_for(rd), stem
+
+
+@lru_cache(maxsize=64)
+def _u61_tokenizer(spec: str):
+    """Tokenizer callable for a unicode61-family spec, with its own
+    per-vocabulary stem/fold cache (same O(distinct tokens) discipline
+    as the bare-fts5 fast path)."""
+    token_re, fold, stem = _u61_components(spec)
+    cache: dict[str, str] = {}
+
+    def tok(text: str) -> list[str]:
+        if len(cache) > _FTS5_CACHE_MAX:
+            cache.clear()
+        out = []
+        for m in token_re.findall(text):
+            s = cache.get(m)
+            if s is None:
+                w = m.translate(fold)
+                s = cache[m] = porter_stem(w) if stem else w
+            if s:
+                out.append(s)
+        return out
+
+    return tok
+
+
+def validate_analyzer(analyzer: str) -> None:
+    """Fail fast (driver-side) on an unknown analyzer or a malformed
+    unicode61 option spec, before any executor touches it."""
+    if analyzer in ANALYZERS:
+        return
+    if is_u61_family(analyzer):
+        _parse_u61_spec(analyzer)
+        return
+    raise ValueError(f"unknown analyzer {analyzer!r} (choose from {ANALYZERS})")
 
 
 # ---------------------------------------------------------------------------
@@ -208,6 +441,8 @@ def tokenize_py(text: str, analyzer: str = "simple", lang: str | None = None) ->
         return _code_py(text, lang)
     if analyzer == "trigram":
         return _trigram_py(text)
+    if is_u61_family(analyzer):
+        return _u61_tokenizer(analyzer)(text)
     raise ValueError(f"unknown analyzer {analyzer!r} (choose from {ANALYZERS})")
 
 
@@ -239,6 +474,8 @@ def tokenize_series(texts: pd.Series, analyzer: str, langs: pd.Series | None = N
         )
     if analyzer == "trigram":
         return texts.fillna("").map(_trigram_py)
+    if is_u61_family(analyzer):
+        return texts.fillna("").map(_u61_tokenizer(analyzer))
     raise ValueError(f"unknown analyzer {analyzer!r} (choose from {ANALYZERS})")
 
 
@@ -285,6 +522,12 @@ def tokenize_flat(
         for i, t in enumerate(vals):
             n0 = len(out)
             out.extend(_trigram_py(t))
+            lens[i] = len(out) - n0
+    elif is_u61_family(analyzer):
+        fn = _u61_tokenizer(analyzer)
+        for i, t in enumerate(vals):
+            n0 = len(out)
+            out.extend(fn(t))
             lens[i] = len(out) - n0
     else:
         raise ValueError(f"unknown analyzer {analyzer!r} (choose from {ANALYZERS})")
@@ -335,5 +578,14 @@ def tokens_col(text: Column, analyzer: str = "simple", lang: Column | None = Non
             return tokenize_series(s, "trigram")
 
         return _trigram_udf(text)
+
+    if is_u61_family(analyzer):
+        _parse_u61_spec(analyzer)  # fail fast driver-side on a bad spec
+
+        @F.pandas_udf(ArrayType(StringType()))
+        def _u61_udf(s: pd.Series) -> pd.Series:
+            return tokenize_series(s, analyzer)
+
+        return _u61_udf(text)
 
     raise ValueError(f"unknown analyzer {analyzer!r} (choose from {ANALYZERS})")

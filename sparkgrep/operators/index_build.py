@@ -49,7 +49,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sparkgrep import BM25_B, BM25_K1
-from sparkgrep.functions.tokenizer import tokenize_flat, tokenize_series
+from sparkgrep.functions.tokenizer import (
+    tokenize_flat,
+    tokenize_series,
+    validate_analyzer,
+)
 from sparkgrep.functions.varint import (
     blocked_gap_encode,
     delta_decode_segments,
@@ -346,6 +350,7 @@ def spimi_term_freqs(
     path, the DuckDB oracle, and FTS5. The sentinel term '' can never
     collide with a real token (no analyzer emits empty strings) and is
     filtered out of df/postings in the merge."""
+    validate_analyzer(analyzer)  # fail driver-side, not in an executor
     cols = ["doc_id", "content"] + (["lang"] if use_lang and "lang" in corpus.columns else [])
     narrow = corpus.select(*cols)
 
@@ -446,6 +451,7 @@ def spimi_term_freqs_mc(
 
     if collapse and positions:
         raise ValueError("collapse (detail=none) stores no positions")
+    validate_analyzer(analyzer)
 
     cols = ["doc_id"] + list(fields) + (
         ["lang"] if use_lang and "lang" in corpus.columns else []

@@ -51,7 +51,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sparkgrep.functions._trigramfold import TRIGRAM_FOLD
-from sparkgrep.functions._unicode61 import FOLD
 from sparkgrep.functions.porter import porter_stem
 from sparkgrep.functions.querylang import (
     Conjunct,
@@ -60,7 +59,7 @@ from sparkgrep.functions.querylang import (
     Unit,
     parse_query,
 )
-from sparkgrep.functions.tokenizer import _U61_TOKEN_RE
+from sparkgrep.functions.tokenizer import _u61_components, is_u61_family
 
 _SIMPLE_SPAN_RE = re.compile(r"[A-Za-z0-9]+")
 
@@ -75,9 +74,15 @@ def tokenize_offsets(text: str, analyzer: str) -> list[tuple[str, int, int]]:
     if text is None:
         return []
     out = []
-    if analyzer == "fts5":
-        for m in _U61_TOKEN_RE.finditer(text):
-            t = porter_stem(m.group().translate(FOLD))
+    if analyzer == "fts5" or is_u61_family(analyzer):
+        # unicode61 family (incl. option specs): classification is on
+        # raw codepoints, so spans map back exactly; bare 'fts5'
+        # resolves to the identical fast-path tables
+        token_re, fold, stem = _u61_components(analyzer)
+        for m in token_re.finditer(text):
+            t = m.group().translate(fold)
+            if stem:
+                t = porter_stem(t)
             if t:
                 out.append((t, m.start(), m.end()))
         return out
@@ -95,7 +100,8 @@ def tokenize_offsets(text: str, analyzer: str) -> list[tuple[str, int, int]]:
             (folded[i : i + 3], i, i + 3) for i in range(len(folded) - 2)
         ]
     raise ValueError(
-        "aux functions support analyzers 'simple', 'fts5' and 'trigram', "
+        "aux functions support analyzers 'simple', 'trigram' and the "
+        "unicode61 family, "
         f"not {analyzer!r}"
     )
 
