@@ -1745,6 +1745,26 @@ def q_integrity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("mismatches", F.lit(n_bad).cast("long"))
 
 
+def q_trigram_cs_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FTS5 trigram ``case_sensitive 1`` option (fts5 docs §4.3.3;
+    parity-pinned in tests/test_trigram_cs.py): raw 3-codepoint windows,
+    case-sensitive MATCH. The corpus text is pure lowercase [a-z0-9 ]
+    (TESTDATA invariant), so the case-sensitive index must reproduce the
+    default trigram scoring bit-for-bit — same substring-occurrence
+    oracle — while exercising the option through build + query + serve
+    paths."""
+    from sparkgrep.operators.index_build import build_index
+    from sparkgrep.operators.query import InvertedIndex
+
+    out = tempfile.mkdtemp(prefix="sparkgrep_tcs_") + "/idx"
+    build_index(
+        _corpus(spark, sf_dir), out, analyzer="trigram case_sensitive 1",
+        n_buckets=8, store_positions=True,
+    )
+    res = InvertedIndex(spark, out).search_expr(TRIGRAM_QUERY, k=10)
+    return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
+
+
 def q_trigram_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQLite fts5 trigram tokenizer family (public fts5 docs §4.3.3,
     parity-pinned in tests/test_trigram_parity.py): every bareword/quoted
@@ -1900,6 +1920,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_phrase_prefix": q_bm25_phrase_prefix,
     "bm25_star_internal": q_bm25_star_internal,
     "trigram_match": q_trigram_match,
+    "trigram_cs_match": q_trigram_cs_match,
     "trigram_like": q_trigram_like,
     "trigram_glob": q_trigram_glob,
 }
@@ -2620,6 +2641,8 @@ FROM m
         [], ["window"], 10, star_units=[(("s", "scan"), (0,))]
     )
     out["trigram_match"] = _substr_bm25_sql(["hash join", "slow scan"], 10)
+    # case_sensitive 1 on the pure-lowercase corpus: same oracle
+    out["trigram_cs_match"] = _substr_bm25_sql(["hash join", "slow scan"], 10)
     out["trigram_like"] = (
         f"SELECT doc_id FROM documents WHERE text LIKE '{LIKE_PATTERN}' "
         "ORDER BY doc_id"

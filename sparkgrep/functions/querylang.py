@@ -440,6 +440,12 @@ class _OccCounter:
 PHRASE_BAREWORD_ANALYZERS = frozenset({"fts5", "trigram", "unicode61"})
 
 
+def _is_trigram(analyzer: str) -> bool:
+    from sparkgrep.functions.tokenizer import base_analyzer
+
+    return base_analyzer(analyzer) == "trigram"
+
+
 def _phrase_barewords(analyzer: str) -> bool:
     """True when the analyzer reads multi-token barewords as phrases —
     the whole unicode61 family (any option spec) plus trigram."""
@@ -474,13 +480,13 @@ def _parse_near(body: str, n: str | None, analyzer: str, phrases: list[str]):
         if m:
             terms = tuple(tokenize_py(phrases[int(m.group(1))], analyzer))
             if terms:
-                star = bool(m.group(2)) and analyzer != "trigram"
+                star = bool(m.group(2)) and not _is_trigram(analyzer)
                 seq.append(Unit(terms, prefix=star))
             continue
         if raw.endswith("*"):
             toks = tokenize_py(raw.rstrip("*"), analyzer)
             if toks:
-                if analyzer == "trigram":
+                if _is_trigram(analyzer):
                     # 3-cp prefix over 3-cp terms = exact phrase (see _lex)
                     seq.append(Unit(tuple(toks)))
                     continue
@@ -593,7 +599,7 @@ def _lex(text: str, analyzer: str, phrases: list[str]) -> list:
             # (FTS5, probed: tf = instance count, df = docs with an
             # instance). Trigram: ≡ the plain phrase (3-cp prefix over
             # 3-cp terms is exact)
-            star = bool(m.group(2)) and analyzer != "trigram"
+            star = bool(m.group(2)) and not _is_trigram(analyzer)
             if terms:
                 raw_out.append([Unit(terms, prefix=star, anchored=anchored)])
             continue
@@ -605,7 +611,7 @@ def _lex(text: str, analyzer: str, phrases: list[str]) -> list:
             # behavior).
             toks = tokenize_py(raw.rstrip("*"), analyzer)
             if toks:
-                if analyzer == "trigram":
+                if _is_trigram(analyzer):
                     # trigram: all stored terms are EXACTLY 3 codepoints
                     # (1:1 fold, asserted at table generation), so a
                     # 3-cp prefix over them is an exact match — `X*` is

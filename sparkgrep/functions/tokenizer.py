@@ -317,13 +317,77 @@ def _u61_tokenizer(spec: str):
     return tok
 
 
+@lru_cache(maxsize=None)
+def trigram_case_sensitive(spec: str) -> bool:
+    """Parse a trigram analyzer spec ('trigram [case_sensitive 0|1]') →
+    the case_sensitive flag. SQLite's trigram tokenizer option, probed
+    on the installed build (its ``remove_diacritics`` is a NEWER SQLite
+    feature and is refused here like the installed engine refuses it).
+    Raises FTS5's 'error in tokenizer constructor' phrasing on the
+    inputs SQLite refuses."""
+    parts = spec.split(None, 1)
+    if parts[0] != "trigram":
+        raise ValueError(f"not a trigram analyzer: {spec!r}")
+    words = _lex_u61_opts(parts[1]) if len(parts) > 1 else []
+    if len(words) % 2:
+        raise ValueError(
+            "error in tokenizer constructor: trigram options come in "
+            f"name/value pairs, got {words!r}"
+        )
+    cs = False
+    for name, val in zip(words[::2], words[1::2]):
+        if name == "case_sensitive":
+            if val not in ("0", "1"):
+                raise ValueError(
+                    "error in tokenizer constructor: case_sensitive "
+                    f"must be 0 or 1, got {val!r}"
+                )
+            cs = val == "1"
+        else:
+            raise ValueError(
+                "error in tokenizer constructor: unknown trigram option "
+                f"{name!r} (the installed SQLite supports only "
+                "case_sensitive)"
+            )
+    return cs
+
+
+def trigram_fold(spec: str) -> dict[int, str]:
+    """The trigram fold table for a spec: the probe-generated 1:1 table
+    under case_sensitive 0 (the default), identity under 1."""
+    return {} if trigram_case_sensitive(spec) else TRIGRAM_FOLD
+
+
+def _trigram_cs_py(text: str) -> list[str]:
+    return [text[i : i + 3] for i in range(len(text) - 2)] if text else []
+
+
+def _trigram_fn(spec: str):
+    return _trigram_cs_py if trigram_case_sensitive(spec) else _trigram_py
+
+
+def _spec_tokenizer(analyzer: str):
+    """Tokenizer callable for a parameterized analyzer spec (unicode61
+    family or trigram options), or None for the plain named analyzers
+    handled by the fast paths."""
+    b = base_analyzer(analyzer)
+    if b in U61_BASES:
+        return _u61_tokenizer(analyzer)
+    if b == "trigram":
+        return _trigram_fn(analyzer)
+    return None
+
+
 def validate_analyzer(analyzer: str) -> None:
     """Fail fast (driver-side) on an unknown analyzer or a malformed
-    unicode61 option spec, before any executor touches it."""
+    tokenizer option spec, before any executor touches it."""
     if analyzer in ANALYZERS:
         return
     if is_u61_family(analyzer):
         _parse_u61_spec(analyzer)
+        return
+    if base_analyzer(analyzer) == "trigram":
+        trigram_case_sensitive(analyzer)
         return
     raise ValueError(f"unknown analyzer {analyzer!r} (choose from {ANALYZERS})")
 
@@ -441,8 +505,9 @@ def tokenize_py(text: str, analyzer: str = "simple", lang: str | None = None) ->
         return _code_py(text, lang)
     if analyzer == "trigram":
         return _trigram_py(text)
-    if is_u61_family(analyzer):
-        return _u61_tokenizer(analyzer)(text)
+    fn = _spec_tokenizer(analyzer)
+    if fn is not None:
+        return fn(text)
     raise ValueError(f"unknown analyzer {analyzer!r} (choose from {ANALYZERS})")
 
 
@@ -474,8 +539,9 @@ def tokenize_series(texts: pd.Series, analyzer: str, langs: pd.Series | None = N
         )
     if analyzer == "trigram":
         return texts.fillna("").map(_trigram_py)
-    if is_u61_family(analyzer):
-        return texts.fillna("").map(_u61_tokenizer(analyzer))
+    fn = _spec_tokenizer(analyzer)
+    if fn is not None:
+        return texts.fillna("").map(fn)
     raise ValueError(f"unknown analyzer {analyzer!r} (choose from {ANALYZERS})")
 
 
@@ -523,8 +589,8 @@ def tokenize_flat(
             n0 = len(out)
             out.extend(_trigram_py(t))
             lens[i] = len(out) - n0
-    elif is_u61_family(analyzer):
-        fn = _u61_tokenizer(analyzer)
+    elif _spec_tokenizer(analyzer) is not None:
+        fn = _spec_tokenizer(analyzer)
         for i, t in enumerate(vals):
             n0 = len(out)
             out.extend(fn(t))
@@ -579,13 +645,13 @@ def tokens_col(text: Column, analyzer: str = "simple", lang: Column | None = Non
 
         return _trigram_udf(text)
 
-    if is_u61_family(analyzer):
-        _parse_u61_spec(analyzer)  # fail fast driver-side on a bad spec
+    if _spec_tokenizer(analyzer) is not None:
+        validate_analyzer(analyzer)  # fail fast driver-side on a bad spec
 
         @F.pandas_udf(ArrayType(StringType()))
-        def _u61_udf(s: pd.Series) -> pd.Series:
+        def _spec_udf(s: pd.Series) -> pd.Series:
             return tokenize_series(s, analyzer)
 
-        return _u61_udf(text)
+        return _spec_udf(text)
 
     raise ValueError(f"unknown analyzer {analyzer!r} (choose from {ANALYZERS})")

@@ -53,6 +53,7 @@ from sparkgrep.functions.tokenizer import (
     tokenize_flat,
     tokenize_series,
     validate_analyzer,
+    base_analyzer,
 )
 from sparkgrep.functions.varint import (
     blocked_gap_encode,
@@ -1738,7 +1739,7 @@ def build_index(
     marker)."""
     t0 = time.time()
     prefix_t = normalize_prefix(prefix)
-    if prefix_t and analyzer == "trigram":
+    if prefix_t and base_analyzer(analyzer) == "trigram":
         raise ValueError(
             "prefix= indexes are not supported with the trigram "
             "tokenizer (every term is exactly 3 codepoints)"

@@ -37,6 +37,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, functions as F
 
 from sparkgrep.functions._trigramfold import TRIGRAM_FOLD
+from sparkgrep.functions.tokenizer import base_analyzer, trigram_fold
 
 
 def literal_runs(pattern: str) -> list[str]:
@@ -56,17 +57,25 @@ def literal_runs(pattern: str) -> list[str]:
     return runs
 
 
-def like_candidates(index, pattern: str) -> DataFrame | None:
+def like_candidates(
+    index, pattern: str, case_insensitive: bool = False
+) -> DataFrame | None:
     """doc_ids possibly matching ``pattern`` (sound superset), from the
-    trigram index alone — or None when the pattern has no ≥3-cp literal
-    run and indexed candidate generation cannot prune anything."""
-    if index.meta.analyzer != "trigram":
+    trigram index alone — or None when indexed candidate generation
+    cannot prune anything: no ≥3-cp literal run, or a CASE-INSENSITIVE
+    predicate over a ``case_sensitive 1`` index (raw-case trigrams
+    cannot cover case variants — SQLite's planner likewise refuses the
+    trigram index for LIKE on case_sensitive=1 tables, probed)."""
+    if base_analyzer(index.meta.analyzer) != "trigram":
         raise ValueError(
             "like_search needs an index built with analyzer='trigram' "
             f"(got {index.meta.analyzer!r})"
         )
+    fold = trigram_fold(index.meta.analyzer)
+    if case_insensitive and not fold:
+        return None  # case_sensitive=1 index: unfolded postings can't prune
     runs = {
-        r.translate(TRIGRAM_FOLD)
+        r.translate(fold)
         for r in literal_runs(pattern)
         if len(r) >= 3
     }
@@ -151,13 +160,20 @@ def glob_search(
     :func:`like_search` (SQLite's trigram LIKE/GLOB optimization).
     GLOB is case-sensitive; the folded trigram candidates remain a
     sound superset, and the residual ``rlike`` enforces exact case."""
-    if index.meta.analyzer != "trigram":
+    if base_analyzer(index.meta.analyzer) != "trigram":
         raise ValueError(
             "glob_search needs an index built with analyzer='trigram' "
             f"(got {index.meta.analyzer!r})"
         )
     runs, regex = glob_runs_and_regex(pattern)
-    tri = {r.translate(TRIGRAM_FOLD) for r in runs if len(r) >= 3}
+    # GLOB is case-sensitive: under case_sensitive 1 the raw trigrams
+    # are sound AND tighter (no case-variant candidates); under the
+    # default fold the candidates are the usual sound superset
+    tri = {
+        r.translate(trigram_fold(index.meta.analyzer))
+        for r in runs
+        if len(r) >= 3
+    }
     base = corpus
     if tri:
         cands = [
@@ -187,7 +203,7 @@ def like_search(
     ordered by doc_id. Exact (candidates + residual verify); the
     residual predicate is Spark's native ``like``/``ilike`` (JVM-side,
     whole-stage codegen)."""
-    cand = like_candidates(index, pattern)
+    cand = like_candidates(index, pattern, case_insensitive)
     base = corpus
     if cand is not None:
         base = corpus.join(cand, "doc_id", "left_semi")

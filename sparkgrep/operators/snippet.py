@@ -50,7 +50,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sparkgrep.functions._trigramfold import TRIGRAM_FOLD
 from sparkgrep.functions.porter import porter_stem
 from sparkgrep.functions.querylang import (
     Conjunct,
@@ -90,12 +89,15 @@ def tokenize_offsets(text: str, analyzer: str) -> list[tuple[str, int, int]]:
         for m in _SIMPLE_SPAN_RE.finditer(text):
             out.append((m.group().lower(), m.start(), m.end()))
         return out
-    if analyzer == "trigram":
-        # exact: the 1:1 fold means window i covers codepoints [i, i+3),
-        # so overlapping matched windows MERGE into the full matched
-        # substring under the standard region-merging rule — SQLite's
-        # highlight on a trigram table does exactly this (probed)
-        folded = text.translate(TRIGRAM_FOLD)
+    if analyzer.split(None, 1)[0] == "trigram":
+        # exact: the 1:1 fold (identity under case_sensitive 1) means
+        # window i covers codepoints [i, i+3), so overlapping matched
+        # windows MERGE into the full matched substring under the
+        # standard region-merging rule — SQLite's highlight on a
+        # trigram table does exactly this (probed)
+        from sparkgrep.functions.tokenizer import trigram_fold
+
+        folded = text.translate(trigram_fold(analyzer))
         return [
             (folded[i : i + 3], i, i + 3) for i in range(len(folded) - 2)
         ]
