@@ -1494,6 +1494,22 @@ def q_bm25_cols_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
 
 
+def q_bm25_rank_config(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FTS5's 'rank' configuration option (sqlite.org/fts5.html — the
+    persisted default rank function; parity in tests/test_rank_config
+    .py): ``set_rank(idx, 'bm25(3.0, 1.0)')`` stores per-field weights
+    that apply when a query passes none. Same weighted-OR query and
+    oracle as ``bm25_cols_weighted`` — the configured default must score
+    exactly like the explicit weights."""
+    from sparkgrep.plans.manifest import set_rank
+
+    idx = _mc_index(spark, sf_dir)
+    set_rank(idx.index_dir, "bm25(3.0, 1.0)")
+    idx = type(idx)(spark, idx.index_dir)  # reload meta with the config
+    res = idx.search_expr("en OR scan", k=10)
+    return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
+
+
 def q_bm25_detail_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FTS5 ``detail=column`` storage level (pinned by probe + SQLite
     parity in tests/test_detail.py): per-field tf streams are kept but
@@ -1907,6 +1923,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_detail_none": q_bm25_detail_none,
     "bm25_detail_column": q_bm25_detail_column,
     "bm25_cols_weighted": q_bm25_cols_weighted,
+    "bm25_rank_config": q_bm25_rank_config,
     "delta_delete": q_delta_delete,
     "delta_update": q_delta_update,
     "delta_merged": q_delta_merged,
@@ -2449,6 +2466,8 @@ FROM documents
         # detail=column keeps per-field tfs: weighted scoring identical
         "bm25_detail_column": _MC_WEIGHTED_SQL,
         "bm25_cols_weighted": _MC_WEIGHTED_SQL,
+        # the persisted rank config must equal the explicit weights
+        "bm25_rank_config": _MC_WEIGHTED_SQL,
         # incremental delta merge is a PHYSICAL reorganization: results
         # must equal the flagship BM25 over the whole corpus bit-for-bit
         "delta_merged": _bm25_sql(flagship_terms, 10),

@@ -173,6 +173,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     m = sub.add_parser("metrics", help="print per-segment lineage manifest")
     m.add_argument("--index", required=True)
 
+    sr = sub.add_parser(
+        "set-rank",
+        help="FTS5's 'rank' configuration option: persist a default "
+             "rank function, e.g. --rank 'bm25(10.0, 5.0)' (per-field "
+             "weights applied when a query passes none)",
+    )
+    sr.add_argument("--index", required=True)
+    sr.add_argument("--rank", required=True)
+
     ic = sub.add_parser(
         "integrity-check",
         help="FTS5's integrity-check against external content: recompute "
@@ -321,6 +330,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
             for row in read_manifest(args.index):
                 print(json.dumps(row))
+        elif args.cmd == "set-rank":
+            from sparkgrep.plans.manifest import set_rank
+
+            meta = set_rank(args.index, args.rank)
+            print(json.dumps(meta.__dict__, default=list))
         elif args.cmd == "integrity-check":
             from sparkgrep.operators.integrity import integrity_check
             from sparkgrep.sources.corpus import load_corpus

@@ -271,6 +271,14 @@ class IndexMeta:
     # InvertedIndex.prefix_terms resolves a matching ``stem*`` straight
     # to its marker — one term lookup, no dictionary scan. () = none.
     prefix: tuple = ()
+    # FTS5 'rank' configuration option (persisted default rank function,
+    # sqlite.org/fts5.html — "INSERT INTO t(t, rank) VALUES('rank',
+    # 'bm25(10.0, 5.0)')"): per-field BM25 weights applied whenever a
+    # query passes no explicit weights; per-query weights still override
+    # (FTS5's `rank MATCH` — probed). () = unset (all-1.0 default).
+    # Set via plans.manifest.set_rank; preserved across delta appends,
+    # deletes, merges and compaction.
+    rank_weights: tuple = ()
 
     def effective_detail(self) -> str:
         """The index's FTS5 detail level, derived for pre-knob indexes

@@ -864,6 +864,10 @@ class InvertedIndex:
         """
         if mode == "expr":
             return self.search_expr(query_text, k, strict=strict, weights=weights)
+        if weights is None and self.meta.rank_weights:
+            # FTS5 'rank' configuration: the persisted default rank
+            # function applies whenever the query passes no weights
+            weights = list(self.meta.rank_weights)
         terms = sorted(set(tokenize_py(query_text, self.meta.analyzer)))
         if not terms:
             if strict:
@@ -898,6 +902,11 @@ class InvertedIndex:
         filters are live (``col:tok``, ``{c1 c2}:"a b"``, ``-col:x``,
         ``col:NEAR(...)``, ``col:(...)`` distribution) and ``weights``
         supplies FTS5's per-column bm25() weights."""
+        if weights is None and self.meta.rank_weights:
+            # FTS5 'rank' configuration option (set_rank): persisted
+            # default weights; an explicit ``weights`` overrides (the
+            # ``rank MATCH`` per-query form — probed)
+            weights = list(self.meta.rank_weights)
         pq = parse_query(
             query_text, self.meta.analyzer, fields=self.meta.fields or None
         )

@@ -543,6 +543,10 @@ class LocalServer:
         tf/df, same driver-side idf, same uid-sorted left-associated
         fold, same tie-break), at in-process latency."""
         meta = self.meta
+        if weights is None and meta.rank_weights:
+            # FTS5 'rank' configuration (set_rank): persisted default
+            # weights; explicit weights override (rank MATCH — probed)
+            weights = list(meta.rank_weights)
         pq = parse_query(query_text, meta.analyzer, fields=meta.fields or None)
         if not pq.disjuncts:
             if strict:

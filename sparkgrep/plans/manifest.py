@@ -22,6 +22,7 @@ before encoding.
 from __future__ import annotations
 
 import json
+import re
 import time
 from dataclasses import asdict, replace
 
@@ -249,10 +250,18 @@ def append_batch(
             },
         )
 
+    # index CONFIG survives the full re-merge (build state is recomputed)
+    old_rank = ()
+    if fsio.exists(f"{out_dir}/stats.json"):
+        old_rank = tuple(load_meta(out_dir).rank_weights or ())
     tf_all = spark.read.parquet(f"{out_dir}/segments")
-    return merge_and_write(
+    new_meta = merge_and_write(
         tf_all, out_dir, analyzer, prefix=prefix_t, **merge_kw
     )
+    if old_rank:
+        new_meta = replace(new_meta, rank_weights=old_rank)
+        _write_root_meta(out_dir, new_meta)
+    return new_meta
 
 
 def _commit_segment(spark, sl: DataFrame, tf: DataFrame, out_dir: str, seg_id) -> str:
@@ -553,6 +562,54 @@ def delete_batch_delta(
     return new_root
 
 
+_RANK_RE = re.compile(r"^\s*(\w+)\s*\(([^)]*)\)\s*$")
+
+
+def set_rank(index_dir: str, rank: str) -> IndexMeta:
+    """FTS5's 'rank' configuration option (sqlite.org/fts5.html#the_rank_
+    configuration_option — ``INSERT INTO t(t, rank) VALUES('rank',
+    'bm25(10.0, 5.0)')``): persist a default rank function for the
+    index. Every query that passes no explicit ``weights`` then scores
+    with these per-field BM25 weights; per-query weights still override
+    (FTS5's ``rank MATCH`` form — probed). Probed argument semantics:
+    missing trailing weights default to 1.0, extras beyond the field
+    count are ignored. Only ``bm25`` is supported (any other name is
+    FTS5's query-time "no such function", raised here eagerly);
+    non-numeric arguments are refused (divergence: FTS5 silently
+    coerces). Requires a multi-field index with per-field tf streams —
+    the same surface explicit weights require."""
+    meta = load_meta(index_dir)
+    m = _RANK_RE.match(rank)
+    if not m:
+        raise ValueError(
+            f"malformed rank function {rank!r} (expected 'bm25(w0, w1, ...)')"
+        )
+    fn, argstr = m.group(1), m.group(2)
+    if fn != "bm25":
+        raise ValueError(f"no such function: {fn}")
+    try:
+        args = [
+            float(a) for a in (s.strip() for s in argstr.split(",")) if a
+        ]
+    except ValueError:
+        raise ValueError(
+            f"non-numeric bm25 weight in {rank!r} (this engine requires "
+            "numeric literals; FTS5 silently coerces — documented "
+            "divergence)"
+        ) from None
+    nf = len(meta.fields or ())
+    if not meta.fields or meta.effective_detail() == "none":
+        raise ValueError(
+            "rank configuration needs a multi-field index with per-field "
+            "tf streams (build_index(..., fields=[...], detail='full' or "
+            "'column')) — the same surface explicit weights require"
+        )
+    weights = tuple((args + [1.0] * nf)[:nf])  # pad 1.0, ignore extras
+    new = replace(meta, rank_weights=weights)
+    _write_root_meta(index_dir, new)
+    return new
+
+
 def _delta_merge_groups(meta: IndexMeta) -> list[list[int]]:
     """Partition the delta-layer seqs (1..L; base is 0) into maximal
     runs not split by a tombstone cut. A tombstone with ``cut = c``
@@ -777,6 +834,13 @@ def compact_index(
     fsio.delete(f"{out_dir}/delta")
     fsio.delete(f"{out_dir}/tomb")
     fsio.delete(tmp)
-    final = replace(new_meta, layers=(), tombstones=(), tombstone_cuts=())
+    final = replace(
+        new_meta,
+        layers=(),
+        tombstones=(),
+        tombstone_cuts=(),
+        # index CONFIG (not build state) survives the physical rewrite
+        rank_weights=tuple(meta.rank_weights or ()),
+    )
     _write_root_meta(out_dir, final)
     return final
