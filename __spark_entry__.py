@@ -1714,6 +1714,27 @@ def q_delta_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
 
 
+def q_delete_all_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FTS5 special commands 'delete-all' + 'rebuild' (sqlite.org/
+    fts5.html#special_insert_commands; probed: delete-all is legal
+    exactly on external-content tables — this engine's shape — and
+    rebuild re-tokenizes the content under the table's own config):
+    build, empty the index in place, re-index the corpus, query — the
+    result must equal the flagship BM25 over the corpus exactly."""
+    from sparkgrep.operators.index_build import build_index
+    from sparkgrep.operators.query import InvertedIndex
+    from sparkgrep.plans.manifest import delete_all, rebuild
+
+    corpus = _corpus(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="sparkgrep_dar_") + "/idx"
+    build_index(corpus, out, analyzer="simple", n_buckets=8)
+    meta = delete_all(spark, out)
+    assert meta.n_docs == 0
+    rebuild(corpus, out)
+    res = InvertedIndex(spark, out).search(FLAGSHIP_QUERY, k=10)
+    return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
+
+
 def q_bm25_u61_separators(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FTS5 unicode61 tokenizer OPTIONS (sqlite.org/fts5.html
     #unicode61_tokenizer), parity-pinned in tests/test_u61_options.py:
@@ -1929,6 +1950,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "delta_merged": q_delta_merged,
     "integrity_check": q_integrity_check,
     "bm25_u61_separators": q_bm25_u61_separators,
+    "delete_all_rebuild": q_delete_all_rebuild,
     "vocab_col": q_vocab_col,
     "vocab_instance": q_vocab_instance,
     "vocab_row_lsm": q_vocab_row_lsm,
@@ -2471,6 +2493,8 @@ FROM documents
         # incremental delta merge is a PHYSICAL reorganization: results
         # must equal the flagship BM25 over the whole corpus bit-for-bit
         "delta_merged": _bm25_sql(flagship_terms, 10),
+        # delete-all + rebuild: back to exactly the flagship index
+        "delete_all_rebuild": _bm25_sql(flagship_terms, 10),
         # unicode61 tokenizer-option spec: the oracle tokenizes with 'q'
         # as an additional separator (the corpus is pure [a-z0-9 ], so
         # folds are identity and the spec is exactly a split change)

@@ -154,6 +154,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
     c = sub.add_parser(
         "compact",
+        aliases=["optimize"],
         help="fold delta + tombstone layers back into one base layer "
              "(queries byte-identical before/after; re-enables MaxScore "
              "pruning)",
@@ -172,6 +173,22 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
     m = sub.add_parser("metrics", help="print per-segment lineage manifest")
     m.add_argument("--index", required=True)
+
+    da = sub.add_parser(
+        "delete-all",
+        help="FTS5's 'delete-all' special command: empty the index in "
+             "place, keeping its configuration (external-content shape: "
+             "the corpus is untouched)",
+    )
+    da.add_argument("--index", required=True)
+
+    rb = sub.add_parser(
+        "rebuild",
+        help="FTS5's 'rebuild' special command: re-index the corpus "
+             "under the index's own configuration",
+    )
+    rb.add_argument("--index", required=True)
+    rb.add_argument("--input", required=True, help="sf dir (the corpus)")
 
     sr = sub.add_parser(
         "set-rank",
@@ -311,7 +328,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 _read_batch(spark, args.input), args.index, args.batch
             )
             print(json.dumps(meta.__dict__, default=list))
-        elif args.cmd == "compact":
+        elif args.cmd in ("compact", "optimize"):
             from sparkgrep.plans.manifest import compact_index
 
             meta = compact_index(
@@ -330,6 +347,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
             for row in read_manifest(args.index):
                 print(json.dumps(row))
+        elif args.cmd == "delete-all":
+            from sparkgrep.plans.manifest import delete_all
+
+            meta = delete_all(spark, args.index)
+            print(json.dumps(meta.__dict__, default=list))
+        elif args.cmd == "rebuild":
+            from sparkgrep.plans.manifest import rebuild
+            from sparkgrep.sources.corpus import load_corpus
+
+            meta = rebuild(load_corpus(spark, args.input), args.index)
+            print(json.dumps(meta.__dict__, default=list))
         elif args.cmd == "set-rank":
             from sparkgrep.plans.manifest import set_rank
 

@@ -1810,6 +1810,23 @@ def build_index(
         tf.unpersist()
 
 
+def spimi_schema_for(meta: IndexMeta):
+    """The raw SPIMI run schema the index's configuration produces —
+    what merge_and_write (and compaction's decode) consume. Used by
+    delete_all to construct an empty run relation of the right shape."""
+    from sparkgrep.schema import (
+        TERM_FREQ_MC_POS_SCHEMA,
+        TERM_FREQ_MC_SCHEMA,
+        TERM_FREQ_POS_SCHEMA,
+        TERM_FREQ_SCHEMA,
+    )
+
+    multi = bool(meta.fields) and meta.effective_detail() != "none"
+    if multi:
+        return TERM_FREQ_MC_POS_SCHEMA if meta.has_positions else TERM_FREQ_MC_SCHEMA
+    return TERM_FREQ_POS_SCHEMA if meta.has_positions else TERM_FREQ_SCHEMA
+
+
 def load_meta(index_dir: str) -> IndexMeta:
     from sparkgrep.sources import fsio
 

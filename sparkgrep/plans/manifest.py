@@ -610,6 +610,87 @@ def set_rank(index_dir: str, rank: str) -> IndexMeta:
     return new
 
 
+def delete_all(spark: SparkSession, index_dir: str) -> IndexMeta:
+    """FTS5's 'delete-all' special command (sqlite.org/fts5.html#the_
+    delete_all_command — probed: legal exactly on external-content
+    tables, which is this engine's shape; the corpus stays, the index
+    empties): atomically replace the index with an EMPTY one carrying
+    the same configuration (analyzer, fields, detail, prefix, buckets,
+    codec params, rank config). Appends afterwards work normally;
+    :func:`rebuild` re-indexes the corpus in place."""
+    from sparkgrep.operators.index_build import spimi_schema_for
+
+    meta = load_meta(index_dir)
+    tf_empty = spark.createDataFrame([], spimi_schema_for(meta))
+    tmp = f"{index_dir}/_deleteall_tmp"
+    fsio.delete(tmp)
+    new_meta = merge_and_write(
+        tf_empty,
+        tmp,
+        meta.analyzer,
+        n_buckets=meta.n_buckets,
+        postings_per_shard=meta.postings_per_shard,
+        block_size=meta.block_size,
+        k1=meta.k1,
+        b=meta.b,
+        idf_variant=meta.idf_variant,
+        fields=tuple(meta.fields or ()),
+        detail=meta.detail,
+        prefix=tuple(meta.prefix or ()),
+    )
+    for sub in ("postings", "doc_lens", "term_ubs"):
+        fsio.delete(f"{index_dir}/{sub}")
+        fsio.rename(f"{tmp}/{sub}", f"{index_dir}/{sub}")
+    for sub in ("delta", "tomb", "segments", "manifest"):
+        fsio.delete(f"{index_dir}/{sub}")
+    fsio.delete(tmp)
+    final = replace(
+        new_meta,
+        layers=(),
+        tombstones=(),
+        tombstone_cuts=(),
+        rank_weights=tuple(meta.rank_weights or ()),
+    )
+    _write_root_meta(index_dir, final)
+    return final
+
+
+def rebuild(corpus: DataFrame, index_dir: str, use_lang: bool = False) -> IndexMeta:
+    """FTS5's 'rebuild' special command: re-index the external content
+    under the index's OWN configuration (probed: delete-all + re-insert
+    from the content table). A from-scratch :func:`~sparkgrep.operators.
+    index_build.build_index` into the same directory with every config
+    knob taken from the existing meta; rank config preserved."""
+    from sparkgrep.operators.index_build import build_index
+
+    meta = load_meta(index_dir)
+    # stale LSM layers and lineage belong to the OLD index generation:
+    # the new root meta won't reference them, and a surviving manifest
+    # would make replayed batch ids no-ops against the fresh index
+    for sub in ("delta", "tomb", "segments", "manifest"):
+        fsio.delete(f"{index_dir}/{sub}")
+    new_meta = build_index(
+        corpus,
+        index_dir,
+        analyzer=meta.analyzer,
+        use_lang=use_lang,
+        fields=list(meta.fields) or None,
+        detail=meta.detail or None,
+        prefix=tuple(meta.prefix or ()) or None,
+        n_buckets=meta.n_buckets,
+        postings_per_shard=meta.postings_per_shard,
+        block_size=meta.block_size,
+        k1=meta.k1,
+        b=meta.b,
+        idf_variant=meta.idf_variant,
+        store_positions=meta.has_positions,
+    )
+    if meta.rank_weights:
+        new_meta = replace(new_meta, rank_weights=tuple(meta.rank_weights))
+        _write_root_meta(index_dir, new_meta)
+    return new_meta
+
+
 def _delta_merge_groups(meta: IndexMeta) -> list[list[int]]:
     """Partition the delta-layer seqs (1..L; base is 0) into maximal
     runs not split by a tombstone cut. A tombstone with ``cut = c``
