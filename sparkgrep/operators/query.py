@@ -1502,6 +1502,19 @@ class InvertedIndex:
             from sparkgrep.operators.wand import search_batch_pruned
 
             return search_batch_pruned(self, queries)
+        if self.meta.rank_weights:
+            # persisted rank configuration (set_rank): the batched fold
+            # scores the unweighted total streams, so route each query
+            # through the weighted path and union — results must stay
+            # bitwise-consistent with per-query search under the config
+            parts = []
+            for qid, text, k in queries:
+                res = self.search(text, k).withColumn("query_id", F.lit(qid))
+                parts.append(res.select("query_id", "rank", "doc_id", "score"))
+            out = parts[0]
+            for q in parts[1:]:
+                out = out.unionByName(q)
+            return out
         qterm_rows = []
         kmap = {}
         for qid, text, k in queries:

@@ -330,6 +330,13 @@ class LocalServer:
         touching terms over ``max_resident_df`` delegate to the
         distributed exact path (identical results, tested)."""
         meta = self.meta
+        if meta.rank_weights:
+            # persisted rank configuration: the resident numpy fold
+            # scores the unweighted total streams — delegate to the
+            # distributed path, whose OR mode applies the configured
+            # weights (bitwise-consistent; ms-latency weighted serving
+            # uses search_expr, which resolves the config natively)
+            return self.index.search(query_text, k).toPandas()
         terms = sorted(set(tokenize_py(query_text, meta.analyzer)))
         empty = _EMPTY.copy()
         if not terms:

@@ -177,6 +177,11 @@ def plan_pruned(
     meta = index.meta
     if not terms or meta.idf_variant == "okapi":
         return None
+    if getattr(meta, "rank_weights", ()):
+        # persisted rank configuration (set_rank): the sidecar ubs bound
+        # the UNWEIGHTED score — route to exact, which applies the
+        # configured weights (bitwise-consistent with plain search)
+        return None
     if getattr(index, "is_layered", False) and not getattr(
         index, "pruning_sound", False
     ):

@@ -117,6 +117,42 @@ def test_serve_tier_uses_config(spark, cfg_index):
         assert list(got) == want, q
 
 
+def test_batch_and_pruned_and_serve_consistent(spark, cfg_index):
+    """Every serving path respects the configured rank function:
+    search_batch unions the weighted path, MaxScore planning routes to
+    exact (the sidecar ubs bound the UNWEIGHTED score), and the plain
+    LocalServer.search delegates — all bitwise-equal to search()."""
+    from sparkgrep.operators.serve import LocalServer
+    from sparkgrep.operators.wand import plan_pruned, search_pruned
+
+    idx = cfg_index
+    want = {
+        q: [tuple(r) for r in idx.search(q, k=15).collect()]
+        for q in ("hash join", "window scan")
+    }
+    batch = idx.search_batch(
+        [("q0", "hash join", 15), ("q1", "window scan", 15)]
+    ).collect()
+    for qid, q in (("q0", "hash join"), ("q1", "window scan")):
+        got = [
+            (r["rank"], r["doc_id"], r["score"])
+            for r in batch
+            if r["query_id"] == qid
+        ]
+        assert got == want[q], q
+    assert plan_pruned(idx, ["hash", "join"], 10) is None  # routes exact
+    got = [tuple(r) for r in search_pruned(idx, "hash join", k=15).collect()]
+    assert got == want["hash join"]
+    srv = LocalServer(idx)
+    got = [
+        tuple(r)
+        for r in srv.search("hash join", 15)[
+            ["rank", "doc_id", "score"]
+        ].itertuples(index=False, name=None)
+    ]
+    assert got == want["hash join"]
+
+
 def test_padding_and_extras(spark, tmp_path, ref):
     """bm25(2.0) on a 2-field index pads the missing weight with 1.0;
     extras beyond the field count are ignored — both probed."""
