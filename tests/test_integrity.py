@@ -80,6 +80,20 @@ def test_code_analyzer_with_lang(spark, corpus, tmp_path):
     assert _check(corpus, out, use_lang=True) == []
 
 
+@pytest.mark.parametrize(
+    "analyzer",
+    ["unicode61 separators 'q'", "trigram case_sensitive 1"],
+    ids=["u61-sep", "tri-cs"],
+)
+def test_clean_option_spec_analyzers(spark, corpus, analyzer, tmp_path):
+    """The audit recomputes through tokens_col, which resolves
+    parameterized analyzer specs — option-spec'd indexes verify clean
+    end-to-end (spec stored in meta, applied identically both sides)."""
+    out = str(tmp_path / "idx")
+    build_index(corpus, out, analyzer=analyzer, n_buckets=4)
+    assert _check(corpus, out) == []
+
+
 def test_divergence_is_reported(spark, corpus, tmp_path):
     """Change one doc's content under the index: the audit pins the
     damage as posting rows for that doc, its doc_len row, and the
