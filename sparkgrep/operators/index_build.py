@@ -112,6 +112,21 @@ def normalize_prefix(prefix) -> tuple:
     return tuple(sorted(out))
 
 
+def check_prefix_analyzer(prefix_t: tuple, analyzer: str) -> None:
+    """Shared guard for every build/append path: ``prefix=`` marker terms
+    are '\\x02' + the token's first n chars, and trigram tokens may
+    contain ANY codepoint (including '\\x02'), so derived markers could
+    collide with real trigram tokens and corrupt postings. Refused at
+    every entry point (build_index, merge_and_write — which
+    build_index_checkpointed / append_batch / append_batch_delta all
+    funnel through)."""
+    if prefix_t and base_analyzer(analyzer) == "trigram":
+        raise ValueError(
+            "prefix= indexes are not supported with the trigram "
+            "tokenizer (every term is exactly 3 codepoints)"
+        )
+
+
 def _merge_positions(s: pd.Series):
     """Union of a group's per-term position arrays, sorted ascending —
     positions of distinct terms within one doc are disjoint, so this is
@@ -1531,6 +1546,7 @@ def merge_and_write(
     ``fields`` is recorded in the meta for colspec parsing but the whole
     merge (including the run-shuffle fold) is the single-field one."""
     t0 = t0 or time.time()
+    check_prefix_analyzer(tuple(prefix or ()), analyzer)
     has_positions = "positions" in tf.columns
     mc = bool(fields) and detail != "none"
     # doc_lens: every doc has exactly one sentinel row (term='') in the
@@ -1747,11 +1763,7 @@ def build_index(
     marker)."""
     t0 = time.time()
     prefix_t = normalize_prefix(prefix)
-    if prefix_t and base_analyzer(analyzer) == "trigram":
-        raise ValueError(
-            "prefix= indexes are not supported with the trigram "
-            "tokenizer (every term is exactly 3 codepoints)"
-        )
+    check_prefix_analyzer(prefix_t, analyzer)
     if detail is not None:
         if detail not in ("full", "column", "none"):
             raise ValueError(f"detail must be full|column|none, got {detail!r}")

@@ -230,5 +230,12 @@ def integrity_check(
             "expected string, actual string",
         )
         out = out.unionByName(bad_stats)
+    # materialize the discrepancy relation WHILE exp is still persisted:
+    # the three union branches (tf join, positions, doc_len) all read
+    # exp, so a lazy return after unpersist would recompute the
+    # expensive tokenize+explode+groupBy once per branch. Discrepancies
+    # are tiny in the non-corrupted case (empty); localCheckpoint keeps
+    # them executor-side without a driver collect.
+    out = out.localCheckpoint(eager=True)
     exp.unpersist()
     return out

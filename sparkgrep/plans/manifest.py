@@ -55,7 +55,9 @@ def _segment_counts(df: DataFrame):
     real = (F.col("term") != "") & (~F.col("term").startswith(PREFIX_MARKER))
     return df.agg(
         F.countDistinct("doc_id").alias("n_docs"),
-        F.sum(F.when(real, F.col("tf"))).alias("n_tokens"),
+        # coalesce: a segment of only zero-token docs (sentinel rows
+        # alone) must record 0, not NULL, in the lineage manifest
+        F.coalesce(F.sum(F.when(real, F.col("tf"))), F.lit(0)).alias("n_tokens"),
         F.count(F.when(real, 1)).alias("n_postings"),
     ).collect()[0]
 
@@ -132,6 +134,20 @@ def build_index_checkpointed(
     t0 = time.time()
     prefix_t = normalize_prefix(prefix)
     spark = corpus.sparkSession
+    # resume config validation: a resumed call with a different analyzer
+    # or prefix= would build segments that disagree on tokenization /
+    # marker derivation with the already-completed ones — the merged
+    # index would cover only part of the corpus per config. Completed
+    # segments record their config; fail fast on a mismatch.
+    cfg = {"analyzer": analyzer, "prefix": list(prefix_t)}
+    for m in read_manifest(out_dir):
+        old = m.get("config")
+        if old is not None and old != cfg:
+            raise ValueError(
+                f"resume config mismatch: segment {m['segment_id']} was "
+                f"built with {old}, this call passes {cfg} — re-run with "
+                "the original config or rebuild from scratch"
+            )
     done = completed_segments(out_dir)
     built_this_run = 0
 
@@ -172,6 +188,7 @@ def build_index_checkpointed(
                 "n_postings": int(m["n_postings"] or 0),
                 "content_hash": format(int(h or 0), "x"),
                 "wall_time_sec": round(time.time() - t_seg, 3),
+                "config": cfg,
             },
         )
         built_this_run += 1
@@ -187,7 +204,7 @@ def append_batch(
     corpus_batch: DataFrame,
     out_dir: str,
     batch_id: str,
-    analyzer: str = "simple",
+    analyzer: str | None = None,
     use_lang: bool = False,
     n_segments: int = 1,
     prefix=None,
@@ -207,9 +224,46 @@ def append_batch(
 
     doc_ids across batches must be distinct (ingest-assigned); the merge
     would otherwise double-count.
-    """
+
+    Index CONFIG is inherited from the existing root meta (analyzer,
+    prefix, bucketing, codec params) exactly like
+    :func:`append_batch_delta`: appending without re-passing ``prefix``
+    must NOT silently rewrite ``stats.json`` with ``prefix=()`` while
+    the old segments' marker rows still merge into the postings. An
+    explicitly-passed value that disagrees with the root raises."""
     spark = corpus_batch.sparkSession
     prefix_t = normalize_prefix(prefix)
+    if fsio.exists(f"{out_dir}/stats.json"):
+        root = load_meta(out_dir)
+        if root.fields or root.has_positions:
+            raise ValueError(
+                "append_batch (full re-merge) only supports plain "
+                "single-field, positionless indexes — use "
+                "append_batch_delta, which inherits every layer shape"
+            )
+        if analyzer is None:
+            analyzer = root.analyzer
+        elif analyzer != root.analyzer:
+            raise ValueError(
+                f"append analyzer {analyzer!r} != index analyzer "
+                f"{root.analyzer!r} (layer consistency)"
+            )
+        root_prefix = tuple(root.prefix or ())
+        if prefix is None:
+            prefix_t = root_prefix
+        elif prefix_t != root_prefix:
+            raise ValueError(
+                f"append prefix={prefix_t} != index prefix={root_prefix} "
+                "(marker derivation must match every existing segment)"
+            )
+        merge_kw.setdefault("n_buckets", root.n_buckets)
+        merge_kw.setdefault("postings_per_shard", root.postings_per_shard)
+        merge_kw.setdefault("block_size", root.block_size)
+        merge_kw.setdefault("k1", root.k1)
+        merge_kw.setdefault("b", root.b)
+        merge_kw.setdefault("idf_variant", root.idf_variant)
+    elif analyzer is None:
+        analyzer = "simple"
     done = {m["segment_id"] for m in read_manifest(out_dir)}
 
     for i in range(n_segments):

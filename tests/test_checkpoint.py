@@ -135,3 +135,71 @@ def test_fsio_atomic_roundtrip(spark, tmp_path):
     assert fsio.read_text(p) == '{"a": 2}'
     assert fsio.list_dir(f"file:{tmp_path}/sub/dir", ".json") == ["x.json"]
     assert fsio.list_dir(f"file:{tmp_path}/nope") == []
+
+
+def test_resume_config_mismatch_fails_fast(spark, corpus, tmp_path):
+    """ADVICE r4: a resume with a different analyzer or prefix= must
+    refuse — mixed-config segments would merge into an index whose
+    tokenization / marker derivation covers only part of the corpus."""
+    ckpt = str(tmp_path / "ckpt_cfg")
+    r = build_index_checkpointed(
+        corpus, ckpt, analyzer="simple", n_segments=4,
+        max_segments_this_run=2, n_buckets=4,
+    )
+    assert r is None
+    with pytest.raises(ValueError, match="resume config mismatch"):
+        build_index_checkpointed(
+            corpus, ckpt, analyzer="porter", n_segments=4, n_buckets=4
+        )
+    with pytest.raises(ValueError, match="resume config mismatch"):
+        build_index_checkpointed(
+            corpus, ckpt, analyzer="simple", prefix=2, n_segments=4,
+            n_buckets=4,
+        )
+    # the original config resumes fine
+    meta = build_index_checkpointed(
+        corpus, ckpt, analyzer="simple", n_segments=4, n_buckets=4
+    )
+    assert meta is not None and meta.n_docs == 500
+
+
+def test_append_batch_inherits_index_config(spark, corpus, tmp_path):
+    """ADVICE r4 (medium): append_batch without re-passing prefix= must
+    inherit it from the root meta (like append_batch_delta) instead of
+    silently rewriting stats.json with prefix=() while the old segments'
+    marker rows still merge into the postings; an explicit mismatch
+    raises."""
+    from pyspark.sql import functions as F
+
+    from sparkgrep.operators.index_build import load_meta
+    from sparkgrep.plans.manifest import append_batch
+
+    d = str(tmp_path / "appcfg")
+    half = corpus.filter(F.col("doc_id") % 2 == 0)
+    rest = corpus.filter(F.col("doc_id") % 2 == 1)
+    build_index_checkpointed(
+        half, d, analyzer="fts5", n_segments=2, n_buckets=4, prefix=2
+    )
+    assert tuple(load_meta(d).prefix) == (2,)
+    # no analyzer/prefix passed: inherited, markers stay derived
+    meta = append_batch(rest, d, "b1")
+    assert tuple(meta.prefix) == (2,) and meta.analyzer == "fts5"
+    assert meta.n_docs == 500
+    idx = InvertedIndex(spark, d)
+    assert idx.prefix_terms("th") == ["\x02th"]
+    with pytest.raises(ValueError, match="append analyzer"):
+        append_batch(rest, d, "b2", analyzer="simple")
+    with pytest.raises(ValueError, match="append prefix"):
+        append_batch(rest, d, "b2", prefix=3)
+
+
+def test_trigram_prefix_guard_on_append_paths(spark, corpus, tmp_path):
+    """ADVICE r4: the trigram+prefix refusal holds on every build path,
+    not just build_index — markers could collide with real trigram
+    tokens ('\\x02' is a legal trigram codepoint)."""
+    d = str(tmp_path / "tgp")
+    with pytest.raises(ValueError, match="trigram"):
+        build_index_checkpointed(
+            corpus, d, analyzer="trigram", prefix=2, n_segments=2,
+            n_buckets=4,
+        )
