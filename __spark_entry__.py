@@ -1327,12 +1327,30 @@ stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl)
 
 # one atom's BM25 contribution, okapi idf, engine float-op order
 # (score.py bm25_contrib_col): idf * (tf*2.2) / (tf + (1.2*(0.25 + 0.75*dl/avgdl)))
-def _mc_contrib(tf_expr: str, df_sub: str) -> str:
+def _mc_contrib(tf_expr: str, df_sub: str, variant: str = "okapi") -> str:
+    x = f"(stats.n - {df_sub} + 0.5) / ({df_sub} + 0.5)"
+    idf = f"ln(1.0 + {x})" if variant == "lucene" else f"ln({x})"
     return (
-        f"ln((stats.n - {df_sub} + 0.5) / ({df_sub} + 0.5))"
+        f"{idf}"
         f" * ({tf_expr} * 2.2)"
         f" / ({tf_expr} + (1.2 * (0.25 + ((0.75 * m.dl) / stats.avgdl))))"
     )
+
+
+# one weighted-OR atom's per-doc tf CTE: tfw = (w_meta·tf_meta) +
+# (w_body·tf_body) in fixed field order (the engine's _wsum_mc fold);
+# presence (the DISTINCT union) is weight-independent — FTS5 parity
+def _mc_watom(name: str, term: str, wm: float, wb: float) -> str:
+    return f"""{name} AS (
+  SELECT c.doc_id,
+         (({wm} * coalesce(CAST(mm.tf AS DOUBLE), 0.0))
+          + ({wb} * coalesce(CAST(bb.tf AS DOUBLE), 0.0))) AS tfw
+  FROM (SELECT DISTINCT doc_id FROM (
+          SELECT doc_id FROM mtf WHERE term = '{term}'
+          UNION ALL SELECT doc_id FROM btf WHERE term = '{term}')) c
+  LEFT JOIN (SELECT doc_id, tf FROM mtf WHERE term = '{term}') mm USING (doc_id)
+  LEFT JOIN (SELECT doc_id, tf FROM btf WHERE term = '{term}') bb USING (doc_id)
+)"""
 
 
 # `meta:en scan filter`: the filtered atom's tf and df come from the
@@ -1429,6 +1447,43 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
+# `dup src18 scan` with bm25 weights (3.0, 1.0), LUCENE idf (MaxScore
+# needs non-negative contributions): the selective shape the weighted
+# pruning tier pays on — 'dup' rare in body, 'src18' rare in meta (its
+# contributions ride the 3.0 meta weight), 'scan' hot. Match-any,
+# per-disjunct gating = presence; tfw = (3·tf_meta)+(1·tf_body).
+_MC_PRUNED_WEIGHTED_SQL = f"""
+WITH {_MC_CTES},
+{_mc_watom('a_dup', 'dup', 3.0, 1.0)},
+{_mc_watom('a_src18', 'src18', 3.0, 1.0)},
+{_mc_watom('a_scan', 'scan', 3.0, 1.0)},
+matched AS (
+  SELECT m.doc_id, m.dl, d.tfw AS tf_dup, r.tfw AS tf_src18, s.tfw AS tf_scan
+  FROM dl m
+  LEFT JOIN a_dup d USING (doc_id)
+  LEFT JOIN a_src18 r USING (doc_id)
+  LEFT JOIN a_scan s USING (doc_id)
+  WHERE d.tfw IS NOT NULL OR r.tfw IS NOT NULL OR s.tfw IS NOT NULL
+),
+scored AS (
+  SELECT m.doc_id,
+         ((((CASE WHEN m.tf_dup IS NOT NULL THEN
+             {_mc_contrib('m.tf_dup', '(SELECT count(*) FROM a_dup)', 'lucene')}
+           ELSE 0.0 END))
+          + (CASE WHEN m.tf_scan IS NOT NULL THEN
+             {_mc_contrib('m.tf_scan', '(SELECT count(*) FROM a_scan)', 'lucene')}
+           ELSE 0.0 END))
+          + (CASE WHEN m.tf_src18 IS NOT NULL THEN
+             {_mc_contrib('m.tf_src18', '(SELECT count(*) FROM a_src18)', 'lucene')}
+           ELSE 0.0 END)) AS score
+  FROM matched m, stats
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+       doc_id, round(score, 4) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 # `scan filter` on a detail=none multi-field index: the index stores
 # ONLY the total-tf streams (single-field layout — FTS5's detail=none
 # storage level, colset queries raise), so each atom's tf/df are the
@@ -1507,6 +1562,31 @@ def q_bm25_rank_config(spark: SparkSession, sf_dir: str) -> DataFrame:
     set_rank(idx.index_dir, "bm25(3.0, 1.0)")
     idx = type(idx)(spark, idx.index_dir)  # reload meta with the config
     res = idx.search_expr("en OR scan", k=10)
+    return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
+
+
+def q_bm25_pruned_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED MaxScore pruning (round-5): per-column bm25 weights
+    (3.0, 1.0) served through the pruned two-pass path — the per-field
+    sidecar bounds (ub_cols/maxtf_cols) let the planner bound
+    Σ_c w_c·tf_c, so the reference's weighted FTS5 shape keeps the
+    pruning tier. Selective query ('dup' rare in body, 'src18' rare in
+    meta, 'scan' hot) so the planner ENGAGES (asserted in
+    tests/test_wand_weighted.py; bitwise identity vs the exact weighted
+    path pinned there); the oracle recomputes the weighted lucene-idf
+    BM25 from the raw parquet."""
+    from sparkgrep.operators.index_build import build_index
+    from sparkgrep.operators.query import InvertedIndex
+    from sparkgrep.operators.wand import search_pruned
+
+    out = tempfile.mkdtemp(prefix="sparkgrep_wandw_") + "/idx"
+    build_index(
+        _mc_corpus(spark, sf_dir), out, analyzer="simple",
+        fields=_MC_FIELDS, n_buckets=8, idf_variant="lucene",
+    )
+    res = search_pruned(
+        InvertedIndex(spark, out), "dup src18 scan", k=10, weights=[3.0, 1.0]
+    )
     return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
 
 
@@ -1944,6 +2024,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_detail_none": q_bm25_detail_none,
     "bm25_detail_column": q_bm25_detail_column,
     "bm25_cols_weighted": q_bm25_cols_weighted,
+    "bm25_pruned_weighted": q_bm25_pruned_weighted,
     "bm25_rank_config": q_bm25_rank_config,
     "delta_delete": q_delta_delete,
     "delta_update": q_delta_update,
@@ -2488,6 +2569,7 @@ FROM documents
         # detail=column keeps per-field tfs: weighted scoring identical
         "bm25_detail_column": _MC_WEIGHTED_SQL,
         "bm25_cols_weighted": _MC_WEIGHTED_SQL,
+        "bm25_pruned_weighted": _MC_PRUNED_WEIGHTED_SQL,
         # the persisted rank config must equal the explicit weights
         "bm25_rank_config": _MC_WEIGHTED_SQL,
         # incremental delta merge is a PHYSICAL reorganization: results

@@ -326,7 +326,21 @@ POSTINGS_OUT_SCHEMA_POS = POSTINGS_OUT_SCHEMA + ", poss binary"
 # default full-colset scoring path decodes exactly like a single-field
 # index. poss_cols[c] = field-relative positions, segment lengths =
 # the per-doc values of tfs_cols[c].
-POSTINGS_OUT_SCHEMA_MC = POSTINGS_OUT_SCHEMA + ", tfs_cols array<binary>"
+#
+# Weighted-MaxScore metadata (round-5): offs_tfs_cols[c] = per-block
+# byte offsets into tfs_cols[c] (block grid shared with doc_ids), so the
+# weighted pruned pass-2 block-skips the per-field streams exactly like
+# the total stream; fub[c] = exact float64 max over the row's docs of
+# idf·tfcomp(tf_c, dl) (the field's saturated max contribution, same
+# layer-local stats convention as block_max); fmaxtf[c] = max tf_c.
+# The term_ubs sidecar aggregates fub/fmaxtf per term (ub_cols /
+# maxtf_cols) for query-time weighted upper bounds (wand.plan_pruned).
+# Pre-upgrade mc indexes read NULL for all three → weighted pruning
+# routes to the exact path, byte layouts of existing columns unchanged.
+POSTINGS_OUT_SCHEMA_MC = POSTINGS_OUT_SCHEMA + (
+    ", tfs_cols array<binary>, offs_tfs_cols array<array<int>>, "
+    "fub array<double>, fmaxtf array<long>"
+)
 POSTINGS_OUT_SCHEMA_MC_POS = POSTINGS_OUT_SCHEMA_MC + ", poss_cols array<binary>"
 
 # per-term sidecar: (a) MaxScore planning (operators/wand.py) reads the
@@ -335,8 +349,16 @@ POSTINGS_OUT_SCHEMA_MC_POS = POSTINGS_OUT_SCHEMA_MC + ", poss_cols array<binary>
 # hash-bucket partitions hold a resolved term, so `stem*` never sweeps
 # the whole postings table (query.py:prefix_terms). Written
 # range-partitioned and sorted by term: parquet row-group min/max stats
-# prune a StartsWith pushdown to the matching files
-TERM_UBS_SCHEMA = "term string, df long, ub double, bucket int"
+# prune a StartsWith pushdown to the matching files.
+# ub_cols / maxtf_cols (multi-field indexes only, NULL otherwise):
+# per-field saturated max contribution and max per-field tf, aggregated
+# from the postings' fub / fmaxtf metadata — the inputs to the weighted
+# MaxScore bound (wand.plan_pruned). Pre-upgrade sidecars read NULL and
+# weighted pruning routes to the exact path.
+TERM_UBS_SCHEMA = (
+    "term string, df long, ub double, bucket int, "
+    "ub_cols array<double>, maxtf_cols array<long>"
+)
 
 
 def postings_schema(meta: "IndexMeta") -> str:
@@ -890,6 +912,9 @@ def _encode_groups_frame_mc(
         "offs_tfs": [None] * n,
         "offs_dls": [None] * n,
         "tfs_cols": [None] * n,
+        "offs_tfs_cols": [None] * n,
+        "fub": [None] * n,
+        "fmaxtf": [None] * n,
     }
     if has_pos:
         out["poss_cols"] = [None] * n
@@ -929,6 +954,12 @@ def _encode_groups_frame_mc(
         out["tfs_cols"][gi] = [
             varint_encode(tfc[:, c].astype(np.uint64)) for c in range(n_fields)
         ]
+        out["offs_tfs_cols"][gi] = [
+            segment_byte_offsets(tfc[:, c].astype(np.uint64), counts).astype(
+                np.int32
+            )
+            for c in range(n_fields)
+        ]
         if has_pos:
             streams = []
             for c in range(n_fields):
@@ -943,9 +974,8 @@ def _encode_groups_frame_mc(
                 streams.append(delta_encode_segments(flat, tfc[:, c]))
             out["poss_cols"][gi] = streams
         idf = idf_fn(n_docs, df_g, variant)
-        tf_norm = (tf_tot * (k1 + 1.0)) / (
-            tf_tot + (k1 * ((1.0 - b) + ((b * g_dls.astype(np.float64)) / avgdl)))
-        )
+        K = k1 * ((1.0 - b) + ((b * g_dls.astype(np.float64)) / avgdl))
+        tf_norm = (tf_tot * (k1 + 1.0)) / (tf_tot + K)
         contrib = idf * tf_norm
         pad = nb * block - len(g_ids)
         bm = np.pad(contrib, (0, pad), constant_values=-np.inf).reshape(nb, block)
@@ -954,6 +984,17 @@ def _encode_groups_frame_mc(
         low = bm32.astype(np.float64) < bm64
         bm32[low] = np.nextafter(bm32[low], np.float32(np.inf))
         out["block_max"][gi] = bm32
+        # weighted-MaxScore metadata: per-field saturated max contribution
+        # (exact float64 — no rounding needed, it's row metadata) and max
+        # per-field tf; tfcomp saturation is monotone in tf, so zero-tf
+        # entries contribute 0 and never raise the max
+        fc = idf * (tfc * (k1 + 1.0)) / (tfc + K[:, None])
+        out["fub"][gi] = fc.max(axis=0) if len(g_ids) else np.zeros(n_fields)
+        out["fmaxtf"][gi] = (
+            tfc.max(axis=0).astype(np.int64)
+            if len(g_ids)
+            else np.zeros(n_fields, dtype=np.int64)
+        )
     return pd.DataFrame(out)
 
 
@@ -1685,6 +1726,37 @@ def _finalize_index_write(
     # block_max only — the varint payloads never leave the scan). The
     # pruned serving path (operators/wand.py) memoizes this driver-side
     # so planning a MaxScore query schedules no metadata job.
+    mc = bool(meta.fields) and meta.effective_detail() != "none"
+    if mc:
+        # element-wise max of the per-field metadata across shards: the
+        # per-field upper bounds / max tfs the weighted MaxScore planner
+        # consumes (wand.plan_pruned). NULL-STRICT: a term with ANY
+        # pre-upgrade row (fub absent — e.g. mode='append' over an old
+        # index) gets NULL, not a silent understatement of the bound —
+        # weighted pruning then routes that term's queries to exact.
+        nf = len(meta.fields)
+        has_null = F.max(F.col("fub").isNull().cast("int")) == 1
+        extra = [
+            F.when(has_null, F.lit(None))
+            .otherwise(
+                F.array(
+                    *[F.max(F.element_at(F.col("fub"), c + 1)) for c in range(nf)]
+                )
+            )
+            .alias("ub_cols"),
+            F.when(has_null, F.lit(None))
+            .otherwise(
+                F.array(
+                    *[
+                        F.max(F.element_at(F.col("fmaxtf"), c + 1))
+                        for c in range(nf)
+                    ]
+                )
+            )
+            .alias("maxtf_cols"),
+        ]
+    else:
+        extra = []
     ubs = (
         spark.read.schema(out_schema).parquet(f"{out_dir}/postings")
         .groupBy("term")
@@ -1692,8 +1764,13 @@ def _finalize_index_write(
             F.first("df").alias("df"),  # df is global, same on every shard
             F.max(F.array_max("block_max")).cast("double").alias("ub"),
             F.first("bucket").alias("bucket"),  # pure hash of term
+            *extra,
         )
     )
+    if not mc:
+        ubs = ubs.withColumn(
+            "ub_cols", F.lit(None).cast("array<double>")
+        ).withColumn("maxtf_cols", F.lit(None).cast("array<long>"))
     # ALWAYS overwrite: the sidecar is a full snapshot recomputed from the
     # complete postings — honoring a caller's mode='append' here would
     # stack snapshots, leaving duplicate rows per term (stale smaller ubs

@@ -102,6 +102,64 @@ def _decode_score_gen(
     return gen
 
 
+def _decode_score_mc_gen(
+    meta: IndexMeta,
+    w: list[float],
+    idf_by_term: dict[str, float] | None = None,
+    tomb=None,
+):
+    """WEIGHTED decode-and-score kernel for multi-field indexes: the
+    per-(term, doc) tf is FTS5's per-column weighted sum Σ_c w_c·tf_c,
+    folded in ascending field order with the identical left-associated
+    float sequence as the exact path's ``_wsum_mc`` Spark expression
+    (w_c·tf_c added one field at a time) so contributions are
+    bitwise-equal to ``_rank_units``'s ``bm25_contrib_col`` output.
+    Presence stays weight-independent (zero weights still match — a row
+    decodes for every doc in the posting list, FTS5 parity), so
+    zero-contribution rows are NOT dropped. ``idf_by_term`` / ``tomb``
+    exactly as in :func:`_decode_score_gen`."""
+    k1, b, avgdl, n_docs = meta.k1, meta.b, meta.avgdl, meta.n_docs
+    variant, block = meta.idf_variant, meta.block_size
+    nf = len(meta.fields)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for r in pdf.itertuples():
+                if idf_by_term is not None and r.term not in idf_by_term:
+                    continue  # fully-deleted term (summed df ≤ 0)
+                ids = blocked_gap_decode(r.doc_ids, r.n, block)
+                dls = varint_decode(r.dls).astype(np.int64)
+                wtf = None
+                for c in range(nf):
+                    tfc = varint_decode(r.tfs_cols[c]).astype(np.float64)
+                    e = w[c] * tfc
+                    wtf = e if wtf is None else wtf + e
+                if tomb:
+                    keep = _tomb_keep(ids, getattr(r, "layer_seq", 0), tomb)
+                    if keep is not None:
+                        ids, wtf, dls = ids[keep], wtf[keep], dls[keep]
+                        if not ids.size:
+                            continue
+                idf = (
+                    idf_by_term[r.term]
+                    if idf_by_term is not None
+                    else idf_fn(n_docs, r.df, variant)
+                )
+                contrib = idf * (wtf * (k1 + 1.0)) / (
+                    wtf + (k1 * ((1.0 - b) + ((b * dls) / avgdl)))
+                )
+                outs.append(
+                    pd.DataFrame(
+                        {"term": r.term, "doc_id": ids.astype(np.int64), "contrib": contrib}
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return gen
+
+
 def _decode_raw_gen(meta: IndexMeta, with_positions: bool = False, tomb=None):
     """Decode postings to raw (term, doc_id, tf, dl[, positions]) rows —
     the basis for AND / phrase / boolean scoring, where the fold needs
@@ -278,8 +336,11 @@ class InvertedIndex:
             ls if self.is_layered and len(ls) == len(self.layer_dirs) else None
         )
         self._warm = False
-        # driver-side (df, ub) cache for MaxScore planning — see term_ubs()
-        self._ub_cache: dict[str, tuple[int, float] | None] = {}
+        # driver-side (df, ub, ub_cols, maxtf_cols) cache for MaxScore
+        # planning — see term_ubs() / term_ubs_full(). ub_cols/maxtf_cols
+        # are per-field tuples (weighted-bound inputs) or None when any
+        # contributing layer predates them
+        self._ub_cache: dict[str, tuple | None] = {}
         self._ub_full = False
         # term dictionary for prefix pruning (term → hash bucket; sorted
         # term list for driver-side bisect) — see prefix_terms()
@@ -310,10 +371,10 @@ class InvertedIndex:
 
     def _fold_sidecar_rows(self, acc: dict, rows, layer_ix: int) -> None:
         """Fold one sidecar's rows into the per-term accumulator
-        ``term -> [df_sum, ub_acc, bucket]``. Layer dfs SUM (doc_ids are
-        disjoint across layers); tombstone sidecars (``layer_ix`` past
-        the postings layers) carry df < 0, ub 0 and only subtract.
-        ``ub_acc`` semantics depend on the index shape:
+        ``term -> [df_sum, ub_acc, bucket, ubc_acc, mtf_acc]``. Layer dfs
+        SUM (doc_ids are disjoint across layers); tombstone sidecars
+        (``layer_ix`` past the postings layers) carry df < 0, ub 0 and
+        only subtract. ``ub_acc`` semantics depend on the index shape:
 
         - compacted: max of the stored ubs (already global);
         - layered with per-layer stats: a stored ub is
@@ -325,22 +386,47 @@ class InvertedIndex:
           :meth:`_global_ub` multiplies the global idf back in. Deleted
           postings can only make the bound conservative;
         - layered without stats: raw max is kept but ``pruning_sound``
-          is False, so nothing consumes it as a bound."""
+          is False, so nothing consumes it as a bound.
+
+        ``ubc_acc`` (multi-field indexes) accumulates the per-FIELD ubs
+        (``ub_cols``) under the exact same rescale, element-wise;
+        ``mtf_acc`` element-wise-maxes the per-field max tfs. A postings
+        layer whose sidecar lacks them (pre-upgrade) poisons both to
+        None — weighted pruning then routes that term to exact."""
         rescale = self._layer_prune_stats
         is_postings_layer = layer_ix < len(self.layer_dirs)
         meta = self.meta
         for r in rows:
-            a = acc.setdefault(r["term"], [0, 0.0, r["bucket"]])
+            a = acc.setdefault(r["term"], [0, 0.0, r["bucket"], [], []])
             a[0] += int(r["df"])
             if not is_postings_layer:
                 continue  # tombstone sidecar: ub never raises a bound
             ub = float(r["ub"])
+            ubc = r["ub_cols"]
+            mtf = r["maxtf_cols"]
+            scale = None
             if rescale is not None:
                 n_l, avgdl_l = rescale[layer_ix]
                 idf_l = float(idf_fn(int(n_l), int(r["df"]), meta.idf_variant))
                 infl = (meta.avgdl / avgdl_l) if avgdl_l > 0 else 1.0
-                ub = (ub / idf_l) * max(1.0, infl) if idf_l > 0 else float("inf")
+                scale = max(1.0, infl) / idf_l if idf_l > 0 else None
+                ub = ub * scale if scale is not None else float("inf")
             a[1] = max(a[1], ub)
+            if a[3] is None or ubc is None or mtf is None:
+                a[3] = a[4] = None  # pre-upgrade layer: no weighted bound
+                continue
+            if rescale is not None:
+                ubc = (
+                    [v * scale for v in ubc]
+                    if scale is not None
+                    else [float("inf")] * len(ubc)
+                )
+            if not a[3]:
+                a[3] = [float(v) for v in ubc]
+                a[4] = [int(v) for v in mtf]
+            else:
+                a[3] = [max(x, float(v)) for x, v in zip(a[3], ubc)]
+                a[4] = [max(x, int(v)) for x, v in zip(a[4], mtf)]
 
     def _global_ub(self, df: int, ub_acc: float) -> float:
         """Finish an accumulated ub into the global bound term_ubs
@@ -348,6 +434,19 @@ class InvertedIndex:
         if self._layer_prune_stats is None:
             return ub_acc
         return float(idf_fn(self.meta.n_docs, df, self.meta.idf_variant)) * ub_acc
+
+    def _finish_cache_entry(self, df: int, ub_acc: float, ubc, mtf) -> tuple:
+        """Accumulated sidecar fold → the 4-tuple the caches hold:
+        (df, global ub, per-field global ubs | None, per-field max tfs |
+        None). An empty ubc (term seen only in tombstone sidecars — df
+        went ≤ 0 upstream) or a poisoned one stays None."""
+        ub = self._global_ub(df, ub_acc)
+        if not ubc or mtf is None:
+            return (df, ub, None, None)
+        if self._layer_prune_stats is not None:
+            gidf = float(idf_fn(self.meta.n_docs, df, self.meta.idf_variant))
+            ubc = [v * gidf for v in ubc]
+        return (df, ub, tuple(ubc), tuple(mtf))
 
     def _buckets_for(self, terms: list[str]) -> list[int]:
         # driver-side XXH64 (bit-compatible with the build side's
@@ -396,14 +495,14 @@ class InvertedIndex:
                 self.spark.read.schema(TERM_UBS_SCHEMA).parquet(path).collect(),
                 li,
             )
-        for t, (df, ub_acc, bucket) in acc.items():
+        for t, (df, ub_acc, bucket, ubc, mtf) in acc.items():
             if df <= 0:
                 # every doc containing the term was deleted: keep it out
                 # of the dictionary and negative-cache it (its postings
                 # rows all mask away at decode)
                 self._ub_cache[t] = None
                 continue
-            self._ub_cache[t] = (df, self._global_ub(df, ub_acc))
+            self._ub_cache[t] = self._finish_cache_entry(df, ub_acc, ubc, mtf)
             self._bucket_cache[t] = int(bucket) if bucket is not None else None
         self._sorted_terms = sorted(self._bucket_cache)
         self._ub_full = True
@@ -434,15 +533,18 @@ class InvertedIndex:
                     # layer dfs sum (disjoint docs), tombstone sidecars
                     # subtract, layered ubs rescale to global bounds
                     self._fold_sidecar_rows(acc, rows, li)
-                for t, (df, ub_acc, _bucket) in acc.items():
+                for t, (df, ub_acc, _bucket, ubc, mtf) in acc.items():
                     # df ≤ 0 = fully-deleted term → negative cache
                     self._ub_cache[t] = (
-                        (df, self._global_ub(df, ub_acc)) if df > 0 else None
+                        self._finish_cache_entry(df, ub_acc, ubc, mtf)
+                        if df > 0
+                        else None
                     )
             else:
                 # pre-sidecar index (single layer by construction): derive
                 # from postings metadata (column-pruned scan of the query
-                # terms' buckets only)
+                # terms' buckets only); no per-field bounds — weighted
+                # pruning routes to exact
                 rows = (
                     self._matched(missing)
                     .select("term", "df", F.array_max("block_max").alias("ub"))
@@ -451,9 +553,26 @@ class InvertedIndex:
                     .collect()
                 )
                 for r in rows:
-                    self._ub_cache[r["term"]] = (int(r["df"]), float(r["ub"]))
+                    self._ub_cache[r["term"]] = (
+                        int(r["df"]), float(r["ub"]), None, None
+                    )
             for t in missing:  # negative cache: no postings for this term
                 self._ub_cache.setdefault(t, None)
+        out = {}
+        for t in terms:
+            hit = self._ub_cache.get(t)
+            if hit is not None:
+                out[t] = hit[:2]
+        return out
+
+    def term_ubs_full(self, terms: list[str]) -> dict[str, tuple]:
+        """{term: (df, ub, ub_cols | None, maxtf_cols | None)} — the
+        extended sidecar record behind :meth:`term_ubs`. ub_cols /
+        maxtf_cols are per-field global bounds on a multi-field index
+        (inputs to the weighted MaxScore bound, wand.plan_pruned); None
+        on single-field indexes, pre-upgrade sidecars, or terms any of
+        whose layers lack them."""
+        self.term_ubs(terms)  # populate/refresh the cache
         out = {}
         for t in terms:
             hit = self._ub_cache.get(t)
@@ -547,6 +666,24 @@ class InvertedIndex:
         idf_map = self._layered_idf_map(terms)
         return self._matched(terms).mapInPandas(
             _decode_score_gen(self.meta, idf_map, tomb=self._tomb_spec),
+            "term string, doc_id long, contrib double",
+        )
+
+    def _contribs_weighted(self, terms: list[str], w: list[float]) -> DataFrame:
+        """Per-(term, doc) WEIGHTED BM25 contributions (tf = Σ_c w_c·tf_c
+        in fixed field order) off the per-field tf streams — the
+        single-decode basis for weighted batched serving and weighted
+        MaxScore pass 1/2. Contributions are bitwise-equal to the exact
+        per-query path's ``_rank_units`` fold inputs (same float-op
+        order; pinned by tests/test_wand_weighted.py)."""
+        if not self.meta.fields or self.meta.effective_detail() == "none":
+            raise ValueError(
+                "weighted contributions need a multi-field index with "
+                "per-field tf streams (detail='full' or 'column')"
+            )
+        idf_map = self._layered_idf_map(terms)
+        return self._matched(terms).mapInPandas(
+            _decode_score_mc_gen(self.meta, w, idf_map, tomb=self._tomb_spec),
             "term string, doc_id long, contrib double",
         )
 
@@ -1502,19 +1639,32 @@ class InvertedIndex:
             from sparkgrep.operators.wand import search_batch_pruned
 
             return search_batch_pruned(self, queries)
+        weighted_w: list[float] | None = None
         if self.meta.rank_weights:
-            # persisted rank configuration (set_rank): the batched fold
-            # scores the unweighted total streams, so route each query
-            # through the weighted path and union — results must stay
-            # bitwise-consistent with per-query search under the config
-            parts = []
-            for qid, text, k in queries:
-                res = self.search(text, k).withColumn("query_id", F.lit(qid))
-                parts.append(res.select("query_id", "rank", "doc_id", "score"))
-            out = parts[0]
-            for q in parts[1:]:
-                out = out.unionByName(q)
-            return out
+            # persisted rank configuration (set_rank): the plain batched
+            # fold scores the unweighted TOTAL streams, so the batch
+            # decodes WEIGHTED contributions instead (one shared decode,
+            # _decode_score_mc_gen — tf = Σ_c w_c·tf_c in the exact
+            # path's float order) and reuses the same single fold keyed
+            # (query_id, doc_id). Bitwise-consistent with per-query
+            # search under the config: restricting the global
+            # sorted-term fold to a query's terms preserves its sorted
+            # order and the coalesced 0.0 is an exact identity — the
+            # same argument as the unweighted batch. Per-query union
+            # survives only for shapes whose weighted decode can't run
+            # (no per-field tf streams) so the error surface matches
+            # per-query search.
+            if self.meta.fields and self.meta.effective_detail() != "none":
+                weighted_w = self._weights_list(list(self.meta.rank_weights))
+            else:
+                parts = []
+                for qid, text, k in queries:
+                    res = self.search(text, k).withColumn("query_id", F.lit(qid))
+                    parts.append(res.select("query_id", "rank", "doc_id", "score"))
+                out = parts[0]
+                for q in parts[1:]:
+                    out = out.unionByName(q)
+                return out
         qterm_rows = []
         kmap = {}
         for qid, text, k in queries:
@@ -1526,7 +1676,11 @@ class InvertedIndex:
                 [], "query_id string, rank int, doc_id long, score double"
             )
         all_terms = sorted({t for _, t in qterm_rows})
-        contribs = self._contribs(all_terms)
+        contribs = (
+            self._contribs_weighted(all_terms, weighted_w)
+            if weighted_w is not None
+            else self._contribs(all_terms)
+        )
         qterms = self.spark.createDataFrame(qterm_rows, "query_id string, term string")
         fanned = contribs.join(F.broadcast(qterms), "term")
         scored = self._fold_scores(fanned, all_terms, extra_keys=["query_id"])

@@ -160,28 +160,173 @@ def _filtered_decode_gen(
     return gen
 
 
+def _filtered_decode_w_gen(
+    meta,
+    candidates: np.ndarray,
+    w: list[float],
+    idf_map: dict[str, float] | None = None,
+    tomb=None,
+):
+    """WEIGHTED sibling of :func:`_filtered_decode_gen`: pass-2 decoder
+    for per-column-weighted scoring with the same TRUE block skipping —
+    the per-field tf streams are block-addressable too (offs_tfs_cols
+    shares the doc_ids block grid), so only candidate-touching blocks of
+    ANY stream are decoded. The weighted tf folds w_c·tf_c in ascending
+    field order (the exact path's ``_wsum_mc`` float sequence) and the
+    contribution uses the identical op order as ``bm25_contrib_col`` —
+    bitwise-equal scores (pinned by tests/test_wand_weighted.py).
+    Zero-contribution rows are kept: presence is weight-independent
+    (FTS5 parity)."""
+    k1, b, avgdl, n_docs = meta.k1, meta.b, meta.avgdl, meta.n_docs
+    variant = meta.idf_variant
+    nf = len(meta.fields)
+    cand = np.sort(candidates)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for r in pdf.itertuples():
+                if idf_map is not None and r.term not in idf_map:
+                    continue  # fully-deleted term: every posting masked
+                bmin = np.asarray(r.block_min, dtype=np.int64)
+                bi = np.searchsorted(bmin, cand, side="right") - 1
+                sel = np.unique(bi[bi >= 0])
+                if sel.size == 0:
+                    continue
+                o_ids = np.asarray(r.offs_ids, dtype=np.int64)
+                o_dls = np.asarray(r.offs_dls, dtype=np.int64)
+                o_tfc = [
+                    np.asarray(r.offs_tfs_cols[c], dtype=np.int64)
+                    for c in range(nf)
+                ]
+                id_parts, dl_parts = [], []
+                tfc_parts: list[list] = [[] for _ in range(nf)]
+                for i in sel:
+                    id_parts.append(
+                        np.cumsum(
+                            varint_decode(r.doc_ids[o_ids[i]:o_ids[i + 1]]).astype(np.int64)
+                        )
+                    )
+                    dl_parts.append(varint_decode(r.dls[o_dls[i]:o_dls[i + 1]]))
+                    for c in range(nf):
+                        tfc_parts[c].append(
+                            varint_decode(
+                                r.tfs_cols[c][o_tfc[c][i]:o_tfc[c][i + 1]]
+                            )
+                        )
+                ids = np.concatenate(id_parts)
+                keep = np.searchsorted(cand, ids)
+                keep = (keep < len(cand)) & (cand[np.clip(keep, 0, len(cand) - 1)] == ids)
+                if not keep.any():
+                    continue
+                dls = np.concatenate(dl_parts).astype(np.int64)[keep]
+                wtf = None
+                for c in range(nf):
+                    tfc = np.concatenate(tfc_parts[c]).astype(np.float64)[keep]
+                    e = w[c] * tfc
+                    wtf = e if wtf is None else wtf + e
+                ids = ids[keep]
+                if tomb:
+                    tkeep = _tomb_keep(ids, getattr(r, "layer_seq", 0), tomb)
+                    if tkeep is not None:
+                        ids, wtf, dls = ids[tkeep], wtf[tkeep], dls[tkeep]
+                        if not ids.size:
+                            continue
+                idf = (
+                    idf_map[r.term]
+                    if idf_map is not None
+                    else idf_fn(n_docs, r.df, variant)
+                )
+                contrib = idf * (wtf * (k1 + 1.0)) / (
+                    wtf + (k1 * ((1.0 - b) + ((b * dls) / avgdl)))
+                )
+                outs.append(pd.DataFrame({"term": r.term, "doc_id": ids, "contrib": contrib}))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return gen
+
+
+def _weighted_ubs(
+    index: InvertedIndex, terms: list[str], w: list[float]
+) -> dict[str, tuple[int, float]] | None:
+    """{term: (df, UB_w)} where UB_w soundly bounds the term's WEIGHTED
+    BM25 contribution idf·tfcomp(Σ_c w_c·tf_c, dl) over all live docs,
+    from the per-field sidecar metadata (ub_cols = max_d idf·tfcomp(tf_c,
+    dl); maxtf_cols = max_d tf_c). Two independent bounds, take the min:
+
+    - **subadditive**: tfcomp(·, dl) is concave with tfcomp(0)=0, hence
+      subadditive in tf, and tfcomp(w·x) ≤ max(w, 1)·tfcomp(x) for
+      w ≥ 0 (monotone for w ≤ 1, concavity through 0 for w ≥ 1), so
+      contrib ≤ Σ_c coef_c·ub_cols[c] with coef_c = 0 if w_c = 0 else
+      max(w_c, 1);
+    - **saturation**: Σ_c w_c·tf_c ≤ S = Σ_c w_c·maxtf_c and the denom
+      K(dl) ≥ k1·(1−b), so contrib ≤ idf·S·(k1+1)/(S + k1·(1−b)).
+
+    Requires non-negative finite weights (callers gate). Returns None
+    when ANY query term lacks per-field bounds (pre-upgrade layer in its
+    sidecar fold — query.py ``term_ubs_full``): weighted pruning then
+    routes to the exact path rather than consume an unsound bound."""
+    meta = index.meta
+    full = index.term_ubs_full(terms)
+    kmin = meta.k1 * (1.0 - meta.b)
+    out: dict[str, tuple[int, float]] = {}
+    for t, (df, _ub, ubc, mtf) in full.items():
+        if ubc is None or mtf is None:
+            return None
+        ub_a = sum(
+            (0.0 if wc == 0.0 else max(wc, 1.0)) * u for wc, u in zip(w, ubc)
+        )
+        s = sum(wc * m for wc, m in zip(w, mtf))
+        gidf = float(idf_fn(meta.n_docs, df, meta.idf_variant))
+        ub_b = gidf * (s * (meta.k1 + 1.0)) / (s + kmin) if s > 0 else 0.0
+        out[t] = (df, min(ub_a, ub_b))
+    return out
+
+
 def plan_pruned(
     index: InvertedIndex,
     terms: list[str],
     k: int,
     prefix_cap: int | None = None,
     prune_margin: float = 0.5,
+    weights=None,
 ) -> dict | None:
     """Job-free MaxScore viability planning off the memoized ``term_ubs``
     sidecar (shared by :func:`search_pruned` and
     :func:`search_batch_pruned`). Returns None when pruning is unsound
-    (okapi idf; layered index without the layer-stats rescale) or
-    provably/predictably unprofitable
+    (okapi idf; layered index without the layer-stats rescale; weighted
+    scoring without per-field sidecar bounds or with negative weights)
+    or provably/predictably unprofitable
     (every driver-side gate in :func:`search_pruned`'s docstring);
-    otherwise ``{'essential', 'rest_ub', 'cap', 'ess_df'}``."""
+    otherwise ``{'essential', 'rest_ub', 'cap', 'ess_df', 'weights'}``.
+
+    ``weights`` (explicit per-field BM25 weights) or a persisted rank
+    configuration (set_rank) switch planning to the WEIGHTED bounds
+    (:func:`_weighted_ubs`) and mark the plan so the passes decode the
+    per-field tf streams; identity weights (all 1.0) reduce to the
+    unweighted plan (the total stream IS the all-ones weighted sum —
+    bitwise, exact integer tfs)."""
     meta = index.meta
     if not terms or meta.idf_variant == "okapi":
         return None
-    if getattr(meta, "rank_weights", ()):
-        # persisted rank configuration (set_rank): the sidecar ubs bound
-        # the UNWEIGHTED score — route to exact, which applies the
-        # configured weights (bitwise-consistent with plain search)
-        return None
+    w: list[float] | None = None
+    eff = weights if weights is not None else (
+        list(meta.rank_weights) if getattr(meta, "rank_weights", ()) else None
+    )
+    if eff is not None:
+        if not meta.fields or meta.effective_detail() == "none":
+            # weights are an error (single-field) or unsupported
+            # (detail=none) on this index: the exact path raises the
+            # canonical message — route there
+            return None
+        w = index._weights_list(eff)
+        if all(x == 1.0 for x in w):
+            w = None  # identity: stored total streams already score this
+        elif any(not (x >= 0.0) or x == float("inf") for x in w):
+            # negative (or NaN/inf) weights break contribution
+            # non-negativity — MaxScore's θ lower-bound argument fails
+            return None
     if getattr(index, "is_layered", False) and not getattr(
         index, "pruning_sound", False
     ):
@@ -190,7 +335,11 @@ def plan_pruned(
         # only then does pruning route to exact; delta/tombstone layers
         # written with layer_stats snapshots keep pruning enabled
         return None
-    ubs_map = index.term_ubs(terms)
+    ubs_map = (
+        _weighted_ubs(index, terms, w) if w is not None else index.term_ubs(terms)
+    )
+    if ubs_map is None:
+        return None  # per-field bounds missing (pre-upgrade sidecar)
     if not ubs_map:
         return None
     ubs = sorted(((t, ub) for t, (_, ub) in ubs_map.items()), key=lambda x: -x[1])
@@ -213,7 +362,10 @@ def plan_pruned(
         return None
     if ess_df < k:
         return None
-    return {"essential": essential, "rest_ub": rest_ub, "cap": cap, "ess_df": ess_df}
+    return {
+        "essential": essential, "rest_ub": rest_ub, "cap": cap,
+        "ess_df": ess_df, "weights": w,
+    }
 
 
 def search_pruned(
@@ -222,6 +374,7 @@ def search_pruned(
     k: int = 10,
     prefix_cap: int | None = None,
     prune_margin: float = 0.5,
+    weights=None,
 ) -> DataFrame:
     """Top-k with MaxScore pruning in at most TWO Spark jobs; exact-path
     fallback whenever pruning is unsound (okapi idf) or would not pay.
@@ -250,6 +403,12 @@ def search_pruned(
     - pass 2 (job 2) re-scores candidates over ALL terms with true
       block skipping (v2 per-block offsets), fold order identical to
       the exact path → bitwise-identical scores.
+
+    ``weights`` (or a persisted rank configuration): per-field BM25
+    weights — planning switches to the per-field sidecar bounds
+    (:func:`_weighted_ubs`) and both passes decode the per-field tf
+    streams (``_contribs_weighted`` / :func:`_filtered_decode_w_gen`),
+    bitwise-identical to the exact weighted path.
     """
     spark = index.spark
     meta = index.meta
@@ -261,14 +420,24 @@ def search_pruned(
     # layered index / hot-essential / margin-failing queries run exact —
     # the minimal top-UB essential prefix keeps hot terms (huge df, tiny
     # UB) OUT of pass 1 while θ still can't be threatened by the rest
-    plan = plan_pruned(index, terms, k, prefix_cap, prune_margin)
+    plan = plan_pruned(index, terms, k, prefix_cap, prune_margin, weights=weights)
     if plan is None:
-        if not index.term_ubs(terms):
+        if weights is None and not index.term_ubs(terms):
             return empty  # no query term has postings
-        return index.search(query_text, k)
+        return index.search(query_text, k, weights=weights)
     essential, rest_ub, cap, ess_df = (
         plan["essential"], plan["rest_ub"], plan["cap"], plan["ess_df"]
     )
+    w = plan["weights"]
+
+    def _exact():
+        return index.search(query_text, k, weights=weights)
+
+    def _pass1_contribs(ts: list[str]) -> DataFrame:
+        return (
+            index._contribs_weighted(ts, w) if w is not None
+            else index._contribs(ts)
+        )
 
     # pass 1 (job 1): exact partial scores over essential terms.
     # Selective queries (the only ones that reach here) have small
@@ -279,27 +448,27 @@ def search_pruned(
     # shuffle-free stage. Oversized essential lists keep the distributed
     # fold + TakeOrderedAndProject plan.
     if ess_df <= _PASS1_COLLECT_BUDGET:
-        rows = index._contribs(essential).collect()
+        rows = _pass1_contribs(essential).collect()
         docs, scores = _numpy_fold(rows, essential)
         order = np.lexsort((docs, -scores))
         docs, scores = docs[order], scores[order]
         if len(docs) < k or rest_ub >= scores[k - 1]:
-            return index.search(query_text, k)
+            return _exact()
         theta = float(scores[k - 1])
         cand = docs[scores + rest_ub >= theta]
         if len(cand) > cap:  # cut too weak to beat the exact scan
-            return index.search(query_text, k)
+            return _exact()
     else:
-        s1 = index._fold_scores(index._contribs(essential), essential)
+        s1 = index._fold_scores(_pass1_contribs(essential), essential)
         top1 = s1.orderBy(F.desc("score"), F.asc("doc_id")).limit(cap).collect()
         if len(top1) < k or rest_ub >= top1[k - 1]["score"]:
             # not enough matches to bound, or rest terms could beat θ
-            return index.search(query_text, k)
+            return _exact()
         theta = top1[k - 1]["score"]
         # candidates are a PREFIX of the score-descending pass-1 ordering;
         # an exhausted prefix means the cut is too weak — fall back
         if len(top1) == cap and top1[-1]["score"] + rest_ub >= theta:
-            return index.search(query_text, k)
+            return _exact()
         cand = [r["doc_id"] for r in top1 if r["score"] + rest_ub >= theta]
     cand_ids = np.asarray(sorted(int(d) for d in cand), dtype=np.int64)
 
@@ -307,11 +476,17 @@ def search_pruned(
     # decode over all query terms, ≤ cap × |terms| rows collected, numpy
     # fold in the exact path's float order → bitwise-identical scores
     matched = index._matched(terms)
-    contribs = matched.mapInPandas(
-        _filtered_decode_gen(
+    gen2 = (
+        _filtered_decode_w_gen(
+            meta, cand_ids, w, index._layered_idf_map(terms), index._tomb_spec
+        )
+        if w is not None
+        else _filtered_decode_gen(
             meta, cand_ids, index._layered_idf_map(terms), index._tomb_spec
-        ),
-        "term string, doc_id long, contrib double",
+        )
+    )
+    contribs = matched.mapInPandas(
+        gen2, "term string, doc_id long, contrib double"
     )
     docs, scores = _numpy_fold(contribs.collect(), terms)
     sel = np.lexsort((docs, -scores))[:k]
@@ -356,6 +531,11 @@ def search_batch_pruned(
         parsed.append((qid, text, terms, k, plan))
 
     pruned = [p for p in parsed if p[4] is not None]
+    # under a persisted rank configuration every plan carries the same
+    # normalized weights (the batch API passes none per query): the
+    # shared pass-1/pass-2 stages decode the per-field streams once for
+    # the whole batch, mirroring the shared-decode weighted exact batch
+    w = pruned[0][4]["weights"] if pruned else None
     exact: list[tuple[str, str, int]] = [
         (qid, text, k) for qid, text, _t, k, plan in parsed if plan is None
     ]
@@ -365,7 +545,11 @@ def search_batch_pruned(
         # pass 1 (shared job): raw contributions for the UNION of
         # essential terms; per-query numpy folds over its own slice
         ess_union = sorted({t for _q, _x, _t, _k, pl in pruned for t in pl["essential"]})
-        rows1 = index._contribs(ess_union).collect()
+        rows1 = (
+            index._contribs_weighted(ess_union, w)
+            if w is not None
+            else index._contribs(ess_union)
+        ).collect()
         by_term: dict[str, list] = {}
         for r in rows1:
             by_term.setdefault(r["term"], []).append(r)
@@ -392,17 +576,20 @@ def search_batch_pruned(
             # restricted to (its terms × its candidates)
             union_terms = sorted({t for _q, ts, _k, _c in stage2 for t in ts})
             union_cands = np.unique(np.concatenate([c for _q, _t, _k, c in stage2]))
+            gen2 = (
+                _filtered_decode_w_gen(
+                    index.meta, union_cands, w,
+                    index._layered_idf_map(union_terms), index._tomb_spec,
+                )
+                if w is not None
+                else _filtered_decode_gen(
+                    index.meta, union_cands,
+                    index._layered_idf_map(union_terms), index._tomb_spec,
+                )
+            )
             rows2 = (
                 index._matched(union_terms)
-                .mapInPandas(
-                    _filtered_decode_gen(
-                        index.meta,
-                        union_cands,
-                        index._layered_idf_map(union_terms),
-                        index._tomb_spec,
-                    ),
-                    "term string, doc_id long, contrib double",
-                )
+                .mapInPandas(gen2, "term string, doc_id long, contrib double")
                 .collect()
             )
             by_term2: dict[str, list] = {}
