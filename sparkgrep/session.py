@@ -64,7 +64,14 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        # Arrow batch rows bound every pandas-UDF kernel's per-batch
+        # working set (decode/encode are the memory-bandwidth-heaviest
+        # phases); env-tunable so the bench can measure working-set
+        # sensitivity at wide parallelism without a code change
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARKGREP_ARROW_BATCH", "8192"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARKGREP_DRIVER_MEM", "8g"))
         .config(
