@@ -1748,6 +1748,31 @@ def q_delta_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
 
 
+def q_delta_purged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surgical physical delete (plans/purge.py — the FTS5
+    'secure-delete' analogue; the installed SQLite 3.40 refuses the
+    option itself, probed): same setup as ``delta_delete``, then
+    ``purge_deleted`` rewrites ONLY the (term, shard) files holding the
+    tombstoned ids (every other postings file stays byte-identical —
+    tests/test_purge.py) and turns the reader's mask off. The oracle is
+    delta_delete's from-scratch survivors BM25 — the physical rewrite
+    must change nothing about the results."""
+    from sparkgrep.operators.index_build import build_index
+    from sparkgrep.operators.query import InvertedIndex
+    from sparkgrep.plans.manifest import delete_batch_delta
+    from sparkgrep.plans.purge import purge_deleted
+
+    corpus = _corpus(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="sparkgrep_purge_") + "/idx"
+    build_index(corpus, out, analyzer="simple", n_buckets=8)
+    delete_batch_delta(corpus.filter(_DEL_PRED), out, "d1")
+    purge_deleted(spark, out)
+    idx = InvertedIndex(spark, out)
+    assert idx._tomb_spec is None  # mask off: ids are physically gone
+    res = idx.search(FLAGSHIP_QUERY, k=10)
+    return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
+
+
 def q_delta_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UPDATE trigger semantics (delete old row + insert new on the SAME
     rowid): tombstone the old content, re-append the modified content as
@@ -2027,6 +2052,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_pruned_weighted": q_bm25_pruned_weighted,
     "bm25_rank_config": q_bm25_rank_config,
     "delta_delete": q_delta_delete,
+    "delta_purged": q_delta_purged,
     "delta_update": q_delta_update,
     "delta_merged": q_delta_merged,
     "integrity_check": q_integrity_check,
@@ -2546,6 +2572,14 @@ FROM documents
         # scratch over the post-mutation corpus (same predicate /
         # rewrite as the Spark-side _DEL_PRED entries)
         "delta_delete": _bm25_sql(
+            flagship_terms, 10,
+            ctes=_tok_ctes(
+                f"(SELECT doc_id, text FROM documents WHERE NOT ({_DEL_PRED}))"
+            ),
+        ),
+        # surgical physical delete: results must equal the tombstoned
+        # index's (and therefore the same survivors oracle) exactly
+        "delta_purged": _bm25_sql(
             flagship_terms, 10,
             ctes=_tok_ctes(
                 f"(SELECT doc_id, text FROM documents WHERE NOT ({_DEL_PRED}))"

@@ -1161,6 +1161,18 @@ def main() -> None:
     t0 = time.time()
     merge_delta_layers(spark, out)
     timings["delta_merge_2x1k"] = round(time.time() - t0, 3)
+    # surgical physical delete (FTS5 secure-delete analogue): tombstone
+    # the second batch, then purge_deleted rewrites ONLY the files whose
+    # posting lists hold the dead ids — O(affected), vs compact's
+    # O(index). At sandbox SF both pay the fixed job floor; the scale
+    # story is the untouched-files assertion in tests/test_purge.py.
+    from sparkgrep.plans.manifest import delete_batch_delta
+    from sparkgrep.plans.purge import purge_deleted
+
+    delete_batch_delta(batch2, out, "bench-del2")
+    t0 = time.time()
+    purge_deleted(spark, out)
+    timings["purge_1k"] = round(time.time() - t0, 3)
     t0 = time.time()
     compact_index(spark, out)
     timings["compact"] = round(time.time() - t0, 3)

@@ -171,6 +171,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     mg.add_argument("--index", required=True)
     mg.add_argument("--merge-partitions", type=int, default=None)
 
+    pg = sub.add_parser(
+        "purge",
+        help="surgical physical delete (FTS5 secure-delete analogue): "
+             "remove tombstoned doc_ids from only the (term, shard) files "
+             "that contain them — O(affected files), base mass untouched, "
+             "queries byte-identical before/after",
+    )
+    pg.add_argument("--index", required=True)
+
     m = sub.add_parser("metrics", help="print per-segment lineage manifest")
     m.add_argument("--index", required=True)
 
@@ -342,6 +351,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 spark, args.index, merge_partitions=args.merge_partitions
             )
             print(json.dumps(meta.__dict__, default=list))
+        elif args.cmd == "purge":
+            from sparkgrep.plans.purge import purge_deleted
+
+            print(json.dumps(purge_deleted(spark, args.index)))
         elif args.cmd == "metrics":
             from sparkgrep.plans.manifest import read_manifest
 

@@ -248,6 +248,13 @@ class IndexMeta:
     # version (plans/manifest.py: delete_batch_delta)
     tombstones: tuple = ()
     tombstone_cuts: tuple = ()
+    # indexes (into ``tombstones``) of tombstones whose doc_ids have been
+    # PHYSICALLY removed from every layer they masked
+    # (plans/purge.py:purge_deleted — the FTS5 'secure-delete' analogue):
+    # the reader skips their decode-time mask (nothing left to mask) but
+    # keeps folding their negated-df sidecars, which remain the exact
+    # global-df correction for the stale per-row dfs in old layers.
+    tombstone_purged: tuple = ()
     # per-POSTINGS-layer build-time stats, aligned with [base] + layers:
     # (n_docs, avgdl) as they were when that layer's block_max / term_ubs
     # values were computed. A layer's sidecar ub is idf_layer·tfcomp_layer;

@@ -293,9 +293,17 @@ class InvertedIndex:
             f"{index_dir}/{rel}" for rel in (self.meta.tombstones or ())
         ]
         self._tomb_spec: list[tuple[int, object]] | None = None
+        purged = {int(i) for i in (self.meta.tombstone_purged or ())}
         if self.tomb_dirs:
             spec = []
-            for td, cut in zip(self.tomb_dirs, self.meta.tombstone_cuts or ()):
+            for ti, (td, cut) in enumerate(
+                zip(self.tomb_dirs, self.meta.tombstone_cuts or ())
+            ):
+                if ti in purged:
+                    # surgically purged (plans/purge.py): the ids are
+                    # physically gone from every layer this tombstone
+                    # masked — only its negated-df sidecar still applies
+                    continue
                 ids = np.sort(np.array(
                     [
                         r["doc_id"]
@@ -305,7 +313,7 @@ class InvertedIndex:
                     dtype=np.int64,
                 ))
                 spec.append((int(cut), spark.sparkContext.broadcast(ids)))
-            self._tomb_spec = spec
+            self._tomb_spec = spec or None
         parts = [
             spark.read.schema(schema).parquet(f"{d}/postings")
             for d in self.layer_dirs
@@ -323,8 +331,10 @@ class InvertedIndex:
             p = p.unionByName(q)
         self.postings = p
         # layered OR tombstoned: per-row stored dfs are stale/layer-local
-        # → idf comes from the summed sidecars
-        self.is_layered = len(self.layer_dirs) > 1 or bool(self._tomb_spec)
+        # → idf comes from the summed sidecars. tomb_dirs (not _tomb_spec):
+        # a PURGED tombstone no longer masks, but its negated-df sidecar
+        # is still the correction that makes summed dfs global-exact
+        self.is_layered = len(self.layer_dirs) > 1 or bool(self.tomb_dirs)
         # per-layer build-time (n_docs, avgdl) snapshots written by the
         # delta/tombstone writers (IndexMeta.layer_stats): when present
         # and aligned with the postings layers, the sidecar fold rescales
@@ -430,9 +440,16 @@ class InvertedIndex:
 
     def _global_ub(self, df: int, ub_acc: float) -> float:
         """Finish an accumulated ub into the global bound term_ubs
-        exposes (identity on a compacted index)."""
+        exposes (identity on a compacted index). okapi indexes never
+        prune (wand.plan_pruned refuses the variant — its idf goes
+        negative), so no consumer reads the bound: return 0.0 instead of
+        evaluating an idf whose log can leave its domain on stale-high
+        sidecar dfs (prefix MARKER rows carry no tombstone correction by
+        design — the marker path derives df from the masked decode)."""
         if self._layer_prune_stats is None:
             return ub_acc
+        if self.meta.idf_variant == "okapi":
+            return 0.0
         return float(idf_fn(self.meta.n_docs, df, self.meta.idf_variant)) * ub_acc
 
     def _finish_cache_entry(self, df: int, ub_acc: float, ubc, mtf) -> tuple:
@@ -444,6 +461,8 @@ class InvertedIndex:
         if not ubc or mtf is None:
             return (df, ub, None, None)
         if self._layer_prune_stats is not None:
+            if self.meta.idf_variant == "okapi":
+                return (df, ub, None, None)  # okapi never prunes
             gidf = float(idf_fn(self.meta.n_docs, df, self.meta.idf_variant))
             ubc = [v * gidf for v in ubc]
         return (df, ub, tuple(ubc), tuple(mtf))
@@ -715,10 +734,13 @@ class InvertedIndex:
     def dead_ids_df(self, layer_seq: int) -> DataFrame | None:
         """doc_ids deleted from layer ``layer_seq`` (tombstones with cut
         > seq), as a DataFrame — None when nothing masks that layer."""
+        purged = {int(i) for i in (self.meta.tombstone_purged or ())}
         dirs = [
             td
-            for td, cut in zip(self.tomb_dirs, self.meta.tombstone_cuts or ())
-            if int(cut) > layer_seq
+            for ti, (td, cut) in enumerate(
+                zip(self.tomb_dirs, self.meta.tombstone_cuts or ())
+            )
+            if int(cut) > layer_seq and ti not in purged
         ]
         if not dirs:
             return None

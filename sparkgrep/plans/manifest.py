@@ -362,6 +362,7 @@ def _write_root_meta(out_dir: str, meta: IndexMeta) -> None:
     d["layers"] = list(meta.layers or ())
     d["tombstones"] = list(meta.tombstones or ())
     d["tombstone_cuts"] = [int(c) for c in (meta.tombstone_cuts or ())]
+    d["tombstone_purged"] = [int(i) for i in (meta.tombstone_purged or ())]
     fsio.write_text(f"{out_dir}/stats.json", json.dumps(d, indent=2))
 
 

@@ -101,6 +101,32 @@ def rename(src: str, dst: str) -> None:
     fs.rename(p, jvm.org.apache.hadoop.fs.Path(dst))
 
 
+def link_or_copy(src: str, dst: str) -> None:
+    """Make ``dst`` hold the SAME BYTES as ``src`` without rewriting
+    them where the filesystem allows: a hardlink on a local posix FS
+    (instant, byte- and inode-identical — the surgical-delete swap uses
+    this so untouched postings files stay physically untouched), a
+    server-side copy through ``FileUtil.copy`` on Hadoop filesystems.
+    Parent directories are created."""
+    h = _hadoop(src)
+    if h is None:
+        os.makedirs(os.path.dirname(dst) or ".", exist_ok=True)
+        try:
+            os.link(src, dst)
+        except OSError:  # cross-device / FS without hardlinks
+            import shutil
+
+            shutil.copy2(src, dst)
+        return
+    fs, p, jvm = h
+    d = jvm.org.apache.hadoop.fs.Path(dst)
+    dfs = d.getFileSystem(SparkSession.getActiveSession()._jsc.hadoopConfiguration())
+    jvm.org.apache.hadoop.fs.FileUtil.copy(
+        fs, p, dfs, d, False, True,
+        SparkSession.getActiveSession()._jsc.hadoopConfiguration(),
+    )
+
+
 def list_dir(path: str, suffix: str = "") -> list[str]:
     """Names (not paths) of plain files directly under ``path`` ending
     with ``suffix``; empty if the directory doesn't exist."""
