@@ -670,16 +670,72 @@ class InvertedIndex:
                 return None
         return sorted(t for t, df in dfs.items() if df > 0)
 
+    def _prefix_buckets(self, stem: str) -> list[int] | None:
+        """DISTRIBUTED dictionary resolve for stems whose match set is
+        too large to enumerate driver-side (> _PREFIX_RESOLVE_MAX — a
+        1-char stem over a web-scale vocabulary): instead of a term
+        list, resolve the set of hash BUCKETS holding any matching term
+        via a range-partitioned scan of the sorted ``term_ubs``
+        dictionary (StartsWith pushes down; the sort makes parquet
+        row-group min/max stats prune non-matching files) aggregated to
+        ``collect_set(bucket)`` — at most n_buckets rows reach the
+        driver no matter how many terms match. The postings scan then
+        partition-prunes to those buckets with the StartsWith predicate
+        pushed into them, instead of the legacy whole-table metadata
+        sweep. None only for a pre-dictionary index (no sidecar, or a
+        sidecar without the bucket column)."""
+        from sparkgrep.operators.index_build import TERM_UBS_SCHEMA
+        from sparkgrep.sources import fsio
+
+        if self._ensure_full_ubs():
+            # vocabulary memoized: bisect driver-side, zero Spark jobs
+            import bisect
+
+            lo = bisect.bisect_left(self._sorted_terms, stem)
+            out: set[int] = set()
+            for t in self._sorted_terms[lo:]:
+                if not t.startswith(stem):
+                    break
+                b = self._bucket_cache.get(t)
+                if b is None:
+                    return None  # pre-dictionary sidecar (no bucket col)
+                out.add(b)
+                if len(out) >= self.meta.n_buckets:
+                    break  # every bucket already matched
+            return sorted(out)
+        buckets: set[int] = set()
+        for d in self.layer_dirs:
+            path = f"{d}/term_ubs"
+            if not fsio.exists(path):
+                return None
+            rows = (
+                self.spark.read.schema(TERM_UBS_SCHEMA).parquet(path)
+                .filter(F.col("term").startswith(stem))
+                .select("bucket")
+                .distinct()
+                .collect()
+            )
+            if any(r["bucket"] is None for r in rows):
+                return None  # pre-dictionary sidecar
+            buckets.update(int(r["bucket"]) for r in rows)
+        return sorted(buckets)
+
     def _prefix_matched(self, stem: str) -> DataFrame:
         """Postings rows for ``stem*``: resolved through the term
         dictionary into a normal bucket-pruned + term-pushdown scan
-        whenever possible; the full StartsWith metadata sweep only as
-        the documented fallback (pre-dictionary index / degenerate
-        stem)."""
+        whenever possible. A stem matching more than _PREFIX_RESOLVE_MAX
+        terms resolves its BUCKET set distributedly instead
+        (:meth:`_prefix_buckets`) — partition pruning + pushed StartsWith,
+        never a whole-table sweep. The full metadata sweep survives only
+        for pre-dictionary indexes."""
         terms = self.prefix_terms(stem)
-        if terms is None:
-            return self.postings.filter(F.col("term").startswith(stem))
-        return self._matched(terms)
+        if terms is not None:
+            return self._matched(terms)
+        buckets = self._prefix_buckets(stem)
+        pred = F.col("term").startswith(stem)
+        if buckets is None:
+            return self.postings.filter(pred)
+        return self.postings.filter(F.col("bucket").isin(buckets) & pred)
 
     def _contribs(self, terms: list[str]) -> DataFrame:
         idf_map = self._layered_idf_map(terms)
