@@ -131,21 +131,22 @@ def _swap_dir(live: str, keep_names: list[str], staged: list[str]) -> None:
     new, old = _swap_names(live)
     fsio.delete(new)
     fsio.delete(old)
+    # the replacement dir must exist up front: every original file may be
+    # affected (keep_names empty) and a fully-emptied dir must still
+    # exist for the reader
+    import os
+
+    h = fsio._hadoop(new)
+    if h is None:
+        os.makedirs(new, exist_ok=True)
+    else:
+        fs, p, _ = h
+        fs.mkdirs(p)
     tag = uuid.uuid4().hex[:8]
     for nm in keep_names:
         fsio.link_or_copy(f"{live}/{nm}", f"{new}/{nm}")
     for i, sf in enumerate(staged):
         fsio.rename(sf, f"{new}/part-purged-{tag}-{i:05d}.parquet")
-    if not keep_names and not staged:
-        # a fully-emptied directory must still exist for the reader
-        import os
-
-        h = fsio._hadoop(new)
-        if h is None:
-            os.makedirs(new, exist_ok=True)
-        else:
-            fs, p, _ = h
-            fs.mkdirs(p)
     fsio.rename(live, old)
     fsio.rename(new, live)
     fsio.delete(old)
