@@ -67,12 +67,15 @@ arrays, per-pair runs, bw probe, detail_levels/prefix_index phases,
 recall curves, methodology prose — is written to bench_r5_local.json
 next to this script.
 
-Scaling extras (round-4 judge item #4): bw_probe measures per-core
-STREAM-add bandwidth with 1/4/16 concurrent pinned workers (the same
-core sets the reps use), and arrow_batch_wide reruns the widest level
-with Arrow batches quartered — together they separate "engine working
-set too big" from "host memory-bandwidth ceiling" for the observed
-wide-level per-doc CPU inflation.
+Scaling extras (round-4 judge item #4): three pinned-worker probes at
+each level's core set — bw_probe (STREAM-add bandwidth), lat_probe
+(random-gather throughput over a >>LLC table: the access shape of hash
+probes / posting lookups), spin_probe (cache-resident compute: the
+no-memory-system control) — plus arrow_batch_wide, which reruns the
+widest level with Arrow batches quartered. Together they separate
+"engine working set too big" / "host bandwidth ceiling" / "shared-LLC
+random-access collapse" / "every core slows under wide load" for the
+observed wide-level per-doc CPU inflation.
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
 SPARKGREP_BENCH_MULT (corpus replication, default 10),
@@ -324,10 +327,17 @@ def lat_worker_subprocess() -> None:
     streaming-shaped STREAM 'add' probe does NOT exercise: STREAM can
     stay flat across cores while per-core random-access throughput
     collapses on a shared LLC / limited-MLP memory system. Reported as
-    millions of 8-byte lookups per second."""
+    millions of 8-byte lookups per second.
+
+    SPARKGREP_LAT_TABLE_MB sizes the table: 256 (default) is DRAM-
+    resident at any concurrency (pure memory random access); 16 fits a
+    typical LLC solo but 16 concurrent copies (256 MB total) cannot —
+    the per-core drop at wide levels is then the LLC-EVICTION cliff,
+    the regime the engine's few-MB per-task working sets live in."""
     import numpy as np
 
-    n = 32_000_000  # 256 MB table >> LLC
+    mb = int(os.environ.get("SPARKGREP_LAT_TABLE_MB", "256"))
+    n = mb * 125_000  # 8-byte entries
     rng = np.random.default_rng(3)
     big = rng.integers(0, n, size=n, dtype=np.int64)
     m = 4_000_000
@@ -347,10 +357,51 @@ def lat_worker_subprocess() -> None:
                                   "iters": iters, "sec": round(dt, 3)}))
 
 
-def _pinned_probe(levels: list[int], mode: str, key: str) -> dict:
-    """Run N concurrent single-core-pinned probe workers (--bw-worker or
-    --lat-worker) on cores 0..N-1 for each level; aggregate + per-core
-    figures with a vs-1-core ratio."""
+def spin_worker_subprocess() -> None:
+    """--spin-worker mode: one CPU-pinned CACHE-RESIDENT integer kernel —
+    np.add over 64 KB arrays that live in L1/L2, touching neither the
+    shared LLC nor DRAM — measuring this core's effective compute speed.
+    The discriminator for the wide-level per-doc CPU inflation: if
+    per-core spin throughput itself drops at 16 workers, the host slows
+    every core down under wide load (hypervisor frequency/steal-adjacent
+    throttling) and ANY engine inflates identically; if spin stays flat
+    while gather collapses, the inflation is the shared-LLC/memory
+    system, i.e. a memory-system property, not engine overhead."""
+    import numpy as np
+
+    n = 8192  # 3 x 64 KB — resident in private L1/L2
+    a = np.arange(n, dtype=np.int64)
+    b = np.arange(n, dtype=np.int64)[::-1].copy()
+    c = np.empty(n, dtype=np.int64)
+    np.add(a, b, out=c)  # warm
+    deadline = time.time() + float(
+        os.environ.get("SPARKGREP_BW_SECONDS", "2.5")
+    )
+    iters, t0 = 0, time.time()
+    while time.time() < deadline:
+        for _ in range(64):
+            np.add(a, b, out=c)
+        iters += 64
+    dt = time.time() - t0
+    mops = n * iters / dt / 1e6
+    print("RESULT " + json.dumps({"mops_per_sec": round(mops, 1),
+                                  "iters": iters, "sec": round(dt, 3)}))
+
+
+def spin_probe(levels: list[int]) -> dict:
+    """Cache-resident compute throughput at each parallelism level — the
+    no-memory-system control for bw_probe/lat_probe (see
+    spin_worker_subprocess)."""
+    return _pinned_probe(levels, "--spin-worker", "mops_per_sec")
+
+
+def _pinned_probe(
+    levels: list[int], mode: str, key: str, extra_env: dict | None = None
+) -> dict:
+    """Run N concurrent single-core-pinned probe workers (--bw-worker /
+    --lat-worker / --spin-worker) on cores 0..N-1 for each level;
+    aggregate + per-core figures with a vs-1-core ratio."""
+    env = {**os.environ, **(extra_env or {})}
     out: dict[str, dict] = {}
     for lv in levels:
         procs = []
@@ -361,7 +412,7 @@ def _pinned_probe(levels: list[int], mode: str, key: str) -> dict:
             procs.append(subprocess.Popen(
                 [sys.executable, os.path.abspath(__file__), mode],
                 stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
-                text=True, preexec_fn=_pre,
+                text=True, preexec_fn=_pre, env=env,
             ))
         rs = []
         for p in procs:
@@ -396,6 +447,15 @@ def lat_probe(levels: list[int]) -> dict:
     memory-level parallelism are split 16 ways, independent of the
     engine."""
     return _pinned_probe(levels, "--lat-worker", "mlookups_per_sec")
+
+
+def llc_probe(levels: list[int]) -> dict:
+    """lat_probe over a 16 MB table: LLC-resident solo, evicted when 16
+    concurrent copies share the cache — isolates the LLC-eviction cliff
+    (the regime the engine's few-MB per-task working sets occupy) from
+    DRAM random-access saturation (lat_probe's 256 MB table)."""
+    return _pinned_probe(levels, "--lat-worker", "mlookups_per_sec",
+                         extra_env={"SPARKGREP_LAT_TABLE_MB": "16"})
 
 
 def bw_probe(levels: list[int]) -> dict:
@@ -491,6 +551,11 @@ def run_scaling() -> dict:
     # sole ceiling; gather throughput under the same pinned concurrency
     # tests the shared-LLC / memory-parallelism split instead.
     lat = lat_probe(probe_levels)
+    # ...and the cache-resident control: separates "the memory system
+    # gets slower when shared 16 ways" from "every core gets slower
+    # under wide load, period" (see spin_worker_subprocess).
+    spin = spin_probe(probe_levels)
+    llc = llc_probe(probe_levels)
 
     def _start_pinned(
         cpus: int,
@@ -646,6 +711,10 @@ def run_scaling() -> dict:
         scaling["bw_probe"] = bw
     if lat:
         scaling["lat_probe"] = lat
+    if spin:
+        scaling["spin_probe"] = spin
+    if llc:
+        scaling["llc_probe"] = llc
 
     # Working-set sensitivity at the widest level (round-4 judge item,
     # second prong): rerun the SAME pinned build with Arrow batches
@@ -759,12 +828,16 @@ def main() -> None:
     if "--lat-worker" in sys.argv:
         lat_worker_subprocess()
         return
+    if "--spin-worker" in sys.argv:
+        spin_worker_subprocess()
+        return
     if "--bw-only" in sys.argv:
         # standalone memory probes (diagnostics): per-core sustainable
-        # STREAM-add bandwidth + random-gather throughput at each
-        # scaling level's core budget
+        # STREAM-add bandwidth + random-gather throughput + cache-
+        # resident compute control at each scaling level's core budget
         print(json.dumps({"bw_probe": bw_probe([1, 4, 16]),
-                          "lat_probe": lat_probe([1, 4, 16])}))
+                          "lat_probe": lat_probe([1, 4, 16]),
+                          "spin_probe": spin_probe([1, 4, 16])}))
         return
     if "--scaling-only" in sys.argv:
         # rerun just the scaling block (e.g. to collect more reps in a
@@ -1339,6 +1412,10 @@ def main() -> None:
             s[f"bw_per_core_gbps_{lv}"] = d["per_core_gbps"]
         for lv, d in scaling.get("lat_probe", {}).items():
             s[f"gather_per_core_vs1_{lv}"] = d["per_core_vs_1core"]
+        for lv, d in scaling.get("spin_probe", {}).items():
+            s[f"spin_per_core_vs1_{lv}"] = d["per_core_vs_1core"]
+        for lv, d in scaling.get("llc_probe", {}).items():
+            s[f"llcgather_per_core_vs1_{lv}"] = d["per_core_vs_1core"]
         ab = scaling.get("arrow_batch_wide")
         if ab:
             s["cpu_ms_per_doc_wide_ab2048"] = ab["cpu_ms_per_doc_2048"]
