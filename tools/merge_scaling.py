@@ -139,7 +139,7 @@ def main(argv: list[str]) -> None:
         i = argv.index("-o")
         out_path = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
-    if len(argv) < 2:
+    if len(argv) < 1:
         raise SystemExit(__doc__)
     docs = [json.load(open(p)) for p in argv]
     blocks = [_scaling(d) for d in docs]
