@@ -137,3 +137,22 @@ def test_merged_from_runs_provenance(tmp_path):
     a = _block([100.0], [30.0], [100.0], [101.0])
     m = _run(tmp_path, [a, a, a])
     assert m["merged_from_runs"] == 3
+
+
+def test_arrow_merge_keeps_widest_level(tmp_path):
+    a = _block([100.0], [30.0], [100.0], [101.0])
+    a["arrow_batch_wide"] = {"level": 16, "n_docs": 800, "reps": 2,
+                             "arrow_batch_rows": 2048,
+                             "cpu_ms_per_doc_2048": 0.6,
+                             "cpu_ms_per_doc_8192": 0.62,
+                             "wall_sec_2048": 30.0, "wall_sec_8192": 31.0}
+    b = _block([100.0], [30.0], [100.0], [101.0])
+    b["arrow_batch_wide"] = {"level": 4, "n_docs": 400, "reps": 2,
+                             "arrow_batch_rows": 2048,
+                             "cpu_ms_per_doc_2048": 0.3,
+                             "cpu_ms_per_doc_8192": 0.31,
+                             "wall_sec_2048": 30.0, "wall_sec_8192": 31.0}
+    m = _run(tmp_path, [a, b])
+    # the level-4 dict has lower cpu_ms but must NOT displace level-16
+    assert m["arrow_batch_wide"]["level"] == 16
+    assert m["arrow_batch_wide"]["cpu_ms_per_doc_2048"] == 0.6

@@ -158,6 +158,12 @@ def main(argv: list[str]) -> None:
             merged[key] = m
     abs_ = [b.get("arrow_batch_wide") for b in blocks if b.get("arrow_batch_wide")]
     if abs_:
+        # the probe's subject is the WIDEST level: keep only dicts at the
+        # max level across runs (a pair-1-only run produces a level-4
+        # dict that must not displace level-16 evidence), then take the
+        # quietest window's within-run comparison
+        top = max(d["level"] for d in abs_)
+        abs_ = [d for d in abs_ if d["level"] == top]
         best = min(abs_, key=lambda d: d["cpu_ms_per_doc_2048"])
         merged["arrow_batch_wide"] = best
     if merged["pairs"]:
