@@ -45,10 +45,16 @@ Crash safety: every directory replacement is staged as a sibling
 files) and swapped in with two renames; the root meta — which flips the
 tombstone to ``purged`` and thereby turns off the reader's mask — is
 written ONLY after every physical rewrite finished. Until that commit
-point the tombstone mask still covers any partially-purged state (a
-masked id that is already physically gone masks nothing — a no-op), so
-a crashed purge leaves a fully correct index and the purge is simply
-re-run (:func:`_recover_swaps` first heals any half-finished swap).
+point every CONTENT state is covered by the still-active tombstone
+mask: an unswapped dir serves the original postings (masked), a swapped
+dir serves the purged postings (masking an already-gone id is a no-op)
+— pinned bitwise by tests/test_purge.py's crash-injection test. The one
+state the mask cannot cover is the instant BETWEEN a dir's two renames
+(no portable filesystem offers an atomic directory exchange): a crash
+exactly there leaves that bucket absent until the purge is re-run —
+:func:`_recover_swaps` heals it first, so re-running (idempotent)
+restores full correctness. Operationally: after a crashed purge, re-run
+``purge`` before serving reads.
 
 Scale shape: discovery is one bucket-pruned + term-pushdown scan of the
 affected terms' postings per layer (the tombstone sidecar IS the
@@ -125,9 +131,9 @@ def _recover_swaps(meta: IndexMeta, layer_dirs: list[str]) -> None:
 def _swap_dir(live: str, keep_names: list[str], staged: list[str]) -> None:
     """Atomically-enough replace ``live`` with {hardlinks of the
     untouched ``keep_names``} + {the ``staged`` rewritten files}. The
-    only non-atomic window is between the two renames; _recover_swaps
-    heals it and the still-active tombstone mask keeps readers correct
-    throughout."""
+    only non-atomic window is between the two renames, during which
+    ``live`` is absent (see the module docstring's crash-safety
+    contract); _recover_swaps heals it on the next purge run."""
     new, old = _swap_names(live)
     fsio.delete(new)
     fsio.delete(old)

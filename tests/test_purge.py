@@ -377,3 +377,144 @@ def test_purge_multifield_positional(spark, corpus, tmp_path_factory):
         wnt = widx.search("hash join table", k=30, weights=w).toPandas()
         assert got["doc_id"].tolist() == wnt["doc_id"].tolist(), w
         assert (got["score"].to_numpy() == wnt["score"].to_numpy()).all(), w
+
+
+def test_purge_crash_window_recovery(spark, corpus, tmp_path_factory, monkeypatch):
+    """Crash safety, exercised at the two distinct crash points the
+    module docstring's contract distinguishes:
+
+    1. crash AFTER ≥1 bucket fully swapped, BEFORE the next bucket's
+       swap begins (injected on the 2nd ``rename(live, old)``): the
+       mixed content state — purged buckets next to untouched ones,
+       every live dir present, commit point not reached — must answer
+       every query bitwise-identically to the pre-purge tombstoned
+       index (masking an already-purged id is a no-op);
+    2. crash BETWEEN one bucket's two renames (injected on its
+       ``rename(new, live)``): that bucket is absent — the one window
+       the mask cannot cover — and re-running purge_deleted must first
+       heal the half-swap (_recover_swaps) and then complete.
+
+    Both crashed indexes must end bitwise-identical to an uncrashed
+    purge of an identical twin index.
+    """
+    from sparkgrep.sources import fsio
+
+    def _mk(tag):
+        out = str(tmp_path_factory.mktemp(tag) / "idx")
+        build_index(corpus, out, analyzer="simple", n_buckets=4,
+                    store_positions=True)
+        delete_batch_delta(corpus.filter("doc_id >= 100 and doc_id < 150"),
+                           out, "d1")
+        return out
+    mixed, gapped, twin = _mk("crash_a"), _mk("crash_b"), _mk("crash_c")
+    pre = InvertedIndex(spark, mixed)
+    pre_res = {q: pre.search_expr(q, k=30).toPandas() for q in EXPR_QS}
+    purge_deleted(spark, twin)  # uncrashed reference
+    twin_idx = InvertedIndex(spark, twin)
+
+    real_rename = fsio.rename
+
+    # --- crash point 1: after the first bucket's swap completed, as the
+    # second bucket's swap starts (its live -> old rename)
+    n_old = 0
+
+    def explode_on_second_swap(src, dst):
+        nonlocal n_old
+        if "/.purge_old_" in dst:
+            n_old += 1
+            if n_old == 2:
+                raise RuntimeError("injected crash at second bucket swap")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(fsio, "rename", explode_on_second_swap)
+    with pytest.raises(RuntimeError, match="second bucket swap"):
+        purge_deleted(spark, mixed)
+    monkeypatch.setattr(fsio, "rename", real_rename)
+    assert n_old == 2, "test setup: needs ≥2 affected buckets"
+
+    # every live dir present; stale .purge_new_ of the crashed bucket
+    assert any(
+        d.startswith(".purge_new_")
+        for _, dirs, _ in os.walk(mixed) for d in dirs
+    )
+    mid = InvertedIndex(spark, mixed)
+    assert mid._tomb_spec is not None  # commit point not reached
+    for q, want in pre_res.items():
+        got = mid.search_expr(q, k=30).toPandas()
+        assert got["doc_id"].tolist() == want["doc_id"].tolist(), q
+        assert (got["score"].to_numpy() == want["score"].to_numpy()).all(), q
+    stats = purge_deleted(spark, mixed)  # completes from the mixed state
+    assert stats["tombstones_purged"] == 1
+    _assert_same_results(InvertedIndex(spark, mixed), twin_idx)
+
+    # --- crash point 2: between one bucket's two renames (live absent)
+    def explode_between_renames(src, dst):
+        if "/.purge_new_" in src:  # the swap's second rename: new -> live
+            raise RuntimeError("injected crash between the two renames")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(fsio, "rename", explode_between_renames)
+    with pytest.raises(RuntimeError, match="between the two renames"):
+        purge_deleted(spark, gapped)
+    monkeypatch.setattr(fsio, "rename", real_rename)
+
+    # the crash state is the real one: that bucket's live dir is gone,
+    # its .purge_new_/.purge_old_ siblings present — the documented
+    # unreadable window
+    halves = [
+        (r, d) for r, dirs, _ in os.walk(gapped)
+        for d in dirs if d.startswith(".purge_new_")
+    ]
+    assert halves, "crash injection missed the swap window"
+    root, half = halves[0]
+    assert not os.path.exists(os.path.join(root, half[len(".purge_new_"):]))
+    crashed = gapped
+
+    # re-run heals and completes; end state == uncrashed twin
+    stats = purge_deleted(spark, crashed)
+    assert stats["tombstones_purged"] == 1
+    assert not any(
+        d.startswith((".purge_new_", ".purge_old_"))
+        for _, dirs, _ in os.walk(crashed) for d in dirs
+    )
+    dead = np.arange(100, 150, dtype=np.int64)
+    assert not np.isin(dead, _all_postings_ids(spark, crashed)).any()
+    idx = InvertedIndex(spark, crashed)
+    assert idx._tomb_spec is None
+    _assert_same_results(idx, InvertedIndex(spark, twin))
+
+
+def test_recover_swaps_heals_synthetic_states(spark, corpus, tmp_path_factory):
+    """The two defensive _recover_swaps branches a mid-RECOVERY crash can
+    leave: (a) live present alongside stale .purge_new_/.purge_old_
+    leftovers — both must be discarded; (b) live missing with only
+    .purge_old_ present (e.g. recovery renamed new->live, crashed before
+    delete(old), then a second crash mid-swap of the SAME dir) — old
+    must be restored. After healing, a purge completes normally."""
+    out = str(tmp_path_factory.mktemp("heal") / "idx")
+    build_index(corpus, out, analyzer="simple", n_buckets=4,
+                store_positions=True)
+    delete_batch_delta(corpus.filter("doc_id >= 100 and doc_id < 150"),
+                       out, "d1")
+    surv = str(tmp_path_factory.mktemp("heal_surv") / "idx")
+    build_index(corpus.filter("doc_id < 100 or doc_id >= 150"), surv,
+                analyzer="simple", n_buckets=4, store_positions=True)
+
+    import shutil
+    live_a = f"{out}/postings/bucket=0"
+    os.makedirs(f"{out}/postings/.purge_new_bucket=0/junk_dir")
+    shutil.copytree(live_a, f"{out}/postings/.purge_old_bucket=0")
+    live_b = f"{out}/postings/bucket=1"
+    os.rename(live_b, f"{out}/postings/.purge_old_bucket=1")
+    assert not os.path.exists(live_b)
+
+    purge_deleted(spark, out)
+
+    assert os.path.exists(live_a) and os.path.exists(live_b)
+    assert not any(
+        d.startswith((".purge_new_", ".purge_old_"))
+        for _, dirs, _ in os.walk(out) for d in dirs
+    )
+    dead = np.arange(100, 150, dtype=np.int64)
+    assert not np.isin(dead, _all_postings_ids(spark, out)).any()
+    _assert_same_results(InvertedIndex(spark, out), InvertedIndex(spark, surv))
