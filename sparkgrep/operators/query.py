@@ -267,9 +267,21 @@ class InvertedIndex:
 
     def __init__(self, spark: SparkSession, index_dir: str):
         from sparkgrep.operators.index_build import postings_schema
+        from sparkgrep.sources import fsio
 
         self.spark = spark
         self.index_dir = index_dir
+        # a pending swap marker means a compact/delete-all crashed
+        # mid-swap: subdirs may be mixed old/new relative to stats.json.
+        # Refuse loudly instead of serving silently-wrong scores; any
+        # maintenance op (or finish_pending_swap) rolls it forward.
+        if fsio.exists(f"{index_dir}/_swap_commit.json"):
+            raise ValueError(
+                f"index at {index_dir!r} has a crashed compact/delete-all "
+                "swap pending — run sparkgrep.plans.manifest."
+                "finish_pending_swap() (or any maintenance op, e.g. "
+                "'optimize') to roll it forward, then reopen"
+            )
         self.meta = load_meta(index_dir)
         # explicit schema: robust to an empty (zero-posting) index
         schema = postings_schema(self.meta)

@@ -234,7 +234,7 @@ def append_batch(
     spark = corpus_batch.sparkSession
     prefix_t = normalize_prefix(prefix)
     if fsio.exists(f"{out_dir}/stats.json"):
-        root = load_meta(out_dir)
+        root = _load_meta_healed(out_dir)
         if root.fields or root.has_positions:
             raise ValueError(
                 "append_batch (full re-merge) only supports plain "
@@ -366,6 +366,75 @@ def _write_root_meta(out_dir: str, meta: IndexMeta) -> None:
     fsio.write_text(f"{out_dir}/stats.json", json.dumps(d, indent=2))
 
 
+SWAP_MARKER = "_swap_commit.json"
+
+
+def finish_pending_swap(index_dir: str) -> bool:
+    """Roll FORWARD a crashed in-place swap (compact_index /
+    delete_all). Those two ops replace root subdirs wholesale; committing
+    by meta pointer alone cannot make that safe (a crash after swapping
+    ``postings`` but before the meta write would leave the OLD meta —
+    delta layers still listed — over the NEW folded postings, and a
+    re-run would fold the deltas in twice: silent score corruption). So
+    they commit via a marker written only AFTER the staging dir is fully
+    materialized: the marker carries the swap plan + the final meta, and
+    this function executes the plan idempotently from any crash point
+    (an already-swapped subdir is skipped, deletes are no-ops, the meta
+    write is last, the marker is removed only at the very end). Every
+    maintenance entry point calls this first; readers
+    (:class:`~sparkgrep.operators.query.InvertedIndex`) REFUSE to open
+    while the marker exists, so the swap is an exclusive section rather
+    than a window of silently-mixed state. Returns True if a pending
+    swap was completed."""
+    mpath = f"{index_dir}/{SWAP_MARKER}"
+    if not fsio.exists(mpath):
+        return False
+    plan = json.loads(fsio.read_text(mpath))
+    tmp = plan["tmp"]
+    for sub in plan["replace"]:
+        src = f"{tmp}/{sub}"
+        if fsio.exists(src):  # not yet swapped in (rename is the commit)
+            fsio.delete(f"{index_dir}/{sub}")
+            fsio.rename(src, f"{index_dir}/{sub}")
+    for sub in plan["drop"]:
+        fsio.delete(f"{index_dir}/{sub}")
+    fsio.delete(tmp)
+    _write_root_meta(index_dir, IndexMeta(**plan["meta"]))
+    fsio.delete(mpath)
+    return True
+
+
+def _commit_swap(
+    index_dir: str,
+    tmp: str,
+    replace_subs: tuple,
+    drop_subs: tuple,
+    final_meta: IndexMeta,
+) -> None:
+    """Two-phase commit for an in-place root swap: durably record the
+    plan (staging dir is fully materialized by now), then roll forward."""
+    d = asdict(final_meta)
+    fsio.write_text(
+        f"{index_dir}/{SWAP_MARKER}",
+        json.dumps({
+            "tmp": tmp,
+            "replace": list(replace_subs),
+            "drop": list(drop_subs),
+            "meta": d,
+        }),
+    )
+    finish_pending_swap(index_dir)
+
+
+def _load_meta_healed(index_dir: str) -> IndexMeta:
+    """Maintenance-path loader: completes any crashed compact/delete-all
+    swap first (finish_pending_swap), then loads the committed meta —
+    every write entry point goes through this so a crashed swap heals on
+    the next maintenance op of ANY kind."""
+    finish_pending_swap(index_dir)
+    return load_meta(index_dir)
+
+
 def append_batch_delta(
     corpus_batch: DataFrame,
     out_dir: str,
@@ -403,7 +472,7 @@ def append_batch_delta(
     root_exists = fsio.exists(f"{out_dir}/stats.json")
     prefix_t = normalize_prefix(prefix)
     if root_exists:
-        root = load_meta(out_dir)
+        root = _load_meta_healed(out_dir)
         # layer consistency is non-negotiable: analyzer/codec/bucketing
         # come from the index, not the caller
         analyzer = root.analyzer
@@ -528,7 +597,7 @@ def delete_batch_delta(
     spark = corpus_batch.sparkSession
     if not fsio.exists(f"{out_dir}/stats.json"):
         raise ValueError(f"no index at {out_dir!r} to delete from")
-    root = load_meta(out_dir)
+    root = _load_meta_healed(out_dir)
 
     seg_id = f"{batch_id}-del"
     if seg_id in {m["segment_id"] for m in read_manifest(out_dir)}:
@@ -633,7 +702,7 @@ def set_rank(index_dir: str, rank: str) -> IndexMeta:
     non-numeric arguments are refused (divergence: FTS5 silently
     coerces). Requires a multi-field index with per-field tf streams —
     the same surface explicit weights require."""
-    meta = load_meta(index_dir)
+    meta = _load_meta_healed(index_dir)
     m = _RANK_RE.match(rank)
     if not m:
         raise ValueError(
@@ -675,7 +744,7 @@ def delete_all(spark: SparkSession, index_dir: str) -> IndexMeta:
     :func:`rebuild` re-indexes the corpus in place."""
     from sparkgrep.operators.index_build import spimi_schema_for
 
-    meta = load_meta(index_dir)
+    meta = _load_meta_healed(index_dir)
     tf_empty = spark.createDataFrame([], spimi_schema_for(meta))
     tmp = f"{index_dir}/_deleteall_tmp"
     fsio.delete(tmp)
@@ -693,12 +762,6 @@ def delete_all(spark: SparkSession, index_dir: str) -> IndexMeta:
         detail=meta.detail,
         prefix=tuple(meta.prefix or ()),
     )
-    for sub in ("postings", "doc_lens", "term_ubs"):
-        fsio.delete(f"{index_dir}/{sub}")
-        fsio.rename(f"{tmp}/{sub}", f"{index_dir}/{sub}")
-    for sub in ("delta", "tomb", "segments", "manifest"):
-        fsio.delete(f"{index_dir}/{sub}")
-    fsio.delete(tmp)
     final = replace(
         new_meta,
         layers=(),
@@ -706,7 +769,10 @@ def delete_all(spark: SparkSession, index_dir: str) -> IndexMeta:
         tombstone_cuts=(),
         rank_weights=tuple(meta.rank_weights or ()),
     )
-    _write_root_meta(index_dir, final)
+    _commit_swap(
+        index_dir, tmp, ("postings", "doc_lens", "term_ubs"),
+        ("delta", "tomb", "segments", "manifest"), final,
+    )
     return final
 
 
@@ -718,7 +784,7 @@ def rebuild(corpus: DataFrame, index_dir: str, use_lang: bool = False) -> IndexM
     knob taken from the existing meta; rank config preserved."""
     from sparkgrep.operators.index_build import build_index
 
-    meta = load_meta(index_dir)
+    meta = _load_meta_healed(index_dir)
     # stale LSM layers and lineage belong to the OLD index generation:
     # the new root meta won't reference them, and a surviving manifest
     # would make replayed batch ids no-ops against the fresh index
@@ -791,7 +857,7 @@ def merge_delta_layers(
     (tests/test_delta_merge.py). The commit point is the root
     ``stats.json`` write; member dirs are deleted only after it, so a
     crash leaves at worst orphan directories the reader never opens."""
-    meta = load_meta(out_dir)
+    meta = _load_meta_healed(out_dir)
     groups = _delta_merge_groups(meta)
     if not any(len(g) > 1 for g in groups):
         return meta  # nothing mergeable: no-op
@@ -916,7 +982,7 @@ def compact_index(
     not per batch."""
     from sparkgrep.operators.query import InvertedIndex
 
-    meta = load_meta(out_dir)
+    meta = _load_meta_healed(out_dir)
     if not meta.layers and not meta.tombstones:
         return meta
     idx = InvertedIndex(spark, out_dir)
@@ -962,14 +1028,6 @@ def compact_index(
         # the meta keeps the lengths so the fast path stays on
         prefix=tuple(meta.prefix or ()),
     )
-    # the merge fully materialized the staging dir (writes are actions):
-    # swap it in, then drop the folded delta layers
-    for sub in ("postings", "doc_lens", "term_ubs"):
-        fsio.delete(f"{out_dir}/{sub}")
-        fsio.rename(f"{tmp}/{sub}", f"{out_dir}/{sub}")
-    fsio.delete(f"{out_dir}/delta")
-    fsio.delete(f"{out_dir}/tomb")
-    fsio.delete(tmp)
     final = replace(
         new_meta,
         layers=(),
@@ -978,5 +1036,11 @@ def compact_index(
         # index CONFIG (not build state) survives the physical rewrite
         rank_weights=tuple(meta.rank_weights or ()),
     )
-    _write_root_meta(out_dir, final)
+    # the merge fully materialized the staging dir (writes are actions):
+    # marker-committed swap-in + drop of the folded delta layers
+    # (finish_pending_swap rolls it forward from any crash point)
+    _commit_swap(
+        out_dir, tmp, ("postings", "doc_lens", "term_ubs"),
+        ("delta", "tomb"), final,
+    )
     return final

@@ -88,7 +88,7 @@ from sparkgrep.operators.index_build import (
     load_meta,
     postings_schema,
 )
-from sparkgrep.plans.manifest import _write_root_meta
+from sparkgrep.plans.manifest import _write_root_meta, finish_pending_swap
 from sparkgrep.sources import fsio
 
 
@@ -427,6 +427,7 @@ def purge_deleted(spark: SparkSession, out_dir: str) -> dict:
     docstring). Returns a stats dict; idempotent (already-purged
     tombstones are skipped; re-running after a crash completes the
     remainder)."""
+    finish_pending_swap(out_dir)  # heal any crashed compact/delete-all
     meta = load_meta(out_dir)
     purged = {int(i) for i in (meta.tombstone_purged or ())}
     pending = [
