@@ -282,6 +282,18 @@ class InvertedIndex:
                 "finish_pending_swap() (or any maintenance op, e.g. "
                 "'optimize') to roll it forward, then reopen"
             )
+        # a purge swap marker means purge_deleted crashed BETWEEN a
+        # directory's two renames — the one state the tombstone mask
+        # cannot cover (that bucket is absent; serving would silently
+        # return zero hits for its terms). Refuse loudly; re-running
+        # purge (or any maintenance op) rolls it forward.
+        if fsio.exists(f"{index_dir}/_purge_swap.json"):
+            raise ValueError(
+                f"index at {index_dir!r} has a crashed purge swap "
+                "pending — run sparkgrep.plans.purge.purge_deleted() "
+                "(or recover_purge_swaps(), or any maintenance op) to "
+                "roll it forward, then reopen"
+            )
         self.meta = load_meta(index_dir)
         # explicit schema: robust to an empty (zero-posting) index
         schema = postings_schema(self.meta)

@@ -428,10 +428,16 @@ def _commit_swap(
 
 def _load_meta_healed(index_dir: str) -> IndexMeta:
     """Maintenance-path loader: completes any crashed compact/delete-all
-    swap first (finish_pending_swap), then loads the committed meta —
-    every write entry point goes through this so a crashed swap heals on
-    the next maintenance op of ANY kind."""
+    swap first (finish_pending_swap), then rolls forward a purge crashed
+    in its rename gap (recover_purge_swaps — without this, a compaction
+    after such a crash would silently fold an index with an absent
+    bucket), then loads the committed meta — every write entry point
+    goes through this so a crashed swap heals on the next maintenance
+    op of ANY kind."""
     finish_pending_swap(index_dir)
+    from sparkgrep.plans.purge import recover_purge_swaps  # cycle-free lazy
+
+    recover_purge_swaps(index_dir)
     return load_meta(index_dir)
 
 

@@ -51,10 +51,19 @@ dir serves the purged postings (masking an already-gone id is a no-op)
 — pinned bitwise by tests/test_purge.py's crash-injection test. The one
 state the mask cannot cover is the instant BETWEEN a dir's two renames
 (no portable filesystem offers an atomic directory exchange): a crash
-exactly there leaves that bucket absent until the purge is re-run —
-:func:`_recover_swaps` heals it first, so re-running (idempotent)
-restores full correctness. Operationally: after a crashed purge, re-run
-``purge`` before serving reads.
+exactly there leaves that bucket absent — so that window is MARKED. A
+``_purge_swap.json`` marker is written at the index root immediately
+before a dir's first rename and removed immediately after its second;
+while it exists, :class:`~sparkgrep.operators.query.InvertedIndex`
+REFUSES to open (a reader would otherwise silently return zero hits
+for the absent bucket's terms), and it heals on the next
+:func:`purge_deleted` run (idempotent — :func:`_recover_swaps` rolls
+the half-swap forward first) or on ANY maintenance op
+(:func:`~sparkgrep.plans.manifest._load_meta_healed` calls
+:func:`recover_purge_swaps`, so e.g. a ``compact_index`` after a
+crashed purge heals the gap instead of folding an index with an absent
+bucket). Every other crash point leaves no marker and every live dir
+present, and is covered by the mask as above.
 
 Scale shape: discovery is one bucket-pruned + term-pushdown scan of the
 affected terms' postings per layer (the tombstone sidecar IS the
@@ -66,6 +75,7 @@ whole point versus compaction.
 
 from __future__ import annotations
 
+import json
 import uuid
 from dataclasses import replace
 from typing import Iterator
@@ -92,6 +102,31 @@ from sparkgrep.plans.manifest import _write_root_meta, finish_pending_swap
 from sparkgrep.sources import fsio
 
 
+#: Root-level marker present ONLY while some directory is between its
+#: two swap renames (the one crash window the tombstone mask cannot
+#: cover). Underscore-prefixed: invisible to Spark partition discovery.
+PURGE_MARKER = "_purge_swap.json"
+
+
+def recover_purge_swaps(index_dir: str) -> bool:
+    """Heal a purge crashed between a directory's two renames. Cheap
+    when there is nothing to do (one ``exists`` probe); otherwise rolls
+    the recorded half-swap forward via :func:`_recover_swaps` and
+    removes the marker, restoring the pre-commit contract (every live
+    dir present, tombstone mask covering all content states). Called by
+    every maintenance entry point through
+    :func:`~sparkgrep.plans.manifest._load_meta_healed`. Returns True
+    if a crashed swap was healed."""
+    if not fsio.exists(f"{index_dir}/{PURGE_MARKER}"):
+        return False
+    meta = load_meta(index_dir)
+    layer_dirs = [index_dir] + [
+        f"{index_dir}/{lay}" for lay in (meta.layers or ())
+    ]
+    _recover_swaps(index_dir, meta, layer_dirs)
+    return True
+
+
 def _file_schema(meta: IndexMeta) -> str:
     """Postings DDL as stored INSIDE a part file: ``bucket`` is a
     partition-directory column, absent from the file bytes."""
@@ -104,11 +139,12 @@ def _swap_names(live: str) -> tuple[str, str]:
     return f"{parent}/.purge_new_{name}", f"{parent}/.purge_old_{name}"
 
 
-def _recover_swaps(meta: IndexMeta, layer_dirs: list[str]) -> None:
-    """Heal any swap a crashed purge left half-done. Deterministic name
-    probing (portable across Hadoop filesystems, where listing
-    directories vs files differs): every swappable dir is either a
-    ``postings/bucket=<b>`` (b < n_buckets) or a layer's ``doc_lens``."""
+def _recover_swaps(root: str, meta: IndexMeta, layer_dirs: list[str]) -> None:
+    """Heal any swap a crashed purge left half-done, then clear the
+    rename-gap marker. Deterministic name probing (portable across
+    Hadoop filesystems, where listing directories vs files differs):
+    every swappable dir is either a ``postings/bucket=<b>``
+    (b < n_buckets) or a layer's ``doc_lens``."""
     candidates = []
     for ld in layer_dirs:
         candidates.append(f"{ld}/doc_lens")
@@ -126,14 +162,22 @@ def _recover_swaps(meta: IndexMeta, layer_dirs: list[str]) -> None:
         else:
             fsio.delete(new)
             fsio.delete(old)
+    # every live dir is back: the gap the marker flagged is closed
+    fsio.delete(f"{root}/{PURGE_MARKER}")
 
 
-def _swap_dir(live: str, keep_names: list[str], staged: list[str]) -> None:
+def _swap_dir(
+    root: str, live: str, keep_names: list[str], staged: list[str]
+) -> None:
     """Atomically-enough replace ``live`` with {hardlinks of the
     untouched ``keep_names``} + {the ``staged`` rewritten files}. The
     only non-atomic window is between the two renames, during which
-    ``live`` is absent (see the module docstring's crash-safety
-    contract); _recover_swaps heals it on the next purge run."""
+    ``live`` is absent — it is bracketed by the root ``PURGE_MARKER``
+    (written before the first rename, removed after the second) so a
+    crash inside it makes readers refuse loudly instead of silently
+    serving an absent bucket; _recover_swaps rolls it forward on the
+    next purge run or maintenance op (see the module docstring's
+    crash-safety contract)."""
     new, old = _swap_names(live)
     fsio.delete(new)
     fsio.delete(old)
@@ -153,8 +197,10 @@ def _swap_dir(live: str, keep_names: list[str], staged: list[str]) -> None:
         fsio.link_or_copy(f"{live}/{nm}", f"{new}/{nm}")
     for i, sf in enumerate(staged):
         fsio.rename(sf, f"{new}/part-purged-{tag}-{i:05d}.parquet")
+    fsio.write_text(f"{root}/{PURGE_MARKER}", json.dumps({"live": live}))
     fsio.rename(live, old)
     fsio.rename(new, live)
+    fsio.delete(f"{root}/{PURGE_MARKER}")
     fsio.delete(old)
 
 
@@ -315,6 +361,7 @@ def _rewrite_gen(meta_l: IndexMeta, dead_bc, n_buckets: int, out_cols: list[str]
 
 def _purge_layer_postings(
     spark: SparkSession,
+    root: str,
     meta: IndexMeta,
     meta_l: IndexMeta,
     ldir: str,
@@ -377,12 +424,16 @@ def _purge_layer_postings(
             for nm in fsio.list_dir(live)
             if nm not in dead_names and not nm.startswith((".", "_"))
         ]
-        _swap_dir(live, keep, staged)
+        _swap_dir(root, live, keep, staged)
     fsio.delete(stage)
 
 
 def _purge_layer_doc_lens(
-    spark: SparkSession, ldir: str, dead_ids: np.ndarray, stats: dict
+    spark: SparkSession,
+    root: str,
+    ldir: str,
+    dead_ids: np.ndarray,
+    stats: dict,
 ) -> None:
     dl_dir = f"{ldir}/doc_lens"
     ids_df = spark.createDataFrame(
@@ -417,7 +468,7 @@ def _purge_layer_doc_lens(
         for nm in fsio.list_dir(dl_dir)
         if nm not in dead_names and not nm.startswith((".", "_"))
     ]
-    _swap_dir(dl_dir, keep, staged)
+    _swap_dir(root, dl_dir, keep, staged)
     fsio.delete(stage)
 
 
@@ -428,6 +479,7 @@ def purge_deleted(spark: SparkSession, out_dir: str) -> dict:
     tombstones are skipped; re-running after a crash completes the
     remainder)."""
     finish_pending_swap(out_dir)  # heal any crashed compact/delete-all
+    recover_purge_swaps(out_dir)  # heal a crashed purge's rename gap
     meta = load_meta(out_dir)
     purged = {int(i) for i in (meta.tombstone_purged or ())}
     pending = [
@@ -451,7 +503,7 @@ def purge_deleted(spark: SparkSession, out_dir: str) -> dict:
             "own stats convention; this index predates them — run "
             "compact_index instead"
         )
-    _recover_swaps(meta, layer_dirs)
+    _recover_swaps(out_dir, meta, layer_dirs)
 
     cuts = [int(c) for c in (meta.tombstone_cuts or ())]
     tomb_ids: dict[int, np.ndarray] = {}
@@ -484,9 +536,9 @@ def purge_deleted(spark: SparkSession, out_dir: str) -> dict:
         aff_terms = _affected_terms(spark, out_dir, meta, tis)
         if aff_terms:
             _purge_layer_postings(
-                spark, meta, meta_l, ldir, aff_terms, dead_bc, stats
+                spark, out_dir, meta, meta_l, ldir, aff_terms, dead_bc, stats
             )
-        _purge_layer_doc_lens(spark, ldir, dead, stats)
+        _purge_layer_doc_lens(spark, out_dir, ldir, dead, stats)
 
     # COMMIT POINT: only now does the reader's mask turn off for these
     # tombstones — everything before this line is covered by it

@@ -384,19 +384,23 @@ def test_purge_crash_window_recovery(spark, corpus, tmp_path_factory, monkeypatc
     module docstring's contract distinguishes:
 
     1. crash AFTER ≥1 bucket fully swapped, BEFORE the next bucket's
-       swap begins (injected on the 2nd ``rename(live, old)``): the
-       mixed content state — purged buckets next to untouched ones,
-       every live dir present, commit point not reached — must answer
-       every query bitwise-identically to the pre-purge tombstoned
-       index (masking an already-purged id is a no-op);
+       swap begins (injected on the 2nd ``PURGE_MARKER`` write, i.e.
+       before that bucket's first rename): the mixed content state —
+       purged buckets next to untouched ones, every live dir present,
+       NO marker, commit point not reached — must answer every query
+       bitwise-identically to the pre-purge tombstoned index (masking
+       an already-purged id is a no-op);
     2. crash BETWEEN one bucket's two renames (injected on its
        ``rename(new, live)``): that bucket is absent — the one window
-       the mask cannot cover — and re-running purge_deleted must first
-       heal the half-swap (_recover_swaps) and then complete.
+       the mask cannot cover — so the marker written before the first
+       rename must still be present, InvertedIndex must REFUSE to open,
+       and re-running purge_deleted must first heal the half-swap
+       (_recover_swaps, clearing the marker) and then complete.
 
     Both crashed indexes must end bitwise-identical to an uncrashed
     purge of an identical twin index.
     """
+    from sparkgrep.plans.purge import PURGE_MARKER
     from sparkgrep.sources import fsio
 
     def _mk(tag):
@@ -413,30 +417,34 @@ def test_purge_crash_window_recovery(spark, corpus, tmp_path_factory, monkeypatc
     twin_idx = InvertedIndex(spark, twin)
 
     real_rename = fsio.rename
+    real_write_text = fsio.write_text
 
-    # --- crash point 1: after the first bucket's swap completed, as the
-    # second bucket's swap starts (its live -> old rename)
-    n_old = 0
+    # --- crash point 1: after the first dir's swap completed, as the
+    # second dir's swap is about to start (its gap-marker write — the
+    # last instant before its first rename)
+    n_marker = 0
 
-    def explode_on_second_swap(src, dst):
-        nonlocal n_old
-        if "/.purge_old_" in dst:
-            n_old += 1
-            if n_old == 2:
+    def explode_on_second_marker(path, text):
+        nonlocal n_marker
+        if path.endswith(PURGE_MARKER):
+            n_marker += 1
+            if n_marker == 2:
                 raise RuntimeError("injected crash at second bucket swap")
-        real_rename(src, dst)
+        real_write_text(path, text)
 
-    monkeypatch.setattr(fsio, "rename", explode_on_second_swap)
+    monkeypatch.setattr(fsio, "write_text", explode_on_second_marker)
     with pytest.raises(RuntimeError, match="second bucket swap"):
         purge_deleted(spark, mixed)
-    monkeypatch.setattr(fsio, "rename", real_rename)
-    assert n_old == 2, "test setup: needs ≥2 affected buckets"
+    monkeypatch.setattr(fsio, "write_text", real_write_text)
+    assert n_marker == 2, "test setup: needs ≥2 affected swap dirs"
 
-    # every live dir present; stale .purge_new_ of the crashed bucket
+    # every live dir present; stale .purge_new_ of the crashed bucket;
+    # no gap marker (the first swap deleted its own) — readers open
     assert any(
         d.startswith(".purge_new_")
         for _, dirs, _ in os.walk(mixed) for d in dirs
     )
+    assert not os.path.exists(os.path.join(mixed, PURGE_MARKER))
     mid = InvertedIndex(spark, mixed)
     assert mid._tomb_spec is not None  # commit point not reached
     for q, want in pre_res.items():
@@ -460,7 +468,7 @@ def test_purge_crash_window_recovery(spark, corpus, tmp_path_factory, monkeypatc
 
     # the crash state is the real one: that bucket's live dir is gone,
     # its .purge_new_/.purge_old_ siblings present — the documented
-    # unreadable window
+    # unreadable window, bracketed by the gap marker
     halves = [
         (r, d) for r, dirs, _ in os.walk(gapped)
         for d in dirs if d.startswith(".purge_new_")
@@ -470,9 +478,16 @@ def test_purge_crash_window_recovery(spark, corpus, tmp_path_factory, monkeypatc
     assert not os.path.exists(os.path.join(root, half[len(".purge_new_"):]))
     crashed = gapped
 
+    # the marker is present and makes readers refuse LOUDLY (a silent
+    # open would return zero hits for the absent bucket's terms)
+    assert os.path.exists(os.path.join(crashed, PURGE_MARKER))
+    with pytest.raises(ValueError, match="crashed purge swap"):
+        InvertedIndex(spark, crashed)
+
     # re-run heals and completes; end state == uncrashed twin
     stats = purge_deleted(spark, crashed)
     assert stats["tombstones_purged"] == 1
+    assert not os.path.exists(os.path.join(crashed, PURGE_MARKER))
     assert not any(
         d.startswith((".purge_new_", ".purge_old_"))
         for _, dirs, _ in os.walk(crashed) for d in dirs
@@ -518,3 +533,52 @@ def test_recover_swaps_heals_synthetic_states(spark, corpus, tmp_path_factory):
     dead = np.arange(100, 150, dtype=np.int64)
     assert not np.isin(dead, _all_postings_ids(spark, out)).any()
     _assert_same_results(InvertedIndex(spark, out), InvertedIndex(spark, surv))
+
+
+def test_maintenance_op_heals_crashed_purge(
+    spark, corpus, tmp_path_factory, monkeypatch
+):
+    """A maintenance op (here compact_index) run on a purge crashed in
+    its rename gap must FIRST roll the half-swap forward — without the
+    heal it would silently fold an index with an absent bucket, losing
+    that bucket's postings — and then proceed: the compaction must equal
+    a from-scratch build over the survivors, marker gone, readers open."""
+    from sparkgrep.plans.purge import PURGE_MARKER
+    from sparkgrep.sources import fsio
+
+    out = str(tmp_path_factory.mktemp("heal_maint") / "idx")
+    build_index(corpus, out, analyzer="simple", n_buckets=4,
+                store_positions=True)
+    delete_batch_delta(corpus.filter("doc_id >= 100 and doc_id < 150"),
+                       out, "d1")
+    surv = str(tmp_path_factory.mktemp("heal_maint_surv") / "idx")
+    build_index(corpus.filter("doc_id < 100 or doc_id >= 150"), surv,
+                analyzer="simple", n_buckets=4, store_positions=True)
+
+    real_rename = fsio.rename
+
+    def explode_between_renames(src, dst):
+        if "/.purge_new_" in src:  # the swap's second rename: new -> live
+            raise RuntimeError("injected crash between the two renames")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(fsio, "rename", explode_between_renames)
+    with pytest.raises(RuntimeError, match="between the two renames"):
+        purge_deleted(spark, out)
+    monkeypatch.setattr(fsio, "rename", real_rename)
+    assert os.path.exists(os.path.join(out, PURGE_MARKER))
+
+    meta = compact_index(spark, out)  # heals via _load_meta_healed
+
+    assert not os.path.exists(os.path.join(out, PURGE_MARKER))
+    assert not any(
+        d.startswith((".purge_new_", ".purge_old_"))
+        for _, dirs, _ in os.walk(out) for d in dirs
+    )
+    surv_idx = InvertedIndex(spark, surv)
+    assert meta.tombstones == ()
+    assert meta.n_docs == surv_idx.meta.n_docs
+    assert meta.avgdl == surv_idx.meta.avgdl
+    dead = np.arange(100, 150, dtype=np.int64)
+    assert not np.isin(dead, _all_postings_ids(spark, out)).any()
+    _assert_same_results(InvertedIndex(spark, out), surv_idx)
