@@ -1565,6 +1565,25 @@ def q_bm25_rank_config(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
 
 
+def q_bm25_serve_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 serving-tier closure: PLAIN (bag-of-words) search on a
+    rank-configured multi-field index is served RESIDENT — the
+    distributed OR mode's one-disjunct-per-term DNF mirrored through the
+    per-field numpy fold, zero Spark jobs once warm (asserted in
+    tests/test_rank_config.py). 'en scan' in OR mode has the same match
+    set and per-atom scoring as bm25_rank_config's 'en OR scan', so the
+    same oracle must hash-match."""
+    from sparkgrep.operators.serve import LocalServer
+    from sparkgrep.plans.manifest import set_rank
+
+    idx = _mc_index(spark, sf_dir)
+    set_rank(idx.index_dir, "bm25(3.0, 1.0)")
+    idx = type(idx)(spark, idx.index_dir)  # reload meta with the config
+    pdf = LocalServer(idx).search("en scan", k=10)
+    res = spark.createDataFrame(pdf, "rank int, doc_id long, score double")
+    return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
+
+
 def q_bm25_pruned_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WEIGHTED MaxScore pruning (round-5): per-column bm25 weights
     (3.0, 1.0) served through the pruned two-pass path — the per-field
@@ -2051,6 +2070,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_cols_weighted": q_bm25_cols_weighted,
     "bm25_pruned_weighted": q_bm25_pruned_weighted,
     "bm25_rank_config": q_bm25_rank_config,
+    "bm25_serve_weighted": q_bm25_serve_weighted,
     "delta_delete": q_delta_delete,
     "delta_purged": q_delta_purged,
     "delta_update": q_delta_update,
@@ -2606,6 +2626,7 @@ FROM documents
         "bm25_pruned_weighted": _MC_PRUNED_WEIGHTED_SQL,
         # the persisted rank config must equal the explicit weights
         "bm25_rank_config": _MC_WEIGHTED_SQL,
+        "bm25_serve_weighted": _MC_WEIGHTED_SQL,
         # incremental delta merge is a PHYSICAL reorganization: results
         # must equal the flagship BM25 over the whole corpus bit-for-bit
         "delta_merged": _bm25_sql(flagship_terms, 10),

@@ -1147,6 +1147,20 @@ def main() -> None:
     timings["bm25_code_batch_weighted"] = round(min(wblat), 3)
     timings["bm25_code_batch_weighted_pruned"] = round(min(wpblat), 3)
 
+    # --- resident WEIGHTED serving (round-5): plain search on the same
+    # rank-configured index through the serving tier — the distributed
+    # OR mode's DNF mirrored through the per-field numpy fold, zero
+    # Spark jobs once warm (tests/test_rank_config.py)
+    wsrv = LocalServer(idx_w).warm(code_queries)
+    for q in code_queries:
+        wsrv.search(q, k=10)  # untimed first pass
+    wslat = []
+    for q in code_queries:
+        t0 = time.time()
+        wsrv.search(q, k=10)
+        wslat.append(time.time() - t0)
+    timings["bm25_p50_serve_weighted"] = round(statistics.median(wslat), 4)
+
     # --- pipeline ops on raw sf documents (3 interleaved reps, min)
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     llat, shlat = [], []

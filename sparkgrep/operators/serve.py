@@ -24,6 +24,9 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from sparkgrep.functions.querylang import (
+    Conjunct,
+    ParsedQuery,
+    Unit,
     parse_query,
     plain_terms,
     star_slots,
@@ -274,7 +277,13 @@ class LocalServer:
     def warm(self, queries: list[str]) -> "LocalServer":
         """Prefetch postings for a query workload (one Spark job per
         tier): bag-of-words terms and, for queries using the boolean/
-        phrase language, positional postings for phrase terms."""
+        phrase language, positional postings for phrase terms. On a
+        multi-field index the expr/weighted paths read the per-field
+        tiers, so those are warmed instead (plain unweighted ``search``
+        additionally warms the total-tf tier it reads)."""
+        meta = self.meta
+        if meta.fields and meta.effective_detail() != "none":
+            return self._warm_mc(queries)
         terms: set[str] = set()
         pterms: set[str] = set()
         for q in queries:
@@ -306,6 +315,46 @@ class LocalServer:
             self._fetch_pos(sorted(pterms))
         return self
 
+    def _warm_mc(self, queries: list[str]) -> "LocalServer":
+        """Multi-field warm: prefetch the per-field tiers
+        ``_search_expr_mc`` reads (and, on an index with no persisted
+        rank config, the total-tf tier that plain unweighted ``search``
+        reads). Colspec syntax parses because fields are passed."""
+        meta = self.meta
+        terms: set[str] = set()
+        pterms: set[str] = set()
+        for q in queries:
+            pq = parse_query(q, meta.analyzer, fields=meta.fields or None)
+            near_members = [u for g in pq.near_groups() for u in g.phrases]
+            for u in pq.units():
+                if star_slots(u):
+                    if u.is_phrase:
+                        pterms.update(plain_terms(u))
+                        for s in stem_terms(u):
+                            self._fetch_prefix_pos_mc(s)
+                        continue
+                    self._fetch_prefix_mc(u.terms[0])
+                    if u.anchored:
+                        self._fetch_prefix_pos_mc(u.terms[0])
+                elif u.is_phrase or u.anchored:
+                    pterms.update(u.terms)
+                else:
+                    terms.add(u.terms[0])
+            for u in near_members:
+                if star_slots(u):
+                    pterms.update(plain_terms(u))
+                    for s in stem_terms(u):
+                        self._fetch_prefix_pos_mc(s)
+                else:
+                    pterms.update(u.terms)
+        self._fetch_mc(sorted(terms))
+        if pterms:
+            self._fetch_mc(sorted(pterms), positions=True)
+        if not meta.rank_weights and terms:
+            # plain unweighted search() scores the total-tf streams
+            self._fetch(sorted(terms))
+        return self
+
     def _over_residency_cap(self, terms: list[str], stems: list[str] = ()) -> bool:
         """True when any query term (or any term a prefix stem resolves
         to) exceeds ``max_resident_df`` — route to the distributed path
@@ -331,12 +380,20 @@ class LocalServer:
         distributed exact path (identical results, tested)."""
         meta = self.meta
         if meta.rank_weights:
-            # persisted rank configuration: the resident numpy fold
-            # scores the unweighted total streams — delegate to the
-            # distributed path, whose OR mode applies the configured
-            # weights (bitwise-consistent; ms-latency weighted serving
-            # uses search_expr, which resolves the config natively)
-            return self.index.search(query_text, k).toPandas()
+            # persisted rank configuration (set_rank): mirror the
+            # distributed OR mode's DNF exactly (query.py search():
+            # one single-unit disjunct per term — identical match-any
+            # semantics) through the RESIDENT multi-field weighted fold,
+            # so a rank-configured index serves plain queries at the
+            # same ms latency as everything else. Bitwise-equal to
+            # ``InvertedIndex.search`` by the _search_expr_mc ≡
+            # _search_parsed equivalence pinned in tests; queries over
+            # the residency cap still delegate inside _search_expr_mc.
+            terms = sorted(set(tokenize_py(query_text, meta.analyzer)))
+            if not terms:
+                return _EMPTY.copy()
+            pq = ParsedQuery(tuple(Conjunct((Unit((t,)),)) for t in terms))
+            return self._search_expr_mc(pq, k, list(meta.rank_weights))
         terms = sorted(set(tokenize_py(query_text, meta.analyzer)))
         empty = _EMPTY.copy()
         if not terms:
@@ -1021,6 +1078,47 @@ class LocalServer:
             return out
         return self._mc_term_percol(u.terms[0])
 
+    def _wfold_term_arrays(self, t: str, w: list[float], cols: list[int]):
+        """Vectorized ``_wfold`` for a PLAIN term unit: the weighted fold
+        runs directly over the cached per-field tf arrays instead of a
+        per-doc Python dict — elementwise IEEE float64 ops in the same
+        left-associated ascending-field order, so the result is bitwise
+        identical to ``_wfold(_mc_term_percol(t), ...)`` (each live doc
+        appears in exactly one shard row: shards partition a term's
+        postings and tombstone masking drops superseded layers, so the
+        dict path never merged anything). ~10-100× less Python overhead
+        on hot terms — this is the serving tier's term hot path."""
+        ids_p, tfw_p, dls_p = [], [], []
+        for _df, ids, tf_cols, dls in self._mc_cache.get(t, []):
+            pres = None
+            for c in cols:
+                p = tf_cols[c] != 0
+                pres = p if pres is None else (pres | p)
+            v = w[cols[0]] * tf_cols[cols[0]].astype(np.float64)
+            for c in cols[1:]:
+                v = v + w[c] * tf_cols[c].astype(np.float64)
+            if pres.all():
+                ids_p.append(ids)
+                tfw_p.append(v)
+                dls_p.append(dls)
+            else:
+                sel = np.flatnonzero(pres)
+                if sel.size:
+                    ids_p.append(ids[sel])
+                    tfw_p.append(v[sel])
+                    dls_p.append(dls[sel])
+        if not ids_p:
+            return (
+                np.empty(0, np.int64),
+                np.empty(0, np.float64),
+                np.empty(0, np.int64),
+            )
+        return (
+            np.concatenate(ids_p),
+            np.concatenate(tfw_p),
+            np.concatenate(dls_p),
+        )
+
     def _wfold(self, percol: dict[int, tuple], w: list[float], cols: list[int]):
         """Fixed-order weighted fold over the colset — bitwise mirror of
         ``query._wsum_mc``: tfw = (w_c0·tf_c0) + (w_c1·tf_c1) + … in
@@ -1099,7 +1197,12 @@ class LocalServer:
             cols = sorted(u.cols) if u.cols is not None else all_cols
             if not cols:
                 continue  # empty colset intersection: matches nothing
-            ids, tfw, dls = self._wfold(self._mc_unit_percol(u), w, cols)
+            if not u.anchored and not u.is_phrase and not star_slots(u):
+                # plain term unit: vectorized fold straight over the
+                # cached arrays (bitwise-equal to the dict path)
+                ids, tfw, dls = self._wfold_term_arrays(u.terms[0], w, cols)
+            else:
+                ids, tfw, dls = self._wfold(self._mc_unit_percol(u), w, cols)
             if ids.size:
                 per_unit[u.uid] = (ids, tfw, dls)
 

@@ -170,6 +170,48 @@ def test_mc_delta_tombstone_compact_bitwise(spark, mc_corpus, tmp_path_factory):
         assert _same(a, b), ("compacted", q, w)
 
 
+def test_wfold_term_fast_path_bitwise(spark, mc_corpus, tmp_path_factory):
+    """The vectorized term fold (`_wfold_term_arrays`) must be bitwise
+    identical to the per-doc dict fold it replaces — same doc order,
+    same IEEE float64 weighted tf bytes — including on a LAYERED index
+    with tombstones (masking already applied at fetch), for full and
+    restricted colsets and zero weights."""
+    from sparkgrep.functions.querylang import Unit
+    from sparkgrep.operators.serve import LocalServer
+
+    out = str(tmp_path_factory.mktemp("mc_fast") / "idx")
+    kw = dict(analyzer="fts5", idf_variant="fts5", n_buckets=8)
+    append_batch_delta(
+        mc_corpus.filter("doc_id < 60"), out, "b0",
+        store_positions=True, fields=FIELDS, **kw,
+    )
+    append_batch_delta(mc_corpus.filter("doc_id >= 60"), out, "b1")
+    delete_batch_delta(mc_corpus.filter("doc_id % 7 = 3"), out, "b2")
+    idx = InvertedIndex(spark, out)
+    srv = LocalServer(idx)
+    terms = ["alpha", "beta", "code", "zeta"]
+    srv._fetch_mc(terms)
+    for t in terms:
+        for cols, w in (
+            ([0, 1], [1.0, 1.0]),
+            ([0, 1], [4.0, 0.5]),
+            ([0], [3.0, 1.0]),
+            ([1], [1.0, 2.0]),
+            ([0, 1], [0.0, 2.0]),  # zero weight still matches
+        ):
+            slow = srv._wfold(srv._mc_term_percol(t), w, cols)
+            fast = srv._wfold_term_arrays(t, w, cols)
+            assert (slow[0] == fast[0]).all(), (t, cols, w)
+            assert slow[1].tobytes() == fast[1].tobytes(), (t, cols, w)
+            assert (slow[2] == fast[2]).all(), (t, cols, w)
+    # end-to-end: the serve tier (fast path live) equals the distributed
+    # path on the layered index, weighted and colset-filtered
+    for q, w in MC_QS:
+        a = srv.search_expr(q, k=10, weights=w)
+        b = idx.search_expr(q, k=10, weights=w).toPandas()
+        assert _same(a, b), (q, w)
+
+
 def test_mc_stored_df_counts_distinct_docs(spark, mc_corpus, tmp_path):
     """A doc with a term in BOTH fields is one posting: stored df (and
     the n stream length) count unique docs, and the total-tf stream sums

@@ -119,11 +119,12 @@ def test_serve_tier_uses_config(spark, cfg_index):
 
 def test_batch_and_pruned_and_serve_consistent(spark, cfg_index):
     """Every serving path respects the configured rank function:
-    search_batch unions the weighted path, MaxScore planning routes to
-    exact (the sidecar ubs bound the UNWEIGHTED score), and the plain
-    LocalServer.search delegates — all bitwise-equal to search()."""
+    search_batch shares the weighted decode, pruned search applies the
+    per-field ub plan, and plain LocalServer.search scores the RESIDENT
+    per-field tiers (the distributed OR mode's DNF mirrored through the
+    mc fold) — all bitwise-equal to search()."""
     from sparkgrep.operators.serve import LocalServer
-    from sparkgrep.operators.wand import plan_pruned, search_pruned
+    from sparkgrep.operators.wand import search_pruned
 
     idx = cfg_index
     want = {
@@ -140,7 +141,6 @@ def test_batch_and_pruned_and_serve_consistent(spark, cfg_index):
             if r["query_id"] == qid
         ]
         assert got == want[q], q
-    assert plan_pruned(idx, ["hash", "join"], 10) is None  # routes exact
     got = [tuple(r) for r in search_pruned(idx, "hash join", k=15).collect()]
     assert got == want["hash join"]
     srv = LocalServer(idx)
@@ -151,6 +151,39 @@ def test_batch_and_pruned_and_serve_consistent(spark, cfg_index):
         ].itertuples(index=False, name=None)
     ]
     assert got == want["hash join"]
+
+
+def test_serve_plain_weighted_is_resident(spark, cfg_index):
+    """Plain search on a rank-configured index serves from the resident
+    per-field tiers: zero Spark jobs once warmed (previously it
+    delegated — one distributed job per query), bitwise-equal to the
+    distributed OR mode on every query in the workload."""
+    from sparkgrep.operators.serve import LocalServer
+
+    sc = spark.sparkContext
+    # operator-free workload: warm() parses its queries, while plain
+    # search() is bag-of-words — an OR token would be consumed by the
+    # parser and left cold
+    plain_qs = ["hash", "hash join", "window scan"]
+    srv = LocalServer(cfg_index).warm(plain_qs)
+    want = {
+        q: [tuple(r) for r in cfg_index.search(q, k=20).collect()]
+        for q in plain_qs
+    }
+    sc.setJobGroup("rank_serve_plain", "rank_serve_plain", interruptOnCancel=False)
+    try:
+        for q in plain_qs:
+            got = [
+                tuple(r)
+                for r in srv.search(q, 20)[
+                    ["rank", "doc_id", "score"]
+                ].itertuples(index=False, name=None)
+            ]
+            assert got == want[q], q
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("rank_serve_plain")
+    assert not jobs, f"warmed weighted serve ran Spark jobs: {jobs}"
 
 
 def test_padding_and_extras(spark, tmp_path, ref):
