@@ -89,6 +89,9 @@ class LocalServer:
         self._mc_pcache: dict[str, list[tuple]] = {}
         # stem -> {doc: (dl, per-field tf sums)}
         self._mc_xcache: dict[str, dict[int, tuple]] = {}
+        # stem -> (docs, dls, per-field tf matrix) — the array form of
+        # _mc_xcache, built once per stem for the vectorized fold
+        self._mc_xarr: dict[str, tuple] = {}
         # stem -> ({(doc, col): sorted positions}, {doc: dl})
         self._mc_xpcache: dict[str, tuple[dict, dict]] = {}
 
@@ -1119,6 +1122,46 @@ class LocalServer:
             np.concatenate(dls_p),
         )
 
+    def _wfold_prefix_arrays(self, stem: str, w: list[float], cols: list[int]):
+        """Vectorized ``_wfold`` for a PREFIX term unit: the memoized
+        per-doc dict (``_fetch_prefix_mc``) is converted ONCE into
+        (docs, dls, per-field tf matrix) — in dict iteration order, so
+        the fold order matches the dict path exactly — and every query
+        then folds weights elementwise instead of looping docs in
+        Python. Bitwise-identical to ``_wfold(_fetch_prefix_mc(stem))``."""
+        arrs = self._mc_xarr.get(stem)
+        if arrs is None:
+            percol = self._fetch_prefix_mc(stem)
+            n = len(percol)
+            docs = np.fromiter(percol.keys(), np.int64, n)
+            dls = np.fromiter((v[0] for v in percol.values()), np.int64, n)
+            nf = len(self.meta.fields)
+            tf_mat = (
+                np.vstack([v[1] for v in percol.values()])
+                if n
+                else np.zeros((0, nf), np.int64)
+            )
+            arrs = (docs, dls, tf_mat)
+            self._mc_xarr[stem] = arrs
+        docs, dls, tf_mat = arrs
+        if not docs.size:
+            return (
+                np.empty(0, np.int64),
+                np.empty(0, np.float64),
+                np.empty(0, np.int64),
+            )
+        pres = None
+        for c in cols:
+            p = tf_mat[:, c] != 0
+            pres = p if pres is None else (pres | p)
+        v = w[cols[0]] * tf_mat[:, cols[0]].astype(np.float64)
+        for c in cols[1:]:
+            v = v + w[c] * tf_mat[:, c].astype(np.float64)
+        if pres.all():
+            return docs, v, dls
+        sel = np.flatnonzero(pres)
+        return docs[sel], v[sel], dls[sel]
+
     def _wfold(self, percol: dict[int, tuple], w: list[float], cols: list[int]):
         """Fixed-order weighted fold over the colset — bitwise mirror of
         ``query._wsum_mc``: tfw = (w_c0·tf_c0) + (w_c1·tf_c1) + … in
@@ -1201,6 +1244,9 @@ class LocalServer:
                 # plain term unit: vectorized fold straight over the
                 # cached arrays (bitwise-equal to the dict path)
                 ids, tfw, dls = self._wfold_term_arrays(u.terms[0], w, cols)
+            elif not u.anchored and not u.is_phrase:
+                # prefix term unit: cached array form of the stem scan
+                ids, tfw, dls = self._wfold_prefix_arrays(u.terms[0], w, cols)
             else:
                 ids, tfw, dls = self._wfold(self._mc_unit_percol(u), w, cols)
             if ids.size:

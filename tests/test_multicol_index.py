@@ -176,7 +176,6 @@ def test_wfold_term_fast_path_bitwise(spark, mc_corpus, tmp_path_factory):
     same IEEE float64 weighted tf bytes — including on a LAYERED index
     with tombstones (masking already applied at fetch), for full and
     restricted colsets and zero weights."""
-    from sparkgrep.functions.querylang import Unit
     from sparkgrep.operators.serve import LocalServer
 
     out = str(tmp_path_factory.mktemp("mc_fast") / "idx")
@@ -204,9 +203,16 @@ def test_wfold_term_fast_path_bitwise(spark, mc_corpus, tmp_path_factory):
             assert (slow[0] == fast[0]).all(), (t, cols, w)
             assert slow[1].tobytes() == fast[1].tobytes(), (t, cols, w)
             assert (slow[2] == fast[2]).all(), (t, cols, w)
-    # end-to-end: the serve tier (fast path live) equals the distributed
-    # path on the layered index, weighted and colset-filtered
-    for q, w in MC_QS:
+            # prefix-unit fold over the same stem's scan cache
+            stem = t[:2]
+            pslow = srv._wfold(srv._fetch_prefix_mc(stem), w, cols)
+            pfast = srv._wfold_prefix_arrays(stem, w, cols)
+            assert (pslow[0] == pfast[0]).all(), (stem, cols, w)
+            assert pslow[1].tobytes() == pfast[1].tobytes(), (stem, cols, w)
+            assert (pslow[2] == pfast[2]).all(), (stem, cols, w)
+    # end-to-end: the serve tier (fast paths live) equals the distributed
+    # path on the layered index — weighted, colset-filtered, and prefix
+    for q, w in MC_QS + [("alp* beta", [2.0, 1.0]), ("title:alp*", None)]:
         a = srv.search_expr(q, k=10, weights=w)
         b = idx.search_expr(q, k=10, weights=w).toPandas()
         assert _same(a, b), (q, w)
