@@ -267,6 +267,8 @@ class InvertedIndex:
 
     def __init__(self, spark: SparkSession, index_dir: str):
         from sparkgrep.operators.index_build import postings_schema
+        from sparkgrep.plans.manifest import SWAP_MARKER
+        from sparkgrep.plans.purge import PURGE_MARKER
         from sparkgrep.sources import fsio
 
         self.spark = spark
@@ -275,7 +277,7 @@ class InvertedIndex:
         # mid-swap: subdirs may be mixed old/new relative to stats.json.
         # Refuse loudly instead of serving silently-wrong scores; any
         # maintenance op (or finish_pending_swap) rolls it forward.
-        if fsio.exists(f"{index_dir}/_swap_commit.json"):
+        if fsio.exists(f"{index_dir}/{SWAP_MARKER}"):
             raise ValueError(
                 f"index at {index_dir!r} has a crashed compact/delete-all "
                 "swap pending — run sparkgrep.plans.manifest."
@@ -287,7 +289,7 @@ class InvertedIndex:
         # cannot cover (that bucket is absent; serving would silently
         # return zero hits for its terms). Refuse loudly; re-running
         # purge (or any maintenance op) rolls it forward.
-        if fsio.exists(f"{index_dir}/_purge_swap.json"):
+        if fsio.exists(f"{index_dir}/{PURGE_MARKER}"):
             raise ValueError(
                 f"index at {index_dir!r} has a crashed purge swap "
                 "pending — run sparkgrep.plans.purge.purge_deleted() "
@@ -755,6 +757,13 @@ class InvertedIndex:
         terms = self.prefix_terms(stem)
         if terms is not None:
             return self._matched(terms)
+        # degenerate stem on a non-memoized vocabulary: prefix_terms'
+        # bounded enumeration scans (≤ _PREFIX_RESOLVE_MAX rows/layer,
+        # row-group pruned, early-out on first overflow) ran before this
+        # bucket resolve. The partial scan CANNOT seed the bucket set —
+        # its limit truncates before covering all matches — so the extra
+        # bounded metadata job per layer is the price of trying exact
+        # enumeration first, paid only by stems past the 64k-match cap.
         buckets = self._prefix_buckets(stem)
         pred = F.col("term").startswith(stem)
         if buckets is None:

@@ -36,6 +36,15 @@ def idf(n_docs: int, df: int, variant: str = "okapi") -> float:
     if variant == "okapi":
         return math.log(x)
     if variant == "fts5":
+        # df can exceed n_docs for prefix-MARKER sidecar rows on a
+        # tombstoned index (markers carry no tombstone correction by
+        # design; the marker QUERY path derives df from the masked
+        # decode and never reads this) — reach the clamp before the log
+        # leaves its domain instead of raising. Impossible for real
+        # terms (their sidecar dfs are tombstone-corrected), so scoring
+        # is unchanged.
+        if x <= 0.0:
+            return 1e-6
         v = math.log(x)
         return v if v > 0.0 else 1e-6
     if variant == "lucene":

@@ -204,17 +204,16 @@ def _swap_dir(
     fsio.delete(old)
 
 
-def _affected_terms(
+def _load_tomb_terms(
     spark: SparkSession, out_dir: str, meta: IndexMeta, tomb_idxs: list[int]
-) -> list[str]:
-    """Union of the tombstones' sidecar terms — exactly the terms whose
-    posting lists contain dead ids (the sidecar is the deleted docs'
-    SPIMI vocabulary under the index's own analyzer/fields) — plus the
-    derived ``prefix=`` marker terms (a marker aggregates every matching
-    term's postings, so it holds the dead ids too; build rule:
-    len(term) >= n ⇒ marker '\\x02'+term[:n], index_build.py
-    _derive_prefix_rows)."""
-    terms: set[str] = set()
+) -> dict[int, set[str]]:
+    """One sidecar collect per tombstone — the deleted docs' SPIMI
+    vocabulary under the index's own analyzer/fields, i.e. exactly the
+    terms whose posting lists contain that tombstone's dead ids. Loaded
+    ONCE before the layer loop: with L layers covered by T tombstones,
+    reading inside the loop would rescan the same sidecars up to L
+    times each."""
+    out: dict[int, set[str]] = {}
     for ti in tomb_idxs:
         rel = (meta.tombstones or ())[ti]
         rows = (
@@ -222,7 +221,21 @@ def _affected_terms(
             .parquet(f"{out_dir}/{rel}/term_ubs")
             .collect()
         )
-        terms.update(r["term"] for r in rows)
+        out[ti] = {r["term"] for r in rows}
+    return out
+
+
+def _affected_terms(
+    meta: IndexMeta, tomb_terms: dict[int, set[str]], tomb_idxs: list[int]
+) -> list[str]:
+    """Union of the given tombstones' preloaded sidecar terms, plus the
+    derived ``prefix=`` marker terms (a marker aggregates every matching
+    term's postings, so it holds the dead ids too; build rule:
+    len(term) >= n ⇒ marker '\\x02'+term[:n], index_build.py
+    _derive_prefix_rows)."""
+    terms: set[str] = set()
+    for ti in tomb_idxs:
+        terms.update(tomb_terms[ti])
     for t in list(terms):
         for n in meta.prefix or ():
             if len(t) >= n:
@@ -521,6 +534,7 @@ def purge_deleted(spark: SparkSession, out_dir: str) -> dict:
             )
         )
     stats["purged_doc_ids"] = int(sum(len(v) for v in tomb_ids.values()))
+    tomb_terms = _load_tomb_terms(spark, out_dir, meta, pending)
 
     for seq, ldir in enumerate(layer_dirs):
         tis = [ti for ti in pending if cuts[ti] > seq]
@@ -533,7 +547,7 @@ def purge_deleted(spark: SparkSession, out_dir: str) -> dict:
         meta_l = replace(
             meta, n_docs=int(ls[seq][0]), avgdl=float(ls[seq][1])
         )
-        aff_terms = _affected_terms(spark, out_dir, meta, tis)
+        aff_terms = _affected_terms(meta, tomb_terms, tis)
         if aff_terms:
             _purge_layer_postings(
                 spark, out_dir, meta, meta_l, ldir, aff_terms, dead_bc, stats

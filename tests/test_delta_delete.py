@@ -235,3 +235,40 @@ def test_compaction_folds_tombstones(spark, corpus, tombstoned, survivors_idx, t
     assert _postings_rows(spark, out).equals(
         _postings_rows(spark, survivors_idx.index_dir)
     )
+
+
+@pytest.mark.parametrize("variant", ["fts5", "okapi", "lucene"])
+def test_stale_marker_df_idf_domain(spark, variant, tmp_path):
+    """A prefix-MARKER sidecar row's df is never tombstone-corrected (by
+    design — the marker query path derives df from the masked decode),
+    so after a large delete its summed df can EXCEED the corrected
+    n_docs. The eager sidecar-ub fold must not let the idf's log leave
+    its domain (fts5's clamp is reached before the log; okapi returns
+    the never-read 0.0 bound; lucene's log1p domain is safe for any
+    df ≥ 0); queries must equal a from-scratch build over survivors."""
+    rows = [(i, f"zzterm{i} shared tok{i % 3}") for i in range(10)]
+    corpus = spark.createDataFrame(rows, "doc_id long, content string")
+    out = str(tmp_path / "idx")
+    build_index(
+        corpus, out, analyzer="simple", idf_variant=variant,
+        n_buckets=4, prefix=(2,),
+    )
+    # delete 8 of 10 docs: marker '\x02zz' keeps df=10 in the base
+    # sidecar while corrected n_docs drops to 2 → (N - df + 0.5) < 0
+    delete_batch_delta(corpus.filter("doc_id < 8"), out, "d0")
+    idx = InvertedIndex(spark, out)
+    got = idx.search("shared", k=10).toPandas()  # fold runs here (pre-fix: ValueError)
+    pgot = idx.search_expr("zz*", k=10).toPandas()
+
+    ref_dir = str(tmp_path / "ref")
+    build_index(
+        corpus.filter("doc_id >= 8"), ref_dir, analyzer="simple",
+        idf_variant=variant, n_buckets=4, prefix=(2,),
+    )
+    ref = InvertedIndex(spark, ref_dir)
+    want = ref.search("shared", k=10).toPandas()
+    pwant = ref.search_expr("zz*", k=10).toPandas()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert (got["score"].to_numpy() == want["score"].to_numpy()).all()
+    assert pgot["doc_id"].tolist() == pwant["doc_id"].tolist()
+    assert (pgot["score"].to_numpy() == pwant["score"].to_numpy()).all()

@@ -57,6 +57,19 @@ def _merge_pairs(pairs_by_run: list[list[dict]]) -> list[dict]:
                 steal.setdefault(lv, []).extend(arr)
             for lv, arr in p.get("all_tree_cpu_sec", {}).items():
                 cpu.setdefault(lv, []).extend(arr)
+        # the cpu-derived figures below index cpu[lv] positionally
+        # against times[lv]: a run contributing wall reps without
+        # matching tree-CPU reps would crash or, worse, attribute the
+        # wrong rep's CPU — refuse instead of guessing
+        if {lv: len(v) for lv, v in cpu.items()} != {
+            lv: len(v) for lv, v in times.items()
+        }:
+            raise SystemExit(
+                f"pair {levels}: tree-CPU rep counts do not match wall "
+                "rep counts across the input runs; refusing to merge "
+                "(every recorded run since the tracking landed carries "
+                "all_tree_cpu_sec — check the inputs)"
+            )
         merged["reps"] = min(len(v) for v in times.values())
         merged["all_times_sec"] = times
         merged["all_steal_sec"] = steal
