@@ -87,10 +87,8 @@ class LocalServer:
         self._mc_cache: dict[str, list[tuple]] = {}
         # term -> [(ids, [tf per field], dls, [positions per field])]
         self._mc_pcache: dict[str, list[tuple]] = {}
-        # stem -> {doc: (dl, per-field tf sums)}
-        self._mc_xcache: dict[str, dict[int, tuple]] = {}
-        # stem -> (docs, dls, per-field tf matrix) — the array form of
-        # _mc_xcache, built once per stem for the vectorized fold
+        # stem -> (docs, dls, per-field tf matrix): per-doc tf sums over
+        # every term matching the stem, aggregated once per stem
         self._mc_xarr: dict[str, tuple] = {}
         # stem -> ({(doc, col): sorted positions}, {doc: dl})
         self._mc_xpcache: dict[str, tuple[dict, dict]] = {}
@@ -290,6 +288,10 @@ class LocalServer:
         terms: set[str] = set()
         pterms: set[str] = set()
         for q in queries:
+            # plain search() is bag-of-words: tokens the query-language
+            # parser would consume as operators (OR/NOT/...) still score
+            # there — warm them too so neither entry point misses
+            terms.update(tokenize_py(q, self.meta.analyzer))
             pq = parse_query(q, self.meta.analyzer)
             for u in pq.units():
                 if star_slots(u):
@@ -327,6 +329,10 @@ class LocalServer:
         terms: set[str] = set()
         pterms: set[str] = set()
         for q in queries:
+            # bag-of-words union (see warm): plain search() scores
+            # operator tokens as terms — on a rank-configured index it
+            # reads the per-field tier, else the total-tf tier below
+            terms.update(tokenize_py(q, meta.analyzer))
             pq = parse_query(q, meta.analyzer, fields=meta.fields or None)
             near_members = [u for g in pq.near_groups() for u in g.phrases]
             for u in pq.units():
@@ -336,9 +342,12 @@ class LocalServer:
                         for s in stem_terms(u):
                             self._fetch_prefix_pos_mc(s)
                         continue
-                    self._fetch_prefix_mc(u.terms[0])
                     if u.anchored:
+                        # anchored prefix serves from the positional
+                        # tier alone — the tf-tier scan would be waste
                         self._fetch_prefix_pos_mc(u.terms[0])
+                    else:
+                        self._fetch_prefix_mc(u.terms[0])
                 elif u.is_phrase or u.anchored:
                     pterms.update(u.terms)
                 else:
@@ -886,10 +895,14 @@ class LocalServer:
             else:
                 cache[r["term"]].append((int(r["df"]), ids, tf_cols, dls))
 
-    def _fetch_prefix_mc(self, stem: str) -> dict[int, tuple]:
-        """``stem*`` on a multi-field index: {doc: (dl, per-field tf
-        sums over every matching term)} — integer sums, order-free."""
-        hit = self._mc_xcache.get(stem)
+    def _fetch_prefix_mc(self, stem: str) -> tuple:
+        """``stem*`` on a multi-field index: (docs ascending, dls,
+        per-field tf matrix) with tfs integer-summed over every matching
+        term per doc — the array form is the ONLY cached representation
+        (the fold reads it directly; the dict view `_mc_unit_percol`
+        exposes derives from it), so a stem costs one copy of its
+        aggregation, not a dict plus arrays."""
+        hit = self._mc_xarr.get(stem)
         if hit is not None:
             return hit
         nf = len(self.meta.fields)
@@ -898,7 +911,8 @@ class LocalServer:
             .select("term", "n", "doc_ids", "dls", "tfs_cols", *self._seq_col())
             .collect()
         )
-        acc: dict[int, tuple] = {}
+        ids_parts, dl_parts = [], []
+        tf_parts: list[list] = [[] for _ in range(nf)]
         for r in rows:
             ids = blocked_gap_decode(
                 r["doc_ids"], int(r["n"]), self.meta.block_size
@@ -909,15 +923,36 @@ class LocalServer:
                 for c in range(nf)
             ]
             keep = self._keep(r, ids)
-            for j, d in enumerate(ids):
-                if keep is not None and not keep[j]:
+            if keep is not None:
+                sel = np.flatnonzero(keep)
+                if not sel.size:
                     continue
-                dl, tfc = acc.get(int(d), (int(dls[j]), np.zeros(nf, np.int64)))
-                for c in range(nf):
-                    tfc[c] += tf_cols[c][j]
-                acc[int(d)] = (dl, tfc)
-        self._mc_xcache[stem] = acc
-        return acc
+                ids, dls = ids[sel], dls[sel]
+                tf_cols = [tc[sel] for tc in tf_cols]
+            ids_parts.append(ids)
+            dl_parts.append(dls)
+            for c in range(nf):
+                tf_parts[c].append(tf_cols[c])
+        if not ids_parts:
+            out = (
+                np.empty(0, np.int64),
+                np.empty(0, np.int64),
+                np.zeros((0, nf), np.int64),
+            )
+            self._mc_xarr[stem] = out
+            return out
+        ids = np.concatenate(ids_parts)
+        dls_all = np.concatenate(dl_parts)
+        docs = np.unique(ids)
+        pos = np.searchsorted(docs, ids)
+        tf_mat = np.zeros((docs.size, nf), np.int64)
+        for c in range(nf):
+            np.add.at(tf_mat[:, c], pos, np.concatenate(tf_parts[c]))
+        dl_out = np.zeros(docs.size, np.int64)
+        dl_out[pos] = dls_all  # dl identical across a doc's term rows
+        out = (docs, dl_out, tf_mat)
+        self._mc_xarr[stem] = out
+        return out
 
     def _fetch_prefix_pos_mc(self, stem: str) -> tuple[dict, dict]:
         """``stem*`` positional tier: ({(doc, col): sorted union of
@@ -1066,7 +1101,14 @@ class LocalServer:
                     out[d] = (dl, tfc)
             return out
         if slots and not u.is_phrase:
-            return self._fetch_prefix_mc(u.terms[0])
+            # dict view of the array-form prefix aggregation (single
+            # source of truth — the fast-path fold reads the arrays
+            # directly; this view exists for the shared _wfold contract)
+            docs, dls, tf_mat = self._fetch_prefix_mc(u.terms[0])
+            return {
+                int(d): (int(dls[i]), tf_mat[i])
+                for i, d in enumerate(docs)
+            }
         if u.is_phrase:
             posm, dlm = (
                 self._mc_pp_starts(u.terms, slots)
@@ -1123,27 +1165,13 @@ class LocalServer:
         )
 
     def _wfold_prefix_arrays(self, stem: str, w: list[float], cols: list[int]):
-        """Vectorized ``_wfold`` for a PREFIX term unit: the memoized
-        per-doc dict (``_fetch_prefix_mc``) is converted ONCE into
-        (docs, dls, per-field tf matrix) — in dict iteration order, so
-        the fold order matches the dict path exactly — and every query
-        then folds weights elementwise instead of looping docs in
-        Python. Bitwise-identical to ``_wfold(_fetch_prefix_mc(stem))``."""
-        arrs = self._mc_xarr.get(stem)
-        if arrs is None:
-            percol = self._fetch_prefix_mc(stem)
-            n = len(percol)
-            docs = np.fromiter(percol.keys(), np.int64, n)
-            dls = np.fromiter((v[0] for v in percol.values()), np.int64, n)
-            nf = len(self.meta.fields)
-            tf_mat = (
-                np.vstack([v[1] for v in percol.values()])
-                if n
-                else np.zeros((0, nf), np.int64)
-            )
-            arrs = (docs, dls, tf_mat)
-            self._mc_xarr[stem] = arrs
-        docs, dls, tf_mat = arrs
+        """Vectorized ``_wfold`` for a PREFIX term unit over the cached
+        (docs, dls, per-field tf matrix) aggregation — per-doc tfs are
+        integer sums (order-free), the weighted fold is elementwise
+        IEEE float64 in the same left-associated ascending-field order
+        as ``_wfold``, so scores are bitwise-identical to the dict fold
+        over the same aggregation."""
+        docs, dls, tf_mat = self._fetch_prefix_mc(stem)
         if not docs.size:
             return (
                 np.empty(0, np.int64),

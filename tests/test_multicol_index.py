@@ -176,6 +176,7 @@ def test_wfold_term_fast_path_bitwise(spark, mc_corpus, tmp_path_factory):
     same IEEE float64 weighted tf bytes — including on a LAYERED index
     with tombstones (masking already applied at fetch), for full and
     restricted colsets and zero weights."""
+    from sparkgrep.functions.querylang import Unit
     from sparkgrep.operators.serve import LocalServer
 
     out = str(tmp_path_factory.mktemp("mc_fast") / "idx")
@@ -203,9 +204,11 @@ def test_wfold_term_fast_path_bitwise(spark, mc_corpus, tmp_path_factory):
             assert (slow[0] == fast[0]).all(), (t, cols, w)
             assert slow[1].tobytes() == fast[1].tobytes(), (t, cols, w)
             assert (slow[2] == fast[2]).all(), (t, cols, w)
-            # prefix-unit fold over the same stem's scan cache
+            # prefix-unit fold over the same stem's scan cache: the
+            # shared-_wfold dict view vs the direct array fold
             stem = t[:2]
-            pslow = srv._wfold(srv._fetch_prefix_mc(stem), w, cols)
+            punit = Unit((stem,), prefix=True)
+            pslow = srv._wfold(srv._mc_unit_percol(punit), w, cols)
             pfast = srv._wfold_prefix_arrays(stem, w, cols)
             assert (pslow[0] == pfast[0]).all(), (stem, cols, w)
             assert pslow[1].tobytes() == pfast[1].tobytes(), (stem, cols, w)

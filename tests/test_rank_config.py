@@ -161,10 +161,10 @@ def test_serve_plain_weighted_is_resident(spark, cfg_index):
     from sparkgrep.operators.serve import LocalServer
 
     sc = spark.sparkContext
-    # operator-free workload: warm() parses its queries, while plain
-    # search() is bag-of-words — an OR token would be consumed by the
-    # parser and left cold
-    plain_qs = ["hash", "hash join", "window scan"]
+    # includes an operator-shaped query: plain search() is bag-of-words
+    # (scores 'or' as a term), and warm() unions the tokenized term set
+    # precisely so that path stays job-free too
+    plain_qs = ["hash", "hash join", "window scan", "join OR scan"]
     srv = LocalServer(cfg_index).warm(plain_qs)
     want = {
         q: [tuple(r) for r in cfg_index.search(q, k=20).collect()]
