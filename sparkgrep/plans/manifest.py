@@ -139,16 +139,27 @@ def build_index_checkpointed(
     # marker derivation with the already-completed ones — the merged
     # index would cover only part of the corpus per config. Completed
     # segments record their config; fail fast on a mismatch.
-    cfg = {"analyzer": analyzer, "prefix": list(prefix_t)}
-    for m in read_manifest(out_dir):
+    # n_segments matters as much as tokenization: resuming with a
+    # different segment count re-slices the hash space, so already-done
+    # segments and new ones overlap — duplicate docs, silently inflated
+    # stats. use_lang changes tokenization per row. Old manifests that
+    # recorded fewer config keys are compared on the keys they have.
+    cfg = {
+        "analyzer": analyzer,
+        "prefix": list(prefix_t),
+        "n_segments": n_segments,
+        "use_lang": use_lang,
+    }
+    manifest_rows = read_manifest(out_dir)
+    for m in manifest_rows:
         old = m.get("config")
-        if old is not None and old != cfg:
+        if old is not None and {k: cfg[k] for k in old if k in cfg} != old:
             raise ValueError(
                 f"resume config mismatch: segment {m['segment_id']} was "
                 f"built with {old}, this call passes {cfg} — re-run with "
                 "the original config or rebuild from scratch"
             )
-    done = completed_segments(out_dir)
+    done = {m["segment_id"] for m in manifest_rows}
     built_this_run = 0
 
     for seg in range(n_segments):
@@ -161,35 +172,8 @@ def build_index_checkpointed(
             F.pmod(F.xxhash64("doc_id"), F.lit(n_segments)) == seg
         )
         tf = spimi_term_freqs(sl, analyzer, use_lang, prefix=prefix_t)
-        seg_dir = f"{out_dir}/segments/seg={seg}"
-        tf.write.mode("overwrite").parquet(seg_dir)
-
-        # lineage metrics from the segment's own runs + input slice
-        # (term='' sentinel rows mark zero-token docs: counted in n_docs,
-        # excluded from n_postings)
-        m = _segment_counts(spark.read.parquet(seg_dir))
-        # order-independent content lineage hash over the slice
-        h_col = (
-            F.sha2(F.col("content_sha256"), 256)
-            if "content_sha256" in corpus.columns
-            else F.sha2(F.col("content"), 256)
-        )
-        h = sl.select(
-            F.sum(
-                F.pmod(F.xxhash64(h_col), F.lit(1 << 61)).cast("decimal(38,0)")
-            ).alias("h")
-        ).collect()[0]["h"]
-        _append_manifest(
-            out_dir,
-            {
-                "segment_id": seg,
-                "n_docs": int(m["n_docs"] or 0),
-                "n_tokens": int(m["n_tokens"] or 0),
-                "n_postings": int(m["n_postings"] or 0),
-                "content_hash": format(int(h or 0), "x"),
-                "wall_time_sec": round(time.time() - t_seg, 3),
-                "config": cfg,
-            },
+        _commit_segment(
+            spark, sl, tf, out_dir, seg, extra={"config": cfg}, t_start=t_seg
         )
         built_this_run += 1
 
@@ -241,6 +225,20 @@ def append_batch(
                 "single-field, positionless indexes — use "
                 "append_batch_delta, which inherits every layer shape"
             )
+        if root.layers or root.tombstones:
+            raise ValueError(
+                "append_batch re-merges the lineage segments wholesale, "
+                "which on a layered/tombstoned index would fold deleted "
+                "docs back in and leave delta layers double-counted — "
+                "compact_index first, or use append_batch_delta"
+            )
+        if not fsio.exists(f"{out_dir}/segments"):
+            raise ValueError(
+                "append_batch re-merges this index's lineage segments, "
+                "but it has none (built by plain build_index?) — the "
+                "re-merge would silently REPLACE the index with only "
+                "this batch; use append_batch_delta"
+            )
         if analyzer is None:
             analyzer = root.analyzer
         elif analyzer != root.analyzer:
@@ -279,50 +277,35 @@ def append_batch(
             )
         )
         tf = spimi_term_freqs(sl, analyzer, use_lang, prefix=prefix_t)
-        seg_dir = f"{out_dir}/segments/seg={seg_id}"
-        tf.write.mode("overwrite").parquet(seg_dir)
-        m = _segment_counts(spark.read.parquet(seg_dir))
-        h_col = (
-            F.sha2(F.col("content_sha256"), 256)
-            if "content_sha256" in corpus_batch.columns
-            else F.sha2(F.col("content"), 256)
-        )
-        h = sl.select(
-            F.sum(
-                F.pmod(F.xxhash64(h_col), F.lit(1 << 61)).cast("decimal(38,0)")
-            ).alias("h")
-        ).collect()[0]["h"]
-        _append_manifest(
-            out_dir,
-            {
-                "segment_id": seg_id,
-                "n_docs": int(m["n_docs"] or 0),
-                "n_tokens": int(m["n_tokens"] or 0),
-                "n_postings": int(m["n_postings"] or 0),
-                "content_hash": format(int(h or 0), "x"),
-                "wall_time_sec": round(time.time() - t_seg, 3),
-            },
-        )
+        _commit_segment(spark, sl, tf, out_dir, seg_id, t_start=t_seg)
 
-    # index CONFIG survives the full re-merge (build state is recomputed)
-    old_rank = ()
-    if fsio.exists(f"{out_dir}/stats.json"):
-        old_rank = tuple(load_meta(out_dir).rank_weights or ())
+    # no rank-config preservation needed here: set_rank requires a
+    # multi-field index and append_batch raises on those above, so a
+    # root this path accepts can never carry rank_weights
     tf_all = spark.read.parquet(f"{out_dir}/segments")
-    new_meta = merge_and_write(
+    return merge_and_write(
         tf_all, out_dir, analyzer, prefix=prefix_t, **merge_kw
     )
-    if old_rank:
-        new_meta = replace(new_meta, rank_weights=old_rank)
-        _write_root_meta(out_dir, new_meta)
-    return new_meta
 
 
-def _commit_segment(spark, sl: DataFrame, tf: DataFrame, out_dir: str, seg_id) -> str:
+def _commit_segment(
+    spark,
+    sl: DataFrame,
+    tf: DataFrame,
+    out_dir: str,
+    seg_id,
+    extra: dict | None = None,
+    t_start: float | None = None,
+) -> str:
     """Write one segment's term-frequency runs + its lineage manifest
     entry (atomic: manifest row only after the parquet write succeeds).
-    Returns the segment directory."""
-    t_seg = time.time()
+    The ONLY segment-commit implementation — every build/append/delete
+    path funnels through it so the crash-ordering-sensitive sequence
+    (parquet → counts → content hash → manifest) has one copy. ``extra``
+    merges additional manifest fields (e.g. the checkpointed build's
+    resume config); ``t_start`` backdates the lineage wall time to
+    include the caller's tokenize phase. Returns the segment directory."""
+    t_seg = t_start if t_start is not None else time.time()
     seg_dir = f"{out_dir}/segments/seg={seg_id}"
     tf.write.mode("overwrite").parquet(seg_dir)
     m = _segment_counts(spark.read.parquet(seg_dir))
@@ -343,17 +326,17 @@ def _commit_segment(spark, sl: DataFrame, tf: DataFrame, out_dir: str, seg_id) -
             F.pmod(F.xxhash64(h_col), F.lit(1 << 61)).cast("decimal(38,0)")
         ).alias("h")
     ).collect()[0]["h"]
-    _append_manifest(
-        out_dir,
-        {
-            "segment_id": seg_id,
-            "n_docs": int(m["n_docs"] or 0),
-            "n_tokens": int(m["n_tokens"] or 0),
-            "n_postings": int(m["n_postings"] or 0),
-            "content_hash": format(int(h or 0), "x"),
-            "wall_time_sec": round(time.time() - t_seg, 3),
-        },
-    )
+    entry = {
+        "segment_id": seg_id,
+        "n_docs": int(m["n_docs"] or 0),
+        "n_tokens": int(m["n_tokens"] or 0),
+        "n_postings": int(m["n_postings"] or 0),
+        "content_hash": format(int(h or 0), "x"),
+        "wall_time_sec": round(time.time() - t_seg, 3),
+    }
+    if extra:
+        entry.update(extra)
+    _append_manifest(out_dir, entry)
     return seg_dir
 
 
@@ -364,6 +347,72 @@ def _write_root_meta(out_dir: str, meta: IndexMeta) -> None:
     d["tombstone_cuts"] = [int(c) for c in (meta.tombstone_cuts or ())]
     d["tombstone_purged"] = [int(i) for i in (meta.tombstone_purged or ())]
     fsio.write_text(f"{out_dir}/stats.json", json.dumps(d, indent=2))
+
+
+BATCH_MARKER = "_batch_commit.json"
+
+
+def finish_pending_batch(index_dir: str) -> bool:
+    """Heal a crashed :func:`append_batch_delta` / :func:`delete_batch_delta`.
+
+    Both ops write their replay-idempotency token — the segment manifest
+    entry — BEFORE their real commit point (the root ``stats.json``
+    write). Without healing, a crash in between makes every replay of
+    the batch a silent no-op against a root that never received it: the
+    batch is lost forever (and a bootstrap crash wedges the index with a
+    manifest entry over a missing ``stats.json``). The marker written
+    around that window carries the batch's pre-chosen target so this
+    function can put the index back into a replayable state from any
+    crash point:
+
+    - target already referenced by the root meta (or, for a bootstrap,
+      ``stats.json`` exists): the crash hit AFTER the commit — the batch
+      is in; drop the marker.
+    - otherwise: the batch never committed — roll BACK by removing its
+      manifest entry, staged segment, and orphan target dir, so the
+      caller's replay (the streaming source re-delivers uncommitted
+      batches) redoes the batch from scratch. Rolling back rather than
+      forward keeps the marker config-free; the only cost is
+      re-tokenizing one batch.
+
+    Called by every maintenance entry point (via ``_load_meta_healed``)
+    and by both delta ops before their replay check, so a compaction
+    can never fold an index that silently dropped a half-committed
+    batch. Returns True if a pending batch was healed."""
+    mpath = f"{index_dir}/{BATCH_MARKER}"
+    if not fsio.exists(mpath):
+        return False
+    plan = json.loads(fsio.read_text(mpath))
+    target_rel = plan.get("target_rel")
+    committed = False
+    if target_rel is None:  # bootstrap: commit point = stats.json itself
+        committed = fsio.exists(f"{index_dir}/stats.json")
+    elif fsio.exists(f"{index_dir}/stats.json"):
+        meta = load_meta(index_dir)
+        committed = target_rel in (
+            tuple(meta.layers or ()) + tuple(meta.tombstones or ())
+        )
+    if not committed:
+        fsio.delete(f"{index_dir}/segments/seg={plan['seg_id']}")
+        fsio.delete(f"{_manifest_dir(index_dir)}/seg-{plan['seg_id']}.json")
+        if target_rel:
+            fsio.delete(f"{index_dir}/{target_rel}")
+    fsio.delete(mpath)
+    return True
+
+
+def _write_batch_marker(
+    index_dir: str, kind: str, batch_id: str, seg_id: str, target_rel
+) -> None:
+    fsio.write_text(
+        f"{index_dir}/{BATCH_MARKER}",
+        json.dumps({
+            "kind": kind,
+            "batch_id": batch_id,
+            "seg_id": seg_id,
+            "target_rel": target_rel,
+        }),
+    )
 
 
 SWAP_MARKER = "_swap_commit.json"
@@ -438,6 +487,11 @@ def _load_meta_healed(index_dir: str) -> IndexMeta:
     from sparkgrep.plans.purge import recover_purge_swaps  # cycle-free lazy
 
     recover_purge_swaps(index_dir)
+    # un-stage any half-committed delta/tombstone batch so its manifest
+    # entry cannot turn a later replay into a silent no-op (and so
+    # compaction never folds a root missing a batch the caller believes
+    # retried)
+    finish_pending_batch(index_dir)
     return load_meta(index_dir)
 
 
@@ -472,9 +526,12 @@ def append_batch_delta(
     sound on a compacted index) re-engages.
 
     First call on a fresh ``out_dir`` bootstraps the base layer.
-    Idempotent per batch id (streaming replays are no-ops). doc_ids
-    across batches must be distinct (ingest-assigned)."""
+    Idempotent per batch id: replays of a COMMITTED batch are no-ops;
+    a batch whose crash window left only the staged segment is unstaged
+    by :func:`finish_pending_batch` first, so its replay redoes it.
+    doc_ids across batches must be distinct (ingest-assigned)."""
     spark = corpus_batch.sparkSession
+    finish_pending_batch(out_dir)
     root_exists = fsio.exists(f"{out_dir}/stats.json")
     prefix_t = normalize_prefix(prefix)
     if root_exists:
@@ -495,7 +552,22 @@ def append_batch_delta(
 
     seg_id = f"{batch_id}-0"
     if seg_id in {m["segment_id"] for m in read_manifest(out_dir)}:
-        return load_meta(out_dir)  # replayed micro-batch: no-op
+        # replayed micro-batch: no-op. Sound because finish_pending_batch
+        # above restored the "manifest entry ⇒ committed" invariant.
+        return load_meta(out_dir)
+
+    # choose the target BEFORE anything durable, so the commit marker can
+    # bracket the whole window (manifest entry .. root meta write).
+    # Next free numeric slot: after merge_delta_layers shrinks the layer
+    # list, len(layers) can point at a dir that still exists on disk
+    # (orphan from a crashed cleanup) — never reuse a live path.
+    delta_rel = None
+    if root_exists:
+        seq = len(root.layers or ())
+        while fsio.exists(f"{out_dir}/delta/{seq:05d}"):
+            seq += 1
+        delta_rel = f"delta/{seq:05d}"
+    _write_batch_marker(out_dir, "append", batch_id, seg_id, delta_rel)
 
     if fields:
         tf = spimi_term_freqs_mc(
@@ -512,18 +584,13 @@ def append_batch_delta(
     tf_disk = spark.read.parquet(seg_dir)
 
     if not root_exists:  # bootstrap: the first batch IS the base layer
-        return merge_and_write(
+        bmeta = merge_and_write(
             tf_disk, out_dir, analyzer, fields=tuple(fields), detail=detail,
             prefix=prefix_t, **merge_kw,
         )
+        fsio.delete(f"{out_dir}/{BATCH_MARKER}")
+        return bmeta
 
-    # next free numeric slot: after merge_delta_layers shrinks the layer
-    # list, len(layers) can point at a dir that still exists on disk
-    # (orphan from a crashed cleanup) — never reuse a live path
-    seq = len(root.layers or ())
-    while fsio.exists(f"{out_dir}/delta/{seq:05d}"):
-        seq += 1
-    delta_rel = f"delta/{seq:05d}"
     dmeta = merge_and_write(
         tf_disk, f"{out_dir}/{delta_rel}", analyzer, fields=tuple(fields),
         detail=detail, prefix=prefix_t, **merge_kw,
@@ -550,7 +617,8 @@ def append_batch_delta(
         # own build stats before any incremental correction touched them
         layer_stats=_base_layer_stats(root) + ((dmeta.n_docs, dmeta.avgdl),),
     )
-    _write_root_meta(out_dir, new_root)
+    _write_root_meta(out_dir, new_root)  # commit point
+    fsio.delete(f"{out_dir}/{BATCH_MARKER}")
     return new_root
 
 
@@ -603,11 +671,21 @@ def delete_batch_delta(
     spark = corpus_batch.sparkSession
     if not fsio.exists(f"{out_dir}/stats.json"):
         raise ValueError(f"no index at {out_dir!r} to delete from")
-    root = _load_meta_healed(out_dir)
+    root = _load_meta_healed(out_dir)  # heals pending batches too
 
     seg_id = f"{batch_id}-del"
     if seg_id in {m["segment_id"] for m in read_manifest(out_dir)}:
-        return root  # replayed delete batch: no-op
+        # sound because _load_meta_healed unstaged any half-committed
+        # batch: a surviving manifest entry means the delete committed
+        return root
+
+    # pre-choose the tombstone slot so the commit marker brackets the
+    # whole (manifest entry .. root meta) window
+    seq = len(root.tombstones or ())
+    while fsio.exists(f"{out_dir}/tomb/{seq:05d}"):
+        seq += 1
+    rel = f"tomb/{seq:05d}"
+    _write_batch_marker(out_dir, "delete", batch_id, seg_id, rel)
 
     # O(batch): tokenize only the deleted docs (analyzer pinned by the
     # index; positions never needed — only dfs and lengths). Prefix
@@ -634,8 +712,6 @@ def delete_batch_delta(
     ).collect()[0]
     nd, ntok = int(agg["nd"] or 0), int(agg["ntok"] or 0)
 
-    seq = len(root.tombstones or ())
-    rel = f"tomb/{seq:05d}"
     tomb_dir = f"{out_dir}/{rel}"
     tf_disk.filter(F.col("term") == "").select("doc_id").write.mode(
         "overwrite"
@@ -688,7 +764,8 @@ def delete_batch_delta(
         # stats before this correction if no delta has done so yet
         layer_stats=_base_layer_stats(root),
     )
-    _write_root_meta(out_dir, new_root)
+    _write_root_meta(out_dir, new_root)  # commit point
+    fsio.delete(f"{out_dir}/{BATCH_MARKER}")
     return new_root
 
 
@@ -791,14 +868,19 @@ def rebuild(corpus: DataFrame, index_dir: str, use_lang: bool = False) -> IndexM
     from sparkgrep.operators.index_build import build_index
 
     meta = _load_meta_healed(index_dir)
-    # stale LSM layers and lineage belong to the OLD index generation:
-    # the new root meta won't reference them, and a surviving manifest
-    # would make replayed batch ids no-ops against the fresh index
-    for sub in ("delta", "tomb", "segments", "manifest"):
-        fsio.delete(f"{index_dir}/{sub}")
+    # Build the new generation into a STAGING dir, then marker-commit
+    # the swap (same protocol as compact_index/delete_all): the previous
+    # rm-then-build-in-place left a torn index on any mid-rebuild crash
+    # (old meta listing deleted layer dirs, or new doc_lens under old
+    # postings — silent score skew). Stale LSM layers and lineage belong
+    # to the OLD generation (a surviving manifest would make replayed
+    # batch ids no-ops against the fresh index), so they ride the same
+    # committed plan's drop list.
+    tmp = f"{index_dir}/_rebuild_tmp"
+    fsio.delete(tmp)
     new_meta = build_index(
         corpus,
-        index_dir,
+        tmp,
         analyzer=meta.analyzer,
         use_lang=use_lang,
         fields=list(meta.fields) or None,
@@ -812,10 +894,16 @@ def rebuild(corpus: DataFrame, index_dir: str, use_lang: bool = False) -> IndexM
         idf_variant=meta.idf_variant,
         store_positions=meta.has_positions,
     )
-    if meta.rank_weights:
-        new_meta = replace(new_meta, rank_weights=tuple(meta.rank_weights))
-        _write_root_meta(index_dir, new_meta)
-    return new_meta
+    final = (
+        replace(new_meta, rank_weights=tuple(meta.rank_weights))
+        if meta.rank_weights
+        else new_meta
+    )
+    _commit_swap(
+        index_dir, tmp, ("postings", "doc_lens", "term_ubs"),
+        ("delta", "tomb", "segments", "manifest"), final,
+    )
+    return final
 
 
 def _delta_merge_groups(meta: IndexMeta) -> list[list[int]]:

@@ -98,7 +98,11 @@ from sparkgrep.operators.index_build import (
     load_meta,
     postings_schema,
 )
-from sparkgrep.plans.manifest import _write_root_meta, finish_pending_swap
+from sparkgrep.plans.manifest import (
+    _load_meta_healed,
+    _write_root_meta,
+    finish_pending_swap,
+)
 from sparkgrep.sources import fsio
 
 
@@ -491,9 +495,10 @@ def purge_deleted(spark: SparkSession, out_dir: str) -> dict:
     docstring). Returns a stats dict; idempotent (already-purged
     tombstones are skipped; re-running after a crash completes the
     remainder)."""
-    finish_pending_swap(out_dir)  # heal any crashed compact/delete-all
-    recover_purge_swaps(out_dir)  # heal a crashed purge's rename gap
-    meta = load_meta(out_dir)
+    # heals a crashed compact/delete-all swap, a purge rename gap, AND a
+    # half-committed delta/tombstone batch (whose sidecar this discovery
+    # pass would otherwise read as if committed)
+    meta = _load_meta_healed(out_dir)
     purged = {int(i) for i in (meta.tombstone_purged or ())}
     pending = [
         ti for ti in range(len(meta.tombstones or ())) if ti not in purged

@@ -203,3 +203,67 @@ def test_trigram_prefix_guard_on_append_paths(spark, corpus, tmp_path):
             corpus, d, analyzer="trigram", prefix=2, n_segments=2,
             n_buckets=4,
         )
+
+
+def test_append_batch_refuses_layered_and_segmentless_roots(
+    spark, corpus, tmp_path
+):
+    """Review r5: append_batch re-merges segments/ wholesale, so on a
+    layered/tombstoned root it would fold deleted docs back in and
+    double-count delta batches, and on a root with NO segments (plain
+    build_index) it would silently replace the index with just the new
+    batch — both must raise toward append_batch_delta/compact."""
+    from pyspark.sql import functions as F
+
+    from sparkgrep.plans.manifest import (
+        append_batch,
+        append_batch_delta,
+        delete_batch_delta,
+    )
+
+    half = corpus.filter(F.col("doc_id") % 2 == 0)
+    rest = corpus.filter(F.col("doc_id") % 2 == 1)
+
+    layered = str(tmp_path / "lay")
+    build_index_checkpointed(half, layered, analyzer="simple", n_segments=2, n_buckets=4)
+    append_batch_delta(rest, layered, "b1")
+    with pytest.raises(ValueError, match="layered/tombstoned"):
+        append_batch(rest, layered, "b2")
+
+    tombed = str(tmp_path / "tmb")
+    build_index_checkpointed(half, tombed, analyzer="simple", n_segments=2, n_buckets=4)
+    delete_batch_delta(half.filter("doc_id < 20"), tombed, "d1")
+    with pytest.raises(ValueError, match="layered/tombstoned"):
+        append_batch(rest, tombed, "b2")
+
+    plain = str(tmp_path / "pln")
+    build_index(half, plain, analyzer="simple", n_buckets=4)
+    with pytest.raises(ValueError, match="has none"):
+        append_batch(rest, plain, "b1")
+
+
+def test_checkpointed_resume_refuses_different_n_segments(
+    spark, corpus, tmp_path
+):
+    """Review r5: resuming with a different n_segments re-slices the
+    hash space — done segments and new ones overlap, silently
+    duplicating docs. Must fail fast like the analyzer/prefix checks."""
+    d = str(tmp_path / "nseg")
+    r = build_index_checkpointed(
+        corpus, d, analyzer="simple", n_segments=4, n_buckets=4,
+        max_segments_this_run=2,
+    )
+    assert r is None  # interrupted
+    with pytest.raises(ValueError, match="resume config mismatch"):
+        build_index_checkpointed(
+            corpus, d, analyzer="simple", n_segments=8, n_buckets=4
+        )
+    with pytest.raises(ValueError, match="resume config mismatch"):
+        build_index_checkpointed(
+            corpus, d, analyzer="simple", n_segments=4, n_buckets=4,
+            use_lang=True,
+        )
+    meta = build_index_checkpointed(
+        corpus, d, analyzer="simple", n_segments=4, n_buckets=4
+    )
+    assert meta is not None and meta.n_docs == corpus.count()

@@ -183,3 +183,43 @@ def test_delete_all_crash_rolls_forward(
     # 50 appended docs; the 3-term AND of QS[0] matches none of them)
     append_batch_delta(corpus.filter("doc_id < 50"), victim, "b1")
     assert InvertedIndex(spark, victim).search_expr("hash", k=5).count() > 0
+
+
+def test_rebuild_crash_rolls_forward(
+    spark, corpus, tmp_path_factory, monkeypatch
+):
+    """Review r5: rebuild used to rm delta/tomb/segments and build
+    in-place — a mid-rebuild crash left the old meta over missing layer
+    dirs (or new doc_lens under old postings: silent score skew). It now
+    stages into _rebuild_tmp and marker-commits the swap like
+    compact/delete_all; a crash mid-plan refuses readers and heals to
+    exactly an uncrashed twin's rebuild."""
+    from sparkgrep.plans.manifest import rebuild
+
+    victim = _mk_layered(spark, corpus, tmp_path_factory, "rb_v")
+    twin = _mk_layered(spark, corpus, tmp_path_factory, "rb_t")
+    new_corpus = synth_corpus(spark, 200, seed=77)
+    rebuild(new_corpus, twin)
+
+    real_rename = fsio.rename
+
+    def exploding(src, dst):
+        if "_rebuild_tmp" in src and dst.endswith("/doc_lens"):
+            raise RuntimeError("injected crash at rebuild swap")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(fsio, "rename", exploding)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        rebuild(new_corpus, victim)
+    monkeypatch.setattr(fsio, "rename", real_rename)
+
+    assert fsio.exists(f"{victim}/{SWAP_MARKER}")
+    with pytest.raises(ValueError, match="swap pending"):
+        InvertedIndex(spark, victim)
+    assert finish_pending_swap(victim) is True
+
+    vm = load_meta(victim)
+    assert not vm.layers and not vm.tombstones
+    for sub in ("delta", "tomb", "segments", "manifest", "_rebuild_tmp"):
+        assert not fsio.exists(f"{victim}/{sub}"), sub
+    _assert_equal_results(spark, victim, twin)
