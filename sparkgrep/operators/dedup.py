@@ -118,9 +118,22 @@ def lsh_candidate_pairs(
     near-duplicate cluster report, so recall is lost only WITHIN
     already-flagged clusters (audit them via the returned
     ``exact_dup_groups``-style grouping on the band signature)."""
+    if bands < 1 or bands > n_hashes or n_hashes % bands != 0:
+        # bands > n_hashes made rows_per_band 0 → every band id NULL →
+        # the self-join matched nothing and the function SILENTLY
+        # returned zero candidates; a non-divisor silently changed the
+        # banding scheme (an extra narrow band floods candidates)
+        raise ValueError(
+            f"bands={bands} must be a divisor of n_hashes={n_hashes} "
+            "with 1 <= bands <= n_hashes"
+        )
     rows_per_band = n_hashes // bands
     # sigs feeds three branches (band buckets + both sides of the
-    # estimate join) — persist to avoid recomputing the shingle/md5 tree
+    # estimate join) — persist to avoid recomputing the shingle/md5 tree.
+    # The cache lives until the app clears it: the returned relation is
+    # LAZY over sigs, so there is no sound unpersist point inside this
+    # function; long-lived callers can spark.catalog.clearCache() after
+    # materializing.
     sigs = minhash_signatures(docs, n_hashes, k, text_col).persist()
     band_sigs = (
         sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))

@@ -103,6 +103,8 @@ def _assign_udf(centroids: np.ndarray):
 
     @pandas_udf("int")
     def _assign(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):  # empty Arrow batch: shape-(0,) @ (dim, nlist) raises
+            return pd.Series([], dtype="int32")
         mat = np.array(vecs.tolist(), dtype=np.float64)
         return pd.Series(np.argmax(mat @ ct, axis=1).astype(np.int32))
 
@@ -186,11 +188,13 @@ class IvfIndex:
 
     def probe_lists(self, query_vec: list[float], nprobe: int) -> list[int]:
         """The nprobe nearest inverted lists, driver-side (same metric as
-        the build-time assignment; ties to the lowest list id)."""
+        the build-time assignment; ties to the lowest list id). Shares
+        ``_nearest`` with the two-level index — the ivf2 'full group
+        probe equals the flat index exactly' guarantee rests on both
+        probe paths using the same tie-break and clamp."""
         q = np.asarray(query_vec, dtype=np.float64)
-        dots = self.centroids @ q
-        order = np.lexsort((np.arange(len(dots)), -dots))
-        return sorted(int(i) for i in order[: max(1, min(nprobe, self.meta.nlist))])
+        ids = np.arange(self.meta.nlist, dtype=np.int64)
+        return _nearest(self.centroids, ids, q, nprobe)
 
     def search(
         self, query_vec: list[float], k: int = 10, nprobe: int = 4
@@ -378,7 +382,13 @@ class Ivf2Index:
         if blk is None:
             rows = self._cent_table.filter(F.col("group") == group).collect()
             ids = np.array([r["list"] for r in rows], dtype=np.int64)
-            cents = np.array([r["centroid"] for r in rows], dtype=np.float64)
+            # an EMPTY k-means group (its members drifted to other
+            # groups in the final assignment) must keep a (0, dim)
+            # shape: np.array([]) is (0,), which breaks the probe-path
+            # concatenate/matmul
+            cents = np.array(
+                [r["centroid"] for r in rows], dtype=np.float64
+            ).reshape(len(rows), self.meta.dim)
             blk = self._blocks[group] = (ids, cents)
         return blk
 

@@ -97,7 +97,14 @@ def lsh_cosine_topk(
     dim = len(query_vec)
     planes = deterministic_hyperplanes(dim, n_planes, seed)
     qv = np.asarray(query_vec, dtype=np.float64)
-    qbucket = int(sum((int((qv * p).sum() > 0)) << i for i, p in enumerate(planes)))
+    # sequential (cumsum) summation: numpy's pairwise .sum() can
+    # sign-flip a near-zero dot vs the JVM's sequential fold in
+    # lsh_bucket_col, putting the query in a different bucket than a
+    # byte-identical stored vector (same 1-ulp class as lsh_buckets_udf,
+    # which uses cumsum for exactly this reason)
+    qbucket = int(
+        sum(int(np.cumsum(qv * p)[-1] > 0) << i for i, p in enumerate(planes))
+    )
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     bucketed = embeddings.withColumn("_bucket", lsh_bucket_col(F.col(vec_col), planes))
     return (
@@ -158,32 +165,43 @@ def cosine_dup_pairs(
     if dim is None:
         first = embeddings.select(F.size(vec_col).alias("d")).first()
         if first is None:
-            return embeddings.sparkSession.createDataFrame(
-                [], "id_a long, id_b long, cosine double"
+            # preserve the input's actual id type (string ids would
+            # otherwise get a mismatched hardcoded long schema)
+            ids = embeddings.limit(0).select(F.col(id_col).alias("id_a"))
+            return ids.select(
+                "id_a",
+                F.col("id_a").alias("id_b"),
+                F.lit(0.0).cast("double").alias("cosine"),
             )
         dim = int(first["d"])
     planes = [
         deterministic_hyperplanes(dim, n_planes, seed + 1000 * t)
         for t in range(n_tables)
     ]
-    bucketed = embeddings.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
-    ).withColumn("bks", lsh_buckets_udf(planes)(F.col("vec")))
-    exploded = bucketed.select(
-        "id", "vec", F.posexplode("bks").alias("tbl", "bucket")
+    vecs = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    # candidate generation shuffles ONLY (id, tbl, bucket) — exploding
+    # the full embedding through n_tables copies and both join sides
+    # multiplied the shuffle bytes by ~2·n_tables·dim; vectors join back
+    # once per side onto the deduped pair ids instead
+    slim = (
+        vecs.withColumn("bks", lsh_buckets_udf(planes)(F.col("vec")))
+        .select("id", F.posexplode("bks").alias("tbl", "bucket"))
     )
-    a, b = exploded.alias("a"), exploded.alias("b")
-    cand = (
+    a, b = slim.alias("a"), slim.alias("b")
+    pair_ids = (
         a.join(
             b,
             (F.col("a.tbl") == F.col("b.tbl"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .groupBy(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
-        )  # a pair can collide in several tables — dedupe before scoring
-        .agg(F.first(F.col("a.vec")).alias("va"), F.first(F.col("b.vec")).alias("vb"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()  # a pair can collide in several tables
+    )
+    cand = pair_ids.join(
+        vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("va")), "id_a"
+    ).join(
+        vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("vb")), "id_b"
     )
     return (
         cand.withColumn("cosine", cosine_col(F.col("va"), F.col("vb")))

@@ -68,7 +68,13 @@ def index_stream(
     plus an 'insert' row with the new content on the same doc_id.
     Deletes apply FIRST within a micro-batch (tombstone layer), then
     inserts (delta layer, newer than the tombstone), so same-batch
-    delete+insert serves the new version. Requires ``delta=True``.
+    delete+insert serves the new version. A micro-batch is an UNORDERED
+    set (DataFrames carry no row order): delete-then-insert per doc_id
+    is the one intra-batch sequence with defined semantics — at most one
+    insert row per doc_id per batch (validated), and a feed that needs
+    finer event ordering (e.g. insert then delete of the same doc within
+    one batch) must split those events across batches. Requires
+    ``delta=True``.
 
     ``available_now=True`` drains everything currently available and
     stops (backfill / test mode); False runs continuously with the
@@ -93,6 +99,23 @@ def index_stream(
         if delta:
             meta = None
             if op_col:
+                # ops are validated eagerly: NULL or unknown values were
+                # previously dropped (NULL: three-valued logic fails both
+                # filters) or silently treated as inserts — silent data
+                # loss either way
+                bad = batch_df.filter(
+                    F.col(op_col).isNull()
+                    | ~F.col(op_col).isin("insert", "delete")
+                )
+                if not bad.isEmpty():
+                    vals = [
+                        r[0]
+                        for r in bad.select(op_col).distinct().limit(5).collect()
+                    ]
+                    raise ValueError(
+                        f"CDC op column {op_col!r} must be 'insert' or "
+                        f"'delete'; batch {batch_id} carries {vals!r}"
+                    )
                 dels = batch_df.filter(F.col(op_col) == "delete").drop(op_col)
                 if not dels.isEmpty():
                     meta = delete_batch_delta(
@@ -101,7 +124,18 @@ def index_stream(
                         batch_id=f"stream-{batch_id}",
                         use_lang=use_lang,
                     )
-                ins = batch_df.filter(F.col(op_col) != "delete").drop(op_col)
+                ins = batch_df.filter(F.col(op_col) == "insert").drop(op_col)
+                dup = ins.groupBy("doc_id").count().filter("count > 1")
+                if not dup.isEmpty():
+                    ids = [
+                        r[0] for r in dup.select("doc_id").limit(5).collect()
+                    ]
+                    raise ValueError(
+                        f"batch {batch_id}: multiple insert rows share "
+                        f"doc_id(s) {ids!r} — a micro-batch is an "
+                        "unordered set serving one final version per "
+                        "doc; split multi-update sequences across batches"
+                    )
             else:
                 ins = batch_df
             if not ins.isEmpty():

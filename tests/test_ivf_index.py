@@ -219,3 +219,26 @@ def test_ivf2_determinism_and_guards(spark, emb, tmp_path):
     assert np.array_equal(ga, gb)
     with pytest.raises(ValueError, match="ngroups"):
         build_ivf2_index(emb, str(tmp_path / "c"), nlist=8, ngroups=9)
+
+
+def test_ivf2_empty_group_probe_is_safe(spark, tmp_path):
+    """Review r5: group-level k-means can leave a group with zero fine
+    centroids (here: all vectors identical → every fine centroid lands
+    in one group). Probing an empty group used to crash the concatenate
+    in probe_lists with a shape-(0,) block; it must contribute nothing."""
+    from sparkgrep.operators.ivf_index import Ivf2Index, build_ivf2_index
+
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(64)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = str(tmp_path / "ivf2e")
+    build_ivf2_index(emb, out, nlist=4, ngroups=4, train_size=64)
+    idx = Ivf2Index(spark, out)
+    # at least one group must actually be empty for this to test anything
+    sizes = [idx._group_block(g)[0].size for g in range(4)]
+    assert 0 in sizes, sizes
+    # probing every group (including the empty ones) must work and find
+    # the identical vectors
+    lists = idx.probe_lists([1.0, 0.0, 0.0, 0.0], nprobe_groups=4, nprobe=4)
+    assert lists, sizes
+    got = idx.search([1.0, 0.0, 0.0, 0.0], k=5, nprobe_groups=4, nprobe=4)
+    assert got.count() == 5

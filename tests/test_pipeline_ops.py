@@ -290,3 +290,32 @@ def test_lsh_max_bucket_cap(spark):
     assert capped.count() == 0  # the 100-clone bucket is dropped entirely
     uncapped = D.lsh_candidate_pairs(docs, n_hashes=16, bands=4)
     assert uncapped.count() == 100 * 99 // 2
+
+
+def test_lsh_bands_validation(docs):
+    """Review r5: bands > n_hashes silently returned ZERO candidates
+    (rows_per_band 0 → NULL band ids → the self-join matched nothing);
+    a non-divisor silently changed the banding scheme. Both raise now."""
+    import pytest
+
+    from sparkgrep.operators.dedup import lsh_candidate_pairs
+
+    with pytest.raises(ValueError, match="divisor"):
+        lsh_candidate_pairs(docs, n_hashes=16, bands=32)
+    with pytest.raises(ValueError, match="divisor"):
+        lsh_candidate_pairs(docs, n_hashes=16, bands=6)
+    with pytest.raises(ValueError, match="divisor"):
+        lsh_candidate_pairs(docs, n_hashes=16, bands=0)
+
+
+def test_cosine_dup_pairs_empty_input_preserves_id_type(spark):
+    """Review r5: the empty-input early return hardcoded long ids; with
+    string ids the empty and non-empty paths disagreed on schema."""
+    from sparkgrep.operators.similarity import cosine_dup_pairs
+
+    empty = spark.createDataFrame([], "vec_id string, embedding array<double>")
+    out = cosine_dup_pairs(empty)
+    assert out.count() == 0
+    assert dict(out.dtypes) == {
+        "id_a": "string", "id_b": "string", "cosine": "double"
+    }

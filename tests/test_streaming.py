@@ -125,3 +125,40 @@ def test_stream_cdc_deletes_and_updates(spark, corpus, tmp_path):
         got = idx2.search_expr(qq, k=40).toPandas()
         assert got["doc_id"].tolist() == want["doc_id"].tolist(), qq
         assert (got["score"].to_numpy() == want["score"].to_numpy()).all(), qq
+
+
+def test_stream_cdc_rejects_invalid_ops_and_dup_inserts(spark, corpus, tmp_path):
+    """Review r5: NULL / unknown op values were silently dropped or
+    treated as inserts (three-valued logic), and multiple insert rows
+    per doc_id in one micro-batch violated append_batch_delta's distinct
+    contract silently. Both must fail the stream loudly."""
+    import pytest
+
+    # unknown + NULL ops
+    src1 = str(tmp_path / "bad_ops")
+    b = corpus.limit(10).withColumn(
+        "op",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("update")).otherwise(
+            F.lit(None).cast("string")
+        ),
+    )
+    b.coalesce(1).write.mode("overwrite").parquet(src1)
+    stream = spark.readStream.schema(b.schema).parquet(src1)
+    q = index_stream(
+        stream, str(tmp_path / "bad_idx"), analyzer="simple", n_buckets=4,
+        op_col="op",
+    )
+    with pytest.raises(Exception, match="must be 'insert' or 'delete'"):
+        q.awaitTermination(120)
+
+    # duplicate insert doc_ids within one batch
+    src2 = str(tmp_path / "dup_ins")
+    ins = corpus.limit(5).withColumn("op", F.lit("insert"))
+    ins.unionByName(ins).coalesce(1).write.mode("overwrite").parquet(src2)
+    stream2 = spark.readStream.schema(ins.schema).parquet(src2)
+    q2 = index_stream(
+        stream2, str(tmp_path / "dup_idx"), analyzer="simple", n_buckets=4,
+        op_col="op",
+    )
+    with pytest.raises(Exception, match="multiple insert rows share"):
+        q2.awaitTermination(120)
