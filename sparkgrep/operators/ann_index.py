@@ -82,6 +82,12 @@ def build_ann_index(
         id_col=id_col,
     )
     planes = _planes(meta)
+    # crash ordering on a REBUILD into an existing dir: drop the old
+    # meta BEFORE overwriting vectors, write the new meta LAST. A crash
+    # in between leaves vectors without meta — AnnIndex then fails
+    # LOUDLY on the missing meta.json instead of silently bucketing
+    # queries with the OLD planes against data written with the new ones
+    fsio.delete(f"{out_dir}/meta.json")
     bucketed = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
     ).withColumn("bks", lsh_buckets_udf(planes)(F.col("embedding")))

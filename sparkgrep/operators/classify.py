@@ -88,6 +88,13 @@ def classify_cascade(
     # the reference's cross-encoder-disabled fallback)
     if rescorer is not None:
         cands = rescorer(cands)
+    # the candidate relation feeds THREE branches of the returned plan
+    # (threshold aggregation, partition join, phase-5 anti-join): left
+    # lazy, every evaluation re-ran the whole batched index scan per
+    # branch. Bounded at k_candidates × len(categories) rows; the
+    # broadcast-threshold job populates the cache before the main job
+    # reads it. No sound unpersist point for a lazily-returned plan.
+    cands = cands.persist()
 
     # phase 3: sigmoid + per-category exact percentile thresholds
     probs = cands.withColumn("prob", _sigmoid(F.col("score")))

@@ -98,7 +98,10 @@ def glob_runs_and_regex(pattern: str) -> tuple[list[str], str]:
     SQLite's globCompare)."""
     runs: list[str] = []
     cur: list[str] = []
-    rx = ["(?s)^"]
+    # \A..\z, not ^..$: Java's '$' (Spark rlike) matches BEFORE a final
+    # line terminator, so '^abc$' would accept 'abc\n' — SQLite's
+    # globCompare does not
+    rx = ["(?s)\\A"]
 
     def _flush():
         if cur:
@@ -136,8 +139,10 @@ def glob_runs_and_regex(pattern: str) -> tuple[list[str], str]:
                 continue
             body = pattern[body_start:j]
             # escape regex metachars inside the class except '-' ranges
+            # ('&' included: '[a&&b]' is Java class INTERSECTION — empty
+            # here — while SQLite reads '&' as an ordinary member)
             esc = body.replace("\\", "\\\\").replace("]", "\\]").replace(
-                "^", "\\^").replace("[", "\\[")
+                "^", "\\^").replace("[", "\\[").replace("&", "\\&")
             rx.append("[" + ("^" if neg else "") + esc + "]")
             i = j + 1
         else:
@@ -145,7 +150,7 @@ def glob_runs_and_regex(pattern: str) -> tuple[list[str], str]:
             rx.append(re.escape(c))
             i += 1
     _flush()
-    rx.append("$")
+    rx.append("\\z")
     return runs, "".join(rx)
 
 
@@ -201,12 +206,37 @@ def like_search(
 ) -> DataFrame:
     """doc_ids whose ``text_col`` matches the SQL LIKE ``pattern``,
     ordered by doc_id. Exact (candidates + residual verify); the
-    residual predicate is Spark's native ``like``/``ilike`` (JVM-side,
-    whole-stage codegen)."""
+    case-sensitive residual is Spark's native ``like`` (JVM-side,
+    whole-stage codegen). The case-insensitive residual is a Java regex
+    under ``(?i)`` WITHOUT ``UNICODE_CASE`` — i.e. ASCII-only case
+    folding, which is exactly SQLite LIKE's documented behavior. Spark's
+    ``ilike`` (full Java Unicode lowercasing, e.g. U+0130 → 'i'+U+0307)
+    would both diverge from SQLite and break candidate soundness: the
+    trigram fold is a superset of the ASCII fold, not of Java's."""
     cand = like_candidates(index, pattern, case_insensitive)
     base = corpus
     if cand is not None:
         base = corpus.join(cand, "doc_id", "left_semi")
     col = F.col(text_col)
-    cond = col.ilike(pattern) if case_insensitive else col.like(pattern)
+    if case_insensitive:
+        cond = col.rlike(_like_ci_regex(pattern))
+    else:
+        cond = col.like(pattern)
     return base.filter(cond).select("doc_id").orderBy("doc_id")
+
+
+def _like_ci_regex(pattern: str) -> str:
+    """SQLite-faithful case-insensitive LIKE as a Java regex: '%' → .*,
+    '_' → ., everything else literal; (?i) without UNICODE_CASE gives
+    ASCII-only case equivalence; \\A..\\z anchors exactly (no
+    trailing-newline leniency)."""
+    parts = ["(?si)\\A"]
+    for ch in pattern:
+        if ch == "%":
+            parts.append(".*")
+        elif ch == "_":
+            parts.append(".")
+        else:
+            parts.append(re.escape(ch))
+    parts.append("\\z")
+    return "".join(parts)

@@ -795,7 +795,9 @@ class InvertedIndex:
             "term string, doc_id long, contrib double",
         )
 
-    def decode_raw(self, with_positions: bool = False) -> DataFrame:
+    def decode_raw(
+        self, with_positions: bool = False, postings: DataFrame | None = None
+    ) -> DataFrame:
         """Every live posting as raw (term, doc_id, tf, dl[, positions])
         rows — tombstone-deleted docs already masked out. This is the
         lossless basis compaction re-merges from. On a multi-field index
@@ -803,19 +805,23 @@ class InvertedIndex:
         field-relative positions — exactly the multi-field SPIMI shape,
         so compaction feeds them straight back through the merge. A
         detail=none index stores (and therefore decodes) the plain
-        single-field shape — per-doc totals."""
+        single-field shape — per-doc totals. ``postings`` substitutes a
+        pre-filtered slice of :attr:`postings` (e.g. the vocab views'
+        marker-free relation) so the filter pushes into the scan instead
+        of running after the decode kernel."""
+        src = postings if postings is not None else self.postings
         if self.meta.fields and self.meta.effective_detail() != "none":
             schema = "term string, doc_id long, col int, tf int, dl int" + (
                 ", positions array<int>" if with_positions else ""
             )
-            return self.postings.mapInPandas(
+            return src.mapInPandas(
                 _decode_raw_mc_gen(self.meta, with_positions, tomb=self._tomb_spec),
                 schema,
             )
         schema = "term string, doc_id long, tf int, dl int" + (
             ", positions array<int>" if with_positions else ""
         )
-        return self.postings.mapInPandas(
+        return src.mapInPandas(
             _decode_raw_gen(self.meta, with_positions, tomb=self._tomb_spec),
             schema,
         )

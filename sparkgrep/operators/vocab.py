@@ -124,7 +124,7 @@ def vocab(index: InvertedIndex, level: str = "row") -> DataFrame:
             F.sum("doc").alias("doc"), F.sum("cnt").alias("cnt")
         )
     if level == "col":
-        if index.meta.fields and index.meta.effective_detail() == "none":
+        if index.meta.detail == "none":
             # detail=none stores no per-field streams: FTS5's col view
             # degrades to ONE row per term with col=NULL (probed on a
             # real detail=none table). doc is the term's total doc
@@ -157,11 +157,10 @@ def vocab(index: InvertedIndex, level: str = "row") -> DataFrame:
                 "(build_index(store_positions=True))"
             )
         fields = _field_names(index)
-        raw = index.decode_raw(with_positions=True)
-        if index.meta.prefix or ():
-            from sparkgrep.operators.index_build import PREFIX_MARKER
-
-            raw = raw.filter(~F.col("term").startswith(PREFIX_MARKER))
+        # marker filter BEFORE the decode kernel (pushed into the scan):
+        # filtering after mapInPandas paid full varint/position decode
+        # for the whole derived prefix sub-index just to discard it
+        raw = index.decode_raw(with_positions=True, postings=_main_postings(index))
         if index.meta.fields:
             name_map = F.array(*[F.lit(f) for f in fields])
             col_expr = F.element_at(name_map, F.col("col") + 1)

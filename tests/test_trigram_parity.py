@@ -351,3 +351,53 @@ def test_fts5_multitoken_bareword_is_phrase(underscore_pair, query):
     assert got["doc_id"].tolist() == [r[0] for r in ref], query
     for (_, fts_score), eng_score in zip(ref, got["score"]):
         assert abs(-fts_score - eng_score) <= 1e-9, (query, fts_score, eng_score)
+
+
+def test_glob_like_regex_edge_parity(spark, tmp_path_factory):
+    """Review r5 edges vs real SQLite: (a) texts ENDING IN '\\n' — Java's
+    '$' matches before a final line terminator so the old '^..$' anchors
+    accepted 'abc\\n' for GLOB 'abc' (SQLite refuses; \\A..\\z now
+    exact); (b) '&&' inside a GLOB class is Java regex INTERSECTION but
+    an ordinary member to SQLite; (c) case-insensitive LIKE is
+    ASCII-only in SQLite — the ilike residual was full-Unicode."""
+    import sqlite3
+
+    from sparkgrep.operators.index_build import build_index
+    from sparkgrep.operators.like import glob_search, like_search
+    from sparkgrep.operators.query import InvertedIndex
+
+    texts = [
+        "hello", "hello\n", "say hello\nthere", "a&b here", "b side",
+        "Thank You\n", "thank you",
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    corpus = spark.createDataFrame(rows, "doc_id long, content string")
+    out = str(tmp_path_factory.mktemp("tri_edge") / "idx")
+    build_index(corpus, out, analyzer="trigram", n_buckets=4,
+                store_positions=True)
+    idx = InvertedIndex(spark, out)
+
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE t(id INTEGER PRIMARY KEY, c TEXT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+
+    for pat in ["hello", "*hello", "say*", "[a&&b] here*", "[ab]*here*",
+                "*you*", "*You"]:
+        want = [r[0] for r in con.execute(
+            "SELECT id FROM t WHERE c GLOB ? ORDER BY id", (pat,)
+        )]
+        got = [r["doc_id"] for r in glob_search(idx, corpus, pat).collect()]
+        assert got == want, ("glob", pat)
+
+    for pat in ["%Thank You%", "thank you", "hello"]:
+        want = [r[0] for r in con.execute(
+            "SELECT id FROM t WHERE c LIKE ? ORDER BY id", (pat,)
+        )]
+        got = [
+            r["doc_id"]
+            for r in like_search(
+                idx, corpus, pat, case_insensitive=True
+            ).collect()
+        ]
+        assert got == want, ("like_ci", pat)
+    con.close()
