@@ -261,6 +261,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                         "--segments and --fields are mutually exclusive "
                         "(checkpointed multi-column builds: use one-shot)"
                     )
+                if args.positions or args.detail:
+                    # previously these flags were silently DISCARDED on
+                    # the checkpointed path (the build succeeded without
+                    # positions and phrase queries failed later with no
+                    # hint why)
+                    raise SystemExit(
+                        "--segments does not support --positions/--detail "
+                        "(the checkpointed SPIMI pass builds plain "
+                        "positionless runs) — use a one-shot build"
+                    )
                 meta = build_index_checkpointed(
                     corpus, args.out, n_segments=args.segments, **kw
                 )

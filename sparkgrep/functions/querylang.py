@@ -857,9 +857,13 @@ def parse_query(
         )
         if parser._peek() == ")":
             parser._next()
-    # dedupe identical conjuncts (DNF distribution can repeat them)
+    # dedupe identical conjuncts (DNF distribution can repeat them) —
+    # set-keyed: every node is a frozen dataclass, and list membership
+    # was O(d²) dataclass comparisons over unbounded top-level OR fanout
     seen: list[Conjunct] = []
+    seen_set: set[Conjunct] = set()
     for c in disjuncts:
-        if c not in seen:
+        if c not in seen_set:
             seen.append(c)
+            seen_set.add(c)
     return ParsedQuery(tuple(seen))

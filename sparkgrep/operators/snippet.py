@@ -460,6 +460,10 @@ def search_highlight(
     required for multi-field indexes)."""
     fields = _fields_of(index, field if isinstance(field, str) else None)
     if isinstance(field, int):
+        if not 0 <= field < max(1, len(fields)):
+            raise ValueError(
+                f"field index {field} out of range for fields {fields!r}"
+            )
         ci = field
     elif isinstance(field, str) and index.meta.fields:
         ci = fields.index(field)
@@ -500,6 +504,10 @@ def search_snippet(
     ``field=None`` = FTS5's col -1 (every column competes)."""
     fields = _fields_of(index, field if isinstance(field, str) else None)
     if isinstance(field, int):
+        if not 0 <= field < max(1, len(fields)):
+            raise ValueError(
+                f"field index {field} out of range for fields {fields!r}"
+            )
         ci = field
     elif isinstance(field, str) and index.meta.fields:
         ci = fields.index(field)

@@ -124,11 +124,20 @@ def with_ingest_columns(corpus: DataFrame) -> DataFrame:
 def assert_content_hashes(ingested: DataFrame, expected: DataFrame) -> None:
     """The input_hint's per-row invariant: content sha256 equality against
     the reference corpus, asserted BEFORE indexing. `expected` carries
-    (doc_id, content_sha256)."""
+    (doc_id, content_sha256). FULL OUTER join + null-safe inequality: an
+    inner join would silently pass a corpus MISSING reference docs (or
+    carrying extras), and a plain ``!=`` filter drops NULL hashes —
+    precisely the corrupted rows the invariant exists to catch."""
     mismatches = (
         ingested.select("doc_id", "content_sha256")
-        .join(expected.withColumnRenamed("content_sha256", "expected_sha256"), "doc_id")
-        .filter(F.col("content_sha256") != F.col("expected_sha256"))
+        .join(
+            expected.withColumnRenamed("content_sha256", "expected_sha256"),
+            "doc_id",
+            "full_outer",
+        )
+        .filter(
+            ~F.col("content_sha256").eqNullSafe(F.col("expected_sha256"))
+        )
         .limit(1)
         .count()
     )
@@ -223,6 +232,13 @@ def synth_code_corpus(
       (``cache_buffer123``) giving tens of thousands of distinct terms,
       so the global merge actually fans out (a 31-term vocabulary caps
       merge parallelism at 31 tasks — the scaling killer).
+
+    Note: the stems cycle with period lcm(3, 24) = 24, so ``n_stems``
+    beyond 24 repeats earlier entries (the default 40 yields 24 distinct
+    stems, the first 16 sampled twice as often). The distinct-term
+    fan-out still comes from stems × ``suffix_cardinality`` (~24k terms
+    at the defaults). Deliberately NOT changed: every recorded bench and
+    scaling number is pinned to this generator's byte-exact output.
     """
     import numpy as np
     from typing import Iterator

@@ -36,7 +36,7 @@ def write_text(path: str, text: str) -> None:
     if h is None:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         tmp = path + ".tmp"
-        with open(tmp, "w") as f:
+        with open(tmp, "w", encoding="utf-8") as f:
             f.write(text)
         os.replace(tmp, path)
         return
@@ -47,15 +47,21 @@ def write_text(path: str, text: str) -> None:
         out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
-    if fs.exists(p):
-        fs.delete(p, False)
-    fs.rename(tmp, p)
+    # the old FileSystem API has no overwrite-rename: delete-then-rename
+    # is the best available (the gap is the price; callers that need a
+    # stronger contract use marker commits). Both booleans ARE checked —
+    # a false return (concurrent recreate, cross-encryption-zone move)
+    # must not let the caller believe the metadata write landed.
+    if fs.exists(p) and not fs.delete(p, False):
+        raise IOError(f"could not replace {path!r}: delete failed")
+    if not fs.rename(tmp, p):
+        raise IOError(f"could not replace {path!r}: rename from tmp failed")
 
 
 def read_text(path: str) -> str:
     h = _hadoop(path)
     if h is None:
-        with open(path) as f:
+        with open(path, encoding="utf-8") as f:
             return f.read()
     fs, p, jvm = h
     stream = fs.open(p)
@@ -92,13 +98,17 @@ def delete(path: str, recursive: bool = True) -> None:
 
 
 def rename(src: str, dst: str) -> None:
-    """Move ``src`` to ``dst`` (dst must not exist)."""
+    """Move ``src`` to ``dst`` (dst must not exist — Hadoop rename onto
+    an existing dst silently fails or moves src INSIDE a dst directory,
+    so the boolean is checked and a failure raises instead of letting a
+    swap caller proceed on a half-moved state)."""
     h = _hadoop(src)
     if h is None:
         os.replace(src, dst)
         return
     fs, p, jvm = h
-    fs.rename(p, jvm.org.apache.hadoop.fs.Path(dst))
+    if not fs.rename(p, jvm.org.apache.hadoop.fs.Path(dst)):
+        raise IOError(f"rename {src!r} -> {dst!r} failed")
 
 
 def link_or_copy(src: str, dst: str) -> None:

@@ -182,3 +182,19 @@ def test_session_not_stopped_when_injected(spark, built):
     # the injection seam must never stop the caller's session
     run_cli(spark, "metrics", "--index", built["idx"])
     assert not spark.sparkContext._jsc.sc().isStopped()
+
+
+def test_cli_build_segments_rejects_positions_and_detail(spark, tmp_path):
+    """Review r5: --positions/--detail were silently DISCARDED on the
+    checkpointed (--segments) path; phrase queries then failed later
+    with no hint the build flag never applied."""
+    with pytest.raises(SystemExit, match="does not support"):
+        run_cli(
+            spark, "build", "--input", "/root/testdata/sf0.001", "--out",
+            str(tmp_path / "i1"), "--segments", "2", "--positions",
+        )
+    with pytest.raises(SystemExit, match="does not support"):
+        run_cli(
+            spark, "build", "--input", "/root/testdata/sf0.001", "--out",
+            str(tmp_path / "i2"), "--segments", "2", "--detail", "none",
+        )

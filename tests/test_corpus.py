@@ -126,3 +126,23 @@ def test_synth_code_corpus_partitioning_invariant(spark):
     # different seed → different corpus
     c = synth_code_corpus(spark, 60, seed=10).select("content_sha256").toPandas()
     assert set(c["content_sha256"]) != set(a["content_sha256"])
+
+
+def test_assert_content_hashes_catches_missing_and_null(spark):
+    """Review r5: the old inner join silently passed corpora MISSING
+    reference docs (or carrying extras), and the null-unsafe != dropped
+    NULL hashes — the full-outer + eqNullSafe form catches all three."""
+    ing = with_ingest_columns(documents_as_corpus(load_documents(spark, SF)))
+    expected = ing.select("doc_id", "content_sha256")
+    with pytest.raises(AssertionError, match="sha256 mismatch"):
+        assert_content_hashes(ing.filter("doc_id != 3"), expected)  # missing
+    with pytest.raises(AssertionError, match="sha256 mismatch"):
+        assert_content_hashes(ing, expected.filter("doc_id != 3"))  # extra
+    nulled = ing.withColumn(
+        "content_sha256",
+        F.when(F.col("doc_id") == 3, F.lit(None)).otherwise(
+            F.col("content_sha256")
+        ),
+    )
+    with pytest.raises(AssertionError, match="sha256 mismatch"):
+        assert_content_hashes(nulled, expected)  # NULL hash
